@@ -1,0 +1,43 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Referential-integrity check: every fact key exists in a dimension table —
+  * the distributed analog of the reference resolving every `$ref` through its
+  * keyed SchemaStorage (resolver.rs:27-77, storage.rs:28-63): a key → payload
+  * lookup, here expressed as a `left_anti` join whose survivors are the
+  * dangling references.
+  *
+  * Join strategy is chosen by *measured* dimension size, like the north rule
+  * requires: a dimension comfortably below the broadcast budget is sent to
+  * every executor (no shuffle of the fact side at all); a big dimension falls
+  * back to a shuffle join and we explicitly pre-partition the fact side on
+  * the join key so AQE/SMJ sees co-located inputs.
+  */
+object Referential {
+
+  final case class Result(orphans: DataFrame, strategy: String, dimRows: Long)
+
+  /** @param broadcastMaxRows dimension row budget for broadcasting; with
+    *   ~100-byte dim rows the default (10M) stays within a 1-2 GB broadcast,
+    *   appropriate for large-executor clusters; tune down for small ones.
+    */
+  def orphans(fact: DataFrame, dim: DataFrame, factKeys: Seq[String], dimKeys: Seq[String],
+              broadcastMaxRows: Long = 10000000L): Result = {
+    val dimProj = dimKeys.zip(factKeys).foldLeft(dim.select(dimKeys.map(col): _*)) {
+      case (d, (dk, fk)) => if (dk == fk) d else d.withColumnRenamed(dk, fk)
+    }.distinct()
+    // Cheap count on the (pruned, distinct) key projection. At cluster scale
+    // this would come from catalog/Iceberg stats instead of a count job.
+    val n = dimProj.count()
+    val cond = factKeys.map(k => fact(k) <=> dimProj(k)).reduce(_ && _)
+    if (n <= broadcastMaxRows)
+      Result(fact.join(broadcast(dimProj), cond, "left_anti"), "broadcast-hash", n)
+    else {
+      val f = fact.repartition(factKeys.map(col): _*)
+      Result(f.join(dimProj.hint("merge"), factKeys.map(k => f(k) <=> dimProj(k)).reduce(_ && _),
+        "left_anti"), "sort-merge", n)
+    }
+  }
+}

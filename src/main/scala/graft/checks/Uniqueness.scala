@@ -1,0 +1,56 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Global uniqueness on a composite key with salted-key skew handling.
+  *
+  * The analog in the reference is response-model occurrence counting with
+  * `is_unique = count == 1` (codegen/openapi/responses.rs:89-112); here the
+  * key is `(repo, path, commit)` over a zipf-skewed `repo`.
+  *
+  * Two-phase salted aggregation: phase 1 groups by (salt, key) — the salt is
+  * derived deterministically from the *physical* partition id, so identical
+  * hot keys coming from different input splits are pre-counted in parallel
+  * across S reducers instead of converging on one. Phase 2 sums the ≤S
+  * partial counts per key. Spark's hash aggregation already does map-side
+  * partial combine, so for plain counting phase 2's input is small either
+  * way; the salting matters when phase 1 must also materialize per-key
+  * payloads (exemplars, collect_list) that partial aggregation cannot
+  * combine — and it is required verbatim by the north rule. A property test
+  * asserts salted == naive on skewed data.
+  */
+object Uniqueness {
+
+  /** Keys occurring more than once, with their multiplicity. */
+  def duplicateKeys(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    val salted = df
+      .select(keyCols :+ (spark_partition_id() % salts).as("__salt"): _*)
+      .groupBy((col("__salt") +: keyCols): _*)
+      .agg(count(lit(1)).as("__partial"))
+    salted
+      .groupBy(keyCols: _*)
+      .agg(sum(col("__partial")).as("occurrences"))
+      .where(col("occurrences") > 1)
+  }
+
+  /** Naive single-phase variant — the oracle the salted version must match. */
+  def duplicateKeysNaive(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("occurrences"))
+      .where(col("occurrences") > 1)
+
+  /** All rows participating in a duplicate key group (the violation rows).
+    * The duplicate-key set is tiny relative to the input, so it is
+    * broadcast back against the fact table — a hot duplicated key therefore
+    * never shuffles the fat side.
+    */
+  def duplicateRows(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
+    val dups = duplicateKeys(df, keys, salts)
+    df.join(broadcast(dups.select(keys.map(col): _*)), keys, "left_semi")
+  }
+
+  def violationPredicateDetail(keys: Seq[String]): Column =
+    concat(lit("duplicate key ("), concat_ws(",", keys.map(col): _*), lit(")"))
+}

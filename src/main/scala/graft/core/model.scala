@@ -1,0 +1,55 @@
+package graft.core
+
+/** Core typed result plane of the validation engine.
+  *
+  * The engine evaluates a declarative [[RuleSuite]] over an Iceberg-shaped
+  * table of source-code files `(repo, path, commit, lang, content)` and emits
+  * per-(partition, rule) verdicts plus a violations Dataset — the distributed
+  * analog of schema-tools' validate command which logs every `iter_errors`
+  * item and fails unless `--continue-on-error`
+  * (reference: crates/schematools/src/validate/mod.rs:7-28,
+  * crates/cli/src/commands/validate.rs:80-105).
+  */
+final case class CodeRow(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** One failed row for one rule. `rowRef` identifies the row by its natural
+  * key `(repo,path,commit)`; `detail` carries the offending value/expected
+  * clause (analog of logging each validation error, validate/mod.rs:19-23).
+  */
+final case class Violation(part: Int, rule: String, rowRef: String, detail: String)
+
+/** Per-partition × per-rule pass/fail grid. */
+final case class Verdict(part: Int, rule: String, evaluated: Long, violations: Long, pass: Boolean)
+
+/** Single-pass per-partition column statistics (count / null-count / min /
+  * max / HLL++ distinct / approx quantiles). Quantiles are only populated for
+  * numeric-valued columns (here: length(content)).
+  */
+final case class ColStats(
+    part: Int,
+    column: String,
+    count: Long,
+    nulls: Long,
+    min: String,
+    max: String,
+    approxDistinct: Long,
+    q25: Double,
+    q50: Double,
+    q75: Double)
+
+/** Resumable-run lineage: one row per completed partition batch, keyed by
+  * (snapshotId, part, ruleSetHash). A rerun anti-joins the partition list
+  * against this manifest and only evaluates the remainder.
+  */
+final case class CheckpointRow(
+    snapshotId: String,
+    part: Int,
+    ruleSetHash: String,
+    evaluated: Long,
+    violations: Long,
+    wallMs: Long)

@@ -1,0 +1,113 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** The constraint vocabulary, mirrored from the reference's harvested
+  * JSON-Schema validation keywords (crates/schematools/src/codegen/jsonschema/
+  * mod.rs:466-481: format, maximum, exclusiveMaximum, minimum,
+  * exclusiveMinimum, maxLength, minLength, pattern, maxItems, minItems,
+  * uniqueItems, maxProperties, minProperties) plus enum/const/required/type
+  * and the engine-level whole-table checks from the north rule (uniqueness,
+  * referential integrity, distribution drift, sha256 invariant).
+  *
+  * Row-level rules compile to a Catalyst `Column` predicate (true = pass);
+  * table-level rules compile to their own (small-output) Spark jobs.
+  */
+sealed trait Rule {
+  def name: String
+}
+
+/** A rule evaluable per row against one column. */
+sealed trait RowRule extends Rule {
+  def column: String
+}
+
+/** Schema conformance: the column's Spark type matches. Checked statically
+  * against `df.schema` (reference: type dispatcher jsonschema/mod.rs:298-354).
+  */
+final case class TypeIs(name: String, column: String, expected: String) extends RowRule
+
+/** required → null-count == 0 (reference: required.rs:5-13). */
+final case class Required(name: String, column: String) extends RowRule
+
+/** enum → value-domain membership (reference: enum_.rs:9-95). */
+final case class EnumIn(name: String, column: String, values: Seq[String]) extends RowRule
+
+/** const → equality with a literal (reference: const_.rs:9-31). */
+final case class ConstEq(name: String, column: String, value: String) extends RowRule
+
+/** pattern → Java/RE2-compatible regex, interned once per distinct pattern
+  * like the reference's RegexpType registry (jsonschema/mod.rs:177-189).
+  */
+final case class MatchesPattern(name: String, column: String, regex: String) extends RowRule
+
+/** format → named predicate from the pluggable format registry (the analog of
+  * the reference registering formats in its container, jsonschema/mod.rs:511-513).
+  */
+final case class HasFormat(name: String, column: String, format: String) extends RowRule
+
+final case class MinLength(name: String, column: String, n: Int) extends RowRule
+final case class MaxLength(name: String, column: String, n: Int) extends RowRule
+
+/** minimum/maximum/exclusive* over a numeric column (or length(content)). */
+final case class MinValue(name: String, column: String, v: Double, exclusive: Boolean = false)
+    extends RowRule
+final case class MaxValue(name: String, column: String, v: Double, exclusive: Boolean = false)
+    extends RowRule
+
+/** minItems/maxItems/uniqueItems over an array column. */
+final case class MinItems(name: String, column: String, n: Int) extends RowRule
+final case class MaxItems(name: String, column: String, n: Int) extends RowRule
+final case class UniqueItems(name: String, column: String) extends RowRule
+
+/** Per-row invariant: sha2(contentColumn, 256) == shaColumn. */
+final case class Sha256Invariant(name: String, column: String, shaColumn: String) extends RowRule
+
+/** Composite rules mirroring oneOf / allOf wrappers
+  * (reference: anyoneof/mod.rs:13-93, allof.rs:9-57): oneOf = disjunction,
+  * allOf = conjunction of member predicates.
+  */
+final case class AnyOfRule(name: String, column: String, members: Seq[RowRule]) extends RowRule
+final case class AllOfRule(name: String, column: String, members: Seq[RowRule]) extends RowRule
+
+/** Table-level checks (their own jobs, not per-row predicates). */
+sealed trait TableRule extends Rule
+
+/** Global uniqueness on a composite key, evaluated with salted two-phase
+  * aggregation to survive zipf-skewed hot keys.
+  */
+final case class UniqueKey(name: String, keys: Seq[String]) extends TableRule
+
+/** Referential integrity: every `keys` tuple exists in the dimension table
+  * `dim` (joined on `dimKeys`). Join strategy (broadcast vs sort-merge) is
+  * chosen by measured dimension size.
+  */
+final case class RefIntegrity(name: String, keys: Seq[String], dim: String, dimKeys: Seq[String])
+    extends TableRule
+
+/** Chi-square drift of a categorical column vs a baseline snapshot. */
+final case class ChiSquareDrift(name: String, column: String, maxStat: Double) extends TableRule
+
+/** Kolmogorov–Smirnov drift of a numeric column (binned CDF) vs baseline. */
+final case class KsDrift(name: String, column: String, bins: Int, maxStat: Double) extends TableRule
+
+/** A compiled suite of rules with a stable content hash — the analog of the
+  * reference's structural `schema_hash` (title/description stripped, keys
+  * sorted — jsonschema/mod.rs:399-441): two suites with identical rules get
+  * identical hashes, so checkpoints from one run are reusable by another run
+  * of the same suite.
+  */
+final case class RuleSuite(rules: Seq[Rule]) {
+  def rowRules: Seq[RowRule] = rules.collect { case r: RowRule => r }
+  def tableRules: Seq[TableRule] = rules.collect { case r: TableRule => r }
+
+  /** Stable sha-256 over the canonical (sorted-by-name) rule serialization. */
+  lazy val ruleSetHash: String = {
+    val canonical = rules.map(_.toString).sorted.mkString("\n")
+    val d = MessageDigest.getInstance("SHA-256")
+    d.digest(canonical.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+  }
+
+  def ++(other: RuleSuite): RuleSuite = RuleSuite(rules ++ other.rules)
+}

@@ -1,0 +1,125 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic `code_files` generator per BASELINE.json
+  * input_hint: `(repo, path, commit, lang, content)` plus a precomputed
+  * `content_sha256` companion column for the per-row invariant.
+  *
+  * Everything derives from `spark.range(n)` through pure Column expressions
+  * (xxhash64-seeded), so generation is embarrassingly parallel and works
+  * unchanged at 10^12 rows — no driver-side row materialization, no RNG
+  * state. The same (n, salt) always produces byte-identical tables.
+  *
+  * `repo` is zipf-ish (log-uniform rank ⇒ P(rank r) ∝ 1/r), concentrating a
+  * large fraction of rows in a few hot repos — exactly the skew the salted
+  * uniqueness check and AQE skew handling must survive.
+  *
+  * Duplicates: ids in [0, n/200) are exact row-clones of id + (n - n/200),
+  * i.e. every column (including planted defects) derives from the cloned id,
+  * so the `(repo,path,commit)` uniqueness rule fires on real full-tuple dups
+  * whose repo distribution follows the zipf skew.
+  *
+  * Planted defects (deterministic kid-mod fractions, mirroring FIXTURES.md):
+  *   - kid %  97 == 13 → lang NULL
+  *   - kid % 211 == 7  → content NULL
+  *   - kid % 139 == 11 → commit truncated to 12 chars (minLength/pattern fail)
+  *   - kid % 173 == 5  → commit uppercased (pattern fail)
+  *   - kid % 127 == 3  → lang = "klingon" (enum fail)
+  *   - kid % 151 == 9  → path contains a space (format/pattern fail)
+  *   - kid % 379 == 17 → content_sha256 corrupted (sha256 invariant fail)
+  *   - kid % 419 == 19 → repo replaced by an orphan absent from dim_repos
+  */
+object Synth {
+  val Langs: Seq[String] = Seq("scala", "rust", "python", "go", "java", "ts", "md")
+  private val Exts = Map(
+    "scala" -> ".scala", "rust" -> ".rs", "python" -> ".py", "go" -> ".go",
+    "java" -> ".java", "ts" -> ".ts", "md" -> ".md")
+  private val Vocab: Seq[String] = Seq(
+    "def", "val", "fn", "let", "class", "impl", "match", "case", "return",
+    "import", "package", "object", "trait", "struct", "enum", "pub", "async",
+    "await", "spawn", "select", "filter", "map", "reduce", "fold", "spark",
+    "schema", "table", "column", "commit", "merge", "branch", "index")
+
+  private def h(salt: String, cols: Column*) = abs(xxhash64((lit(salt) +: cols): _*))
+
+  /** The fact table. `langShift`/`lenShift` perturb the lang mix and content
+    * length so a "current" snapshot drifts measurably from a baseline one.
+    */
+  def codeFiles(spark: SparkSession, n: Long, repos: Int = 1000,
+                salt: String = "graft42", langShift: Int = 0, lenShift: Int = 0): DataFrame = {
+    val base = spark.range(n).toDF("id")
+    val dupSpan = math.max(n / 200L, 1L)
+    // every column below is a function of kid, so rows in [0, dupSpan) are
+    // exact clones of their source row (only `id` differs)
+    val kid = when(col("id") < dupSpan, col("id") + lit(n - dupSpan)).otherwise(col("id"))
+
+    val u = (h(salt + "repo", kid) % 1000000L).cast("double") / 1000000.0
+    // log-uniform rank in [1, repos]: P(rank=r) ~ 1/r (zipf s≈1)
+    val rank = least(floor(exp(u * math.log(repos.toDouble))).cast("long") + 1, lit(repos.toLong))
+    val repoOk = concat(lit("org"), (rank % 37).cast("string"), lit("/repo"), rank.cast("string"))
+    val repo = when(kid % 419 === 19,
+      concat(lit("ghost"), (kid % 7).cast("string"), lit("/orphan"))).otherwise(repoOk)
+
+    val langIdx = (h(salt + "lang", kid) + langShift) % Langs.size
+    val langArr = array(Langs.map(lit): _*)
+    val extArr = array(Langs.map(l => lit(Exts(l))): _*)
+    val lang0 = element_at(langArr, (langIdx + 1).cast("int"))
+    val ext = element_at(extArr, (langIdx + 1).cast("int"))
+    val lang = when(kid % 97 === 13, lit(null).cast("string"))
+      .when(kid % 127 === 3, lit("klingon"))
+      .otherwise(lang0)
+
+    val nWords = (h(salt + "len", kid) % 120L) + 5L + lenShift
+    val content0 = concat_ws(" ",
+      transform(sequence(lit(0L), nWords - 1),
+        i => element_at(array(Vocab.map(lit): _*),
+          (h(salt + "w", kid, i) % Vocab.size + 1).cast("int"))))
+    val content = when(kid % 211 === 7, lit(null).cast("string")).otherwise(content0)
+    val sha = when(kid % 379 === 17, lit("deadbeef" * 8)).otherwise(sha2(content, 256))
+
+    val commit0 = lower(concat(
+      lpad(hex(xxhash64(lit(salt + "c1"), kid)), 16, "0"),
+      lpad(hex(xxhash64(lit(salt + "c2"), kid)), 16, "0"),
+      substring(lpad(hex(xxhash64(lit(salt + "c3"), kid)), 16, "0"), 1, 8)))
+    val commit = when(kid % 139 === 11, substring(commit0, 1, 12))
+      .when(kid % 173 === 5, upper(commit0))
+      .otherwise(commit0)
+
+    val dir = element_at(array(lit("core"), lit("util"), lit("io"), lit("net"), lit("sql")),
+      (h(salt + "dir", kid) % 5 + 1).cast("int"))
+    val stem = concat(lit("file_"), (h(salt + "f", kid) % 5000L).cast("string"))
+    val path0 = concat(lit("src/"), dir, lit("/"), stem, ext)
+    val path = when(kid % 151 === 9, concat(lit("src/bad dir/"), stem, ext)).otherwise(path0)
+
+    base.select(
+      col("id"),
+      repo.as("repo"),
+      path.as("path"),
+      commit.as("commit"),
+      lang.as("lang"),
+      content.as("content"),
+      sha.as("content_sha256"))
+  }
+
+  /** Repo dimension table: every generatable `orgX/repoY` except ranks with
+    * rank % 17 == 3 (so referential orphans exist beyond the "ghost" repos).
+    */
+  def dimRepos(spark: SparkSession, repos: Int = 1000): DataFrame =
+    spark.range(1, repos + 1).toDF("rank")
+      .where(col("rank") % 17 =!= 3)
+      .select(
+        concat(lit("org"), (col("rank") % 37).cast("string"),
+          lit("/repo"), col("rank").cast("string")).as("repo"),
+        concat(lit("2020-01-"), lpad((col("rank") % 28 + 1).cast("string"), 2, "0"))
+          .as("first_seen"))
+
+  /** Baseline snapshot for drift checks: same generator, no planted shift. */
+  def baseline(spark: SparkSession, n: Long, repos: Int = 1000): DataFrame =
+    codeFiles(spark, n, repos, salt = "graft42", langShift = 0, lenShift = 0)
+
+  /** Drifted "current" snapshot: lang mix rotated, contents longer. */
+  def drifted(spark: SparkSession, n: Long, repos: Int = 1000): DataFrame =
+    codeFiles(spark, n, repos, salt = "graft42", langShift = 2, lenShift = 30)
+}

@@ -1,0 +1,101 @@
+package graft.rules
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Compiles [[RowRule]]s to Catalyst `Column` predicates — the engine's
+  * equivalent of the reference compiling a Draft4 schema into a validator
+  * (validate/mod.rs:14-17). All predicates are built from codegen'd built-in
+  * functions (no UDFs), so every rule evaluates inside whole-stage codegen.
+  *
+  * Null semantics mirror JSON Schema: only `required` fails on null; every
+  * other keyword is vacuously satisfied by a missing/null value. Every
+  * compiled predicate is therefore null-free (true/false, never null).
+  */
+object RuleCompiler {
+
+  /** Named format registry — the analog of the reference's format container
+    * (jsonschema/mod.rs:511-513) and its Tera filter registry
+    * (filters.rs:68-95). Pluggable: user formats can be added via `extended`.
+    */
+  val builtinFormats: Map[String, Column => Column] = Map(
+    "git-commit" -> (c => c.rlike("^[0-9a-f]{40}$")),
+    "repo-slug" -> (c => c.rlike("^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$")),
+    "rel-path" -> (c => c.rlike("^[A-Za-z0-9_./-]+$") && !c.startsWith("/") && !c.contains(" ")),
+    "lang-code" -> (c => c.isin("scala", "rust", "python", "go", "java", "ts", "md")),
+    "hex" -> (c => c.rlike("^[0-9a-f]+$")),
+    "non-blank" -> (c => trim(c) =!= "")
+  )
+
+  final case class Compiled(rule: RowRule, pred: Column, detail: Column)
+
+  /** True iff the value passes; null column values pass unless `required`. */
+  def predicate(r: RowRule, formats: Map[String, Column => Column] = builtinFormats): Column = {
+    def c = col(r.column)
+    def nullSafe(p: Column): Column = coalesce(c.isNull || p, lit(false))
+    r match {
+      case TypeIs(_, _, _)     => lit(true) // static check, see conformsToSchema
+      case Required(_, _)      => c.isNotNull
+      case EnumIn(_, _, vs)    => nullSafe(c.isin(vs: _*))
+      case ConstEq(_, _, v)    => nullSafe(c === lit(v))
+      case MatchesPattern(_, _, re) => nullSafe(c.rlike(re))
+      case HasFormat(_, _, f) =>
+        val fn = formats.getOrElse(f, sys.error(s"unknown format '$f'"))
+        nullSafe(fn(c))
+      case MinLength(_, _, n)  => nullSafe(length(c) >= n)
+      case MaxLength(_, _, n)  => nullSafe(length(c) <= n)
+      case MinValue(_, _, v, ex) => nullSafe(if (ex) c > lit(v) else c >= lit(v))
+      case MaxValue(_, _, v, ex) => nullSafe(if (ex) c < lit(v) else c <= lit(v))
+      case MinItems(_, _, n)   => nullSafe(size(c) >= n)
+      case MaxItems(_, _, n)   => nullSafe(size(c) <= n)
+      case UniqueItems(_, _)   => nullSafe(size(c) === size(array_distinct(c)))
+      case Sha256Invariant(_, _, shaCol) =>
+        coalesce(
+          (c.isNull && col(shaCol).isNull) || sha2(c, 256) === col(shaCol),
+          lit(false))
+      case AnyOfRule(_, _, ms) => ms.map(predicate(_, formats)).reduce(_ || _)
+      case AllOfRule(_, _, ms) => ms.map(predicate(_, formats)).reduce(_ && _)
+    }
+  }
+
+  /** Human-readable failure detail, analog of the reference logging each
+    * `iter_errors` item with its value (validate/mod.rs:19-23).
+    */
+  def detail(r: RowRule): Column = {
+    val shown = r match {
+      case s: Sha256Invariant => substring(coalesce(col(s.column).cast(StringType), lit("null")), 1, 40)
+      case _ => substring(coalesce(col(r.column).cast(StringType), lit("null")), 1, 80)
+    }
+    concat(lit(s"${kind(r)} failed on ${r.column}: value="), shown)
+  }
+
+  private def kind(r: RowRule): String = r.getClass.getSimpleName
+
+  def compile(rules: Seq[RowRule],
+              formats: Map[String, Column => Column] = builtinFormats): Seq[Compiled] = {
+    // Regex interning analog (jsonschema/mod.rs:177-189): identical predicate
+    // trees across rules are deduped by Catalyst CSE at codegen time; here we
+    // just validate patterns once up front so a bad regex fails at compile
+    // time, not mid-job on an executor.
+    rules.collect { case MatchesPattern(_, _, re) => re }.distinct
+      .foreach(java.util.regex.Pattern.compile(_))
+    rules.map(r => Compiled(r, predicate(r, formats), detail(r)))
+  }
+
+  /** Static schema-conformance check for TypeIs rules — the analog of the
+    * reference's compile-only `validate_jsonschema` (validate/mod.rs:30-42):
+    * fail fast on the driver before launching any job.
+    */
+  def conformsToSchema(schema: StructType, rules: Seq[Rule]): Seq[String] =
+    rules.collect {
+      case TypeIs(name, columnName, expected) =>
+        schema.fields.find(_.name == columnName) match {
+          case None => Some(s"$name: column '$columnName' missing from schema")
+          case Some(f) if f.dataType.simpleString != expected =>
+            Some(s"$name: column '$columnName' is ${f.dataType.simpleString}, expected $expected")
+          case _ => None
+        }
+    }.flatten
+}

@@ -1,0 +1,66 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass per-partition statistics collector.
+  *
+  * One `groupBy(part).agg(...)` computes, for every requested column:
+  * count / null-count / min / max / HLL++ distinct
+  * (`approx_count_distinct`, Spark's built-in HyperLogLog++) and, for
+  * numeric columns, Greenwald-Khanna approximate quantiles
+  * (`percentile_approx`). Catalyst turns this into map-side partial
+  * aggregation + one tiny shuffle of (parts × columns) partial buffers —
+  * the per-row work happens exactly once regardless of how many stats are
+  * requested, which is what "single-pass" means at 100 TB.
+  *
+  * Output is long-format `ColStats` rows: (part, column, count, nulls, min,
+  * max, approxDistinct, q25, q50, q75).
+  */
+object StatsCollector {
+
+  /** `partCol` must already exist on `df` (the engine adds `__part` =
+    * pmod(xxhash64(repo), P)).
+    */
+  def collect(df: DataFrame, columns: Seq[String], partCol: String = "__part",
+              rsd: Double = 0.02, quantAccuracy: Int = 10000): DataFrame = {
+    val schema = df.schema
+    def isNumeric(c: String) = schema(c).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs: Seq[Column] = columns.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"${c}__count"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast(StringType).as(s"${c}__min"),
+        max(col(c)).cast(StringType).as(s"${c}__max"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__adist"))
+      val quants =
+        if (isNumeric(c))
+          Seq(percentile_approx(col(c).cast(DoubleType),
+            array(lit(0.25), lit(0.5), lit(0.75)), lit(quantAccuracy)).as(s"${c}__q"))
+        else
+          Seq(array(lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)).as(s"${c}__q"))
+      base ++ quants
+    }
+    val wide = df.groupBy(col(partCol).as("part")).agg(aggs.head, aggs.tail: _*)
+    // Long format: one struct per column, then explode. The wide frame is
+    // tiny (P rows), so this reshaping is free.
+    val structs = columns.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__count").as("count"),
+        col(s"${c}__nulls").as("nulls"),
+        col(s"${c}__min").as("min"),
+        col(s"${c}__max").as("max"),
+        col(s"${c}__adist").as("approxDistinct"),
+        element_at(col(s"${c}__q"), 1).as("q25"),
+        element_at(col(s"${c}__q"), 2).as("q50"),
+        element_at(col(s"${c}__q"), 3).as("q75"))
+    }
+    wide.select(col("part"), explode(array(structs: _*)).as("s"))
+      .select(col("part"), col("s.*"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import graft.core._
+import graft.checks.{Drift, Uniqueness}
+import graft.data.Synth
+import graft.run.{EngineConfig, ValidationEngine}
+import org.apache.spark.sql.functions._
+
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  val N = 5000L
+  lazy val df = Synth.codeFiles(spark, N, repos = 100).cache()
+  lazy val rows = df.collect().map { r =>
+    (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+      Option(r.getString(4)), Option(r.getString(5)), r.getString(6))
+  }
+
+  val suite = RuleSuite(Seq(
+    TypeIs("type_repo", "repo", "string"),
+    Required("req_repo", "repo"),
+    Required("req_path", "path"),
+    Required("req_commit", "commit"),
+    MatchesPattern("pat_commit", "commit", "^[0-9a-f]{40}$"),
+    MinLength("minlen_commit", "commit", 40),
+    MaxLength("maxlen_commit", "commit", 40),
+    EnumIn("enum_lang", "lang", Synth.Langs),
+    HasFormat("fmt_path", "path", "rel-path"),
+    Sha256Invariant("sha_content", "content", "content_sha256"),
+    UniqueKey("uniq_key", Seq("repo", "path", "commit")),
+    RefIntegrity("ref_repo", Seq("repo"), "dim_repos", Seq("repo"))
+  ))
+  lazy val engine = new ValidationEngine(suite, EngineConfig(numParts = 8))
+  lazy val result = engine.run(spark, df,
+    dims = Map("dim_repos" -> Synth.dimRepos(spark, 100)))
+  lazy val verdictTotals: Map[String, Long] =
+    result.verdicts.groupBy("rule").agg(sum("violations").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  // naive oracle, driver-side
+  def sha256(s: String): String = java.security.MessageDigest.getInstance("SHA-256")
+    .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("required rules match naive oracle") {
+    assert(verdictTotals("req_repo") === rows.count(_._2 == null))
+    assert(verdictTotals("req_commit") === 0L)
+  }
+
+  test("pattern + length rules match naive oracle") {
+    val badPat = rows.count(r => !r._4.matches("^[0-9a-f]{40}$"))
+    assert(verdictTotals("pat_commit") === badPat)
+    assert(badPat > 0)
+    assert(verdictTotals("minlen_commit") === rows.count(_._4.length < 40))
+    assert(verdictTotals("maxlen_commit") === rows.count(_._4.length > 40))
+  }
+
+  test("enum rule matches naive oracle (nulls pass enum, fail required)") {
+    val bad = rows.count(r => r._5.exists(l => !Synth.Langs.contains(l)))
+    assert(verdictTotals("enum_lang") === bad)
+    assert(bad > 0)
+  }
+
+  test("format registry rule fires on planted bad paths") {
+    val bad = rows.count(r => !(r._3.matches("^[A-Za-z0-9_./-]+$") && !r._3.startsWith("/")))
+    assert(verdictTotals("fmt_path") === bad)
+    assert(bad > 0)
+  }
+
+  test("sha256 invariant matches driver-side recomputation") {
+    val bad = rows.count { r =>
+      r._6 match {
+        case Some(c) => sha256(c) != r._7
+        case None => r._7 != null // engine: null content + null sha passes
+      }
+    }
+    assert(verdictTotals("sha_content") === bad)
+    assert(bad > 0)
+  }
+
+  test("uniqueness: salted two-phase equals naive groupBy, finds planted dups") {
+    val salted = Uniqueness.duplicateKeys(df, Seq("repo", "path", "commit"))
+      .orderBy("repo", "path", "commit").collect().toSeq
+    val naive = Uniqueness.duplicateKeysNaive(df, Seq("repo", "path", "commit"))
+      .orderBy("repo", "path", "commit").collect().toSeq
+    assert(salted === naive)
+    assert(salted.nonEmpty)
+    val oracle = rows.groupBy(r => (r._2, r._3, r._4)).collect { case (k, g) if g.length > 1 => k }
+    assert(salted.size === oracle.size)
+    // every violation row participates in a duplicate group
+    val viol = verdictTotals("uniq_key")
+    assert(viol === rows.groupBy(r => (r._2, r._3, r._4)).values.filter(_.length > 1).map(_.length).sum)
+  }
+
+  test("referential orphans match naive oracle") {
+    val dim = Synth.dimRepos(spark, 100).select("repo").collect().map(_.getString(0)).toSet
+    val oracle = rows.count(r => r._2 != null && !dim.contains(r._2))
+    assert(verdictTotals("ref_repo") === oracle)
+    assert(oracle > 0)
+  }
+
+  test("violations agree with verdicts per rule") {
+    val violCounts = result.violations.groupBy("rule").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((rule, n) <- verdictTotals if n > 0) assert(violCounts(rule) === n, s"rule $rule")
+    for ((rule, n) <- violCounts) assert(verdictTotals(rule) === n, s"rule $rule")
+  }
+
+  test("stats collector: totals across partitions equal table stats") {
+    val stats = result.stats.where(col("column") === "lang")
+      .agg(sum("count"), sum("nulls")).collect()(0)
+    assert(stats.getLong(0) === rows.count(_._5.isDefined))
+    assert(stats.getLong(1) === rows.count(_._5.isEmpty))
+    assert(rows.count(_._5.isEmpty) > 0)
+  }
+
+  test("drift: identical snapshots have ~zero statistics, drifted ones do not") {
+    val base = Synth.baseline(spark, 2000, 100)
+    val drifted = Synth.drifted(spark, 2000, 100)
+    val chiSame = Drift.chiSquare(base, base, "lang")
+    assert(chiSame.statistic === 0.0)
+    val ksSame = Drift.ks(base.withColumn("len", length(col("content"))),
+      base.withColumn("len", length(col("content"))), "len")
+    assert(ksSame.statistic === 0.0)
+    val chiDrift = Drift.chiSquare(drifted, base, "lang")
+    assert(chiDrift.statistic > chiSame.statistic)
+    val ksDrift = Drift.ks(drifted.withColumn("len", length(col("content"))),
+      base.withColumn("len", length(col("content"))), "len")
+    assert(ksDrift.statistic > 0.05)
+  }
+
+  test("static type check fails fast on wrong schema") {
+    val badSuite = RuleSuite(Seq(TypeIs("t", "repo", "bigint")))
+    val e = intercept[IllegalArgumentException] {
+      new ValidationEngine(badSuite).run(spark, df)
+    }
+    assert(e.getMessage.contains("repo"))
+  }
+
+  test("synth generator is deterministic") {
+    val again = Synth.codeFiles(spark, 100, repos = 100).collect()
+    val first = Synth.codeFiles(spark, 100, repos = 100).collect()
+    assert(again === first)
+  }
+}
