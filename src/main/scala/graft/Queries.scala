@@ -1,0 +1,364 @@
+package graft
+
+import graft.checks.{Drift, Referential, Uniqueness}
+import graft.core._
+import graft.run.{EngineConfig, ValidationEngine}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-checked query surface: every operator family from SURVEY.md §2
+  * expressed over the driver's parquet tables, each with an ANSI-SQL oracle
+  * (DuckDB) in [[Queries.oracles]].
+  *
+  * The `documents` table plays the code-table role here (doc_id ≈ key,
+  * text ≈ content, lang, source ≈ repo); the full `(repo,path,commit,...)`
+  * engine path is exercised by graft.run.Main and the ScalaTest suites on
+  * the synthesized table (Synth), which the north rule mandates.
+  */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Rule suite over `documents` mirroring the reference's validate fixtures:
+    * type/required (01-simple), enum (15-simple-enum), pattern + bounds
+    * (keyword list jsonschema/mod.rs:466-481), plus the cross-column length
+    * invariant (the sha256-invariant shape).
+    */
+  val docsSuite: RuleSuite = RuleSuite(Seq(
+    Required("req_text", "text"),
+    EnumIn("enum_lang_top3", "lang", Seq("en", "zh", "es")),
+    MatchesPattern("pat_source", "source", "^src[0-9]+$"),
+    MatchesPattern("pat_source_even", "source", "^src[0-9]*[02468]$"),
+    MinValue("min_nchars", "n_chars", 100),
+    MaxValue("max_nchars", "n_chars", 500),
+    LengthEqualsColumn("len_invariant", "text", "n_chars")
+  ))
+
+  def docsEngine = new ValidationEngine(docsSuite,
+    EngineConfig(partitionKey = "source", rowRefCols = Seq("doc_id"), numParts = 16))
+
+  /** SQL fragment: NOT(coalesce(col IS NULL OR pred, FALSE)) — the same null
+    * semantics the compiler emits (null passes everything except required).
+    */
+  private def violSql(colName: String, pred: String): String =
+    s"NOT coalesce($colName IS NULL OR ($pred), FALSE)"
+
+  private val docsRuleViolSql: Seq[(String, String)] = Seq(
+    "req_text" -> "text IS NULL",
+    "enum_lang_top3" -> violSql("lang", "lang IN ('en','zh','es')"),
+    "pat_source" -> violSql("source", "regexp_matches(source, '^src[0-9]+$')"),
+    "pat_source_even" -> violSql("source", "regexp_matches(source, '^src[0-9]*[02468]$')"),
+    "min_nchars" -> violSql("n_chars", "n_chars >= 100"),
+    "max_nchars" -> violSql("n_chars", "n_chars <= 500"),
+    "len_invariant" ->
+      "NOT coalesce((text IS NULL AND n_chars IS NULL) OR length(text) = n_chars, FALSE)"
+  )
+
+  // ---------------------------------------------------------------- queries
+
+  val all: Map[String, Q] = Map(
+    // §2.3 the validate command itself: per-rule verdicts (single fused agg)
+    "q_rule_verdicts" -> ((s, dir) => {
+      docsEngine.rowVerdicts(s, t(s, dir, "documents"))
+        .groupBy("rule")
+        .agg(sum("evaluated").as("evaluated"), sum("violations").as("violations"))
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy("rule")
+    }),
+
+    // §2.3 violations plane (one prefiltered scan, exploded per failed rule)
+    "q_violations" -> ((s, dir) => {
+      docsEngine.rowViolations(s, t(s, dir, "documents"))
+        .select(col("rule"), col("rowRef").cast("long").as("doc_id"))
+        .orderBy("rule", "doc_id")
+    }),
+
+    // §2.5 single-pass per-column stats (exact-NDV variant for the oracle;
+    // the HLL++/quantile collector is exercised by StatsCollector tests)
+    "q_stats_singlepass" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cols = Seq("lang", "source", "n_chars")
+      val aggs = cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_cnt"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"),
+        count_distinct(col(c)).as(s"${c}_ndv")))
+      val wide = d.agg(aggs.head, aggs.tail: _*)
+      val structs = cols.map(c => struct(lit(c).as("col_name"),
+        col(s"${c}_cnt").as("cnt"), col(s"${c}_nulls").as("nulls"),
+        col(s"${c}_min").as("minv"), col(s"${c}_max").as("maxv"),
+        col(s"${c}_ndv").as("ndv")))
+      wide.select(explode(array(structs: _*)).as("s")).select(col("s.*")).orderBy("col_name")
+    }),
+
+    // §2.4/§2.5 uniqueness via salted two-phase aggregation
+    "q_uniqueness" -> ((s, dir) => {
+      Uniqueness.duplicateKeys(t(s, dir, "documents"), Seq("lang", "n_chars"))
+        .orderBy("lang", "n_chars")
+    }),
+
+    // §2.4 referential integrity, broadcast-hash path (dim measured small)
+    "q_referential" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val dim = t(s, dir, "customer").where(col("c_custkey") < 100)
+      Referential.orphans(events, dim, Seq("user_id"), Seq("c_custkey")).orphans
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // §2.4 same check forced onto the sort-merge path — must agree
+    "q_referential_smj" -> ((s, dir) => {
+      val events = t(s, dir, "events")
+      val dim = t(s, dir, "customer").where(col("c_custkey") < 100)
+      Referential.orphans(events, dim, Seq("user_id"), Seq("c_custkey"),
+        broadcastMaxRows = 0L).orphans
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // §2.4 drift: chi-square of lang mix between snapshot halves
+    "q_chi2_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val r = Drift.chiSquare(d.where(col("doc_id") % 2 === 1),
+        d.where(col("doc_id") % 2 === 0), "lang")
+      import s.implicits._
+      Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r.dof.toLong, r.newCategories)).toDF("chi2", "dof", "new_categories")
+    }),
+
+    // §2.4 drift: binned-CDF Kolmogorov–Smirnov over n_chars
+    "q_ks_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val r = Drift.ks(d.where(col("doc_id") % 2 === 1),
+        d.where(col("doc_id") % 2 === 0), "n_chars", bins = 20)
+      import s.implicits._
+      Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r.bins.toLong)).toDF("ks", "bins")
+    }),
+
+    // §2.7 per-row content hash invariant (sha2 == reference computation)
+    "q_sha256" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+        .orderBy("doc_id")
+    }),
+
+    // §2.5 aggregation: TPC-H Q1 shape (decimal-exact sums, double output)
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_base"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // §2.4 join: fact → dims with broadcast hints (star join, no fact shuffle)
+    "q_join_broadcast" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(n("n_name").as("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    // §2.6 window: top-k exemplars per group with deterministic tiebreak
+    "q_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rk")
+    }),
+
+    // §2.4 merge-openapi analog: left-preferential merge, existing keys win
+    "q_merge_precedence" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val existing = p.where(col("p_partkey") % 3 =!= 0)
+        .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      val incoming = p.select(col("p_partkey"), concat(lit("new_"), col("p_name")).as("p_name"),
+        (col("p_retailprice") + lit(1000.0)).as("p_retailprice"))
+      existing.as("e").join(incoming.as("i"), Seq("p_partkey"), "full_outer")
+        .select(col("p_partkey"),
+          coalesce(col("e.p_name"), col("i.p_name")).as("name"),
+          coalesce(col("e.p_retailprice"), col("i.p_retailprice")).as("price"))
+        .orderBy("p_partkey")
+    }),
+
+    // §2.4 patch-create analog: set difference between two snapshots
+    "q_snapshot_diff" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val a = e.where(col("event_id") % 5 =!= 0).select("event_id", "user_id", "event_type")
+      val b = e.where(col("event_id") % 3 =!= 0).select("event_id", "user_id", "event_type")
+      a.except(b).orderBy("event_id")
+    }),
+
+    // §2.6 set op: union-distinct of two category domains (tag-union analog)
+    "q_set_union" -> ((s, dir) => {
+      val a = t(s, dir, "documents").select(col("lang").as("v"))
+      val b = t(s, dir, "events").select(col("event_type").as("v"))
+      a.union(b).distinct().orderBy("v")
+    }),
+
+    // §2.7 scalar functions: case conversion / path_parts / when_numeric
+    "q_scalar_funcs" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_type")).as("lower_type"),
+        regexp_replace(lower(col("p_type")), "\\s+", "_").as("snake_type"),
+        regexp_replace(col("p_name"), "\\{[A-Za-z0-9-]+\\}", "X").as("path_parts"),
+        when(col("p_brand").rlike("^[0-9]"), concat(lit("n_"), col("p_brand")))
+          .otherwise(col("p_brand")).as("when_numeric"))
+        .orderBy("p_partkey")
+    }),
+
+    // §2.7 JSON pointer access over a JSON-string payload column
+    "q_json_access" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // §2.5 tag grouping analog: per-group sorted distinct collection
+    "q_group_collect" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(array_sort(collect_set(col("source"))).as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  private val docsVerdictOracle: String =
+    docsRuleViolSql.map { case (rule, viol) =>
+      s"""SELECT '$rule' AS rule, count(*) AS evaluated,
+         | CAST(sum(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+         | sum(CASE WHEN $viol THEN 1 ELSE 0 END) = 0 AS pass FROM documents""".stripMargin
+    }.mkString("SELECT rule, evaluated, violations, pass FROM (", " UNION ALL ", ") ORDER BY rule")
+
+  private val docsViolationsOracle: String =
+    docsRuleViolSql.map { case (rule, viol) =>
+      s"SELECT '$rule' AS rule, doc_id FROM documents WHERE $viol"
+    }.mkString("SELECT rule, doc_id FROM (", " UNION ALL ", ") ORDER BY rule, doc_id")
+
+  private def statsOracle: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count($c) AS cnt,
+         | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+         | CAST(min($c) AS VARCHAR) AS minv, CAST(max($c) AS VARCHAR) AS maxv,
+         | count(DISTINCT $c) AS ndv FROM documents""".stripMargin
+    Seq("lang", "source", "n_chars").map(one)
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY col_name")
+  }
+
+  private val chi2Oracle: String =
+    """WITH cur AS (SELECT coalesce(lang, ' NULL') AS v, count(*) AS o FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      | base AS (SELECT coalesce(lang, ' NULL') AS v, count(*) AS b FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      | j AS (SELECT CAST(coalesce(o, 0) AS DOUBLE) AS o, CAST(coalesce(b, 0) AS DOUBLE) AS b
+      |       FROM cur FULL OUTER JOIN base ON cur.v = base.v),
+      | tot AS (SELECT sum(o) AS so, sum(b) AS sb FROM j),
+      | ex AS (SELECT o, b, b * ((SELECT so FROM tot) / (SELECT sb FROM tot)) AS e FROM j)
+      |SELECT round(sum(CASE WHEN e > 0 THEN (o-e)*(o-e)/e ELSE 0 END), 6) AS chi2,
+      | CAST(greatest(sum(CASE WHEN e > 0 THEN 1 ELSE 0 END) - 1, 0) AS BIGINT) AS dof,
+      | CAST(sum(CASE WHEN b = 0 AND o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_categories
+      |FROM ex""".stripMargin
+
+  private val ksOracle: String =
+    """WITH bounds AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
+      | cur AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - (SELECT lo FROM bounds)) / (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 20)), 19) AS INT) AS bin, CAST(count(*) AS DOUBLE) AS c
+      |         FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      | base AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - (SELECT lo FROM bounds)) / (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 20)), 19) AS INT) AS bin, CAST(count(*) AS DOUBLE) AS b
+      |          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      | j AS (SELECT coalesce(cur.bin, base.bin) AS bin, coalesce(c, 0) AS c, coalesce(b, 0) AS b
+      |       FROM cur FULL OUTER JOIN base ON cur.bin = base.bin),
+      | cdf AS (SELECT sum(c) OVER (ORDER BY bin) / sum(c) OVER () AS cc,
+      |                sum(b) OVER (ORDER BY bin) / sum(b) OVER () AS cb FROM j)
+      |SELECT round(max(abs(cc - cb)), 6) AS ks, CAST(20 AS BIGINT) AS bins FROM cdf""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_rule_verdicts" -> docsVerdictOracle,
+    "q_violations" -> docsViolationsOracle,
+    "q_stats_singlepass" -> statsOracle,
+    "q_uniqueness" ->
+      """SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS occurrences FROM documents
+        |GROUP BY lang, n_chars HAVING count(*) > 1 ORDER BY lang, n_chars""".stripMargin,
+    "q_referential" ->
+      """SELECT user_id, count(*) AS n_events FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_referential_smj" ->
+      """SELECT user_id, count(*) AS n_events FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_chi2_drift" -> chi2Oracle,
+    "q_ks_drift" -> ksOracle,
+    "q_sha256" -> "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_topk_window" ->
+      """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        | FROM orders) WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_merge_precedence" ->
+      """WITH existing AS (SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_partkey % 3 <> 0),
+        | incoming AS (SELECT p_partkey, 'new_' || p_name AS p_name, p_retailprice + 1000.0 AS p_retailprice FROM part)
+        |SELECT coalesce(e.p_partkey, i.p_partkey) AS p_partkey,
+        | coalesce(e.p_name, i.p_name) AS name,
+        | coalesce(e.p_retailprice, i.p_retailprice) AS price
+        |FROM existing e FULL OUTER JOIN incoming i ON e.p_partkey = i.p_partkey
+        |ORDER BY p_partkey""".stripMargin,
+    "q_snapshot_diff" ->
+      """SELECT event_id, user_id, event_type FROM events WHERE event_id % 5 <> 0
+        |EXCEPT
+        |SELECT event_id, user_id, event_type FROM events WHERE event_id % 3 <> 0
+        |ORDER BY event_id""".stripMargin,
+    "q_set_union" ->
+      """SELECT DISTINCT v FROM (
+        | SELECT lang AS v FROM documents UNION ALL SELECT event_type AS v FROM events)
+        |ORDER BY v""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, lower(p_type) AS lower_type,
+        | regexp_replace(lower(p_type), '\s+', '_', 'g') AS snake_type,
+        | regexp_replace(p_name, '\{[A-Za-z0-9-]+\}', 'X', 'g') AS path_parts,
+        | CASE WHEN regexp_matches(p_brand, '^[0-9]') THEN 'n_' || p_brand ELSE p_brand END AS when_numeric
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_json_access" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_group_collect" ->
+      """SELECT lang, list_sort(list(DISTINCT source)) AS sources, count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

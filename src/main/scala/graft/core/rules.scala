@@ -64,6 +64,11 @@ final case class UniqueItems(name: String, column: String) extends RowRule
 /** Per-row invariant: sha2(contentColumn, 256) == shaColumn. */
 final case class Sha256Invariant(name: String, column: String, shaColumn: String) extends RowRule
 
+/** Per-row invariant: length(column) == lenColumn (same shape as the sha256
+  * invariant — a precomputed companion column re-derived and compared).
+  */
+final case class LengthEqualsColumn(name: String, column: String, lenColumn: String) extends RowRule
+
 /** Composite rules mirroring oneOf / allOf wrappers
   * (reference: anyoneof/mod.rs:13-93, allof.rs:9-57): oneOf = disjunction,
   * allOf = conjunction of member predicates.

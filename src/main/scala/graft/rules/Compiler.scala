@@ -55,6 +55,10 @@ object RuleCompiler {
         coalesce(
           (c.isNull && col(shaCol).isNull) || sha2(c, 256) === col(shaCol),
           lit(false))
+      case LengthEqualsColumn(_, _, lenCol) =>
+        coalesce(
+          (c.isNull && col(lenCol).isNull) || length(c) === col(lenCol),
+          lit(false))
       case AnyOfRule(_, _, ms) => ms.map(predicate(_, formats)).reduce(_ || _)
       case AllOfRule(_, _, ms) => ms.map(predicate(_, formats)).reduce(_ && _)
     }

@@ -1,0 +1,56 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's parquet
+outputs against the DuckDB oracles and diff them (columns sorted by name,
+rows sorted, values compared)."""
+import sys, json, glob, math
+import duckdb
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for tbl in ["region","nation","customer","supplier","part","orders","lineitem",
+            "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM '{sf_dir}/{tbl}.parquet'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v!r}"
+    if isinstance(v, list) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    if hasattr(v, "__float__") and not isinstance(v, (int, bool)):
+        return f"{float(v)!r}"
+    return repr(v)
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    pq = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not pq:
+        print(f"{name}: MISSING spark output"); fails += 1; continue
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet({pq!r})").fetchdf()
+        exp = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"{name}: ORACLE ERROR {e}"); fails += 1; continue
+    gcols, ecols = sorted(got.columns), sorted(exp.columns)
+    if gcols != ecols:
+        print(f"{name}: SCHEMA MISMATCH spark={gcols} oracle={ecols}"); fails += 1; continue
+    g = sorted(tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False))
+    e = sorted(tuple(norm(v) for v in row) for row in exp[ecols].itertuples(index=False))
+    if len(g) != len(e):
+        print(f"{name}: ROWCOUNT MISMATCH spark={len(g)} oracle={len(e)}"); fails += 1; continue
+    diff = [i for i, (a, b) in enumerate(zip(g, e)) if a != b]
+    if diff:
+        i = diff[0]
+        print(f"{name}: VALUE MISMATCH at sorted row {i} ({len(diff)} rows differ)")
+        print(f"  cols : {gcols}")
+        print(f"  spark: {g[i]}")
+        print(f"  duck : {e[i]}")
+        fails += 1
+    else:
+        print(f"{name}: OK ({len(g)} rows)")
+print(f"\n{'ALL OK' if fails == 0 else f'{fails} FAILURES'}")
+sys.exit(1 if fails else 0)
