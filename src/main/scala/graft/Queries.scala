@@ -179,7 +179,7 @@ object Queries {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       t(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .where(col("rk") <= 3)
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rk")

@@ -1,0 +1,315 @@
+package graft
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline query surface: deduplication (exact / n-gram
+  * Jaccard / MinHash+LSH / SimHash / embedding-cosine), similarity search
+  * (brute-force + LSH-bucketed ANN), text analysis (language ID, quality,
+  * token counts, fingerprints) and multimodal plumbing — each with a DuckDB
+  * oracle built from the SAME constants (portable polynomial hashing), so
+  * signature-level results are verified bit-for-bit, not just row counts.
+  *
+  * The testdata has no natural near-duplicates, so near-dup queries plant
+  * them deterministically: text copies prefixed with a token, embedding
+  * copies scaled ×2 (cosine-invariant).
+  */
+object QueriesPipeline {
+  import Queries.Q
+  private val P = TextAnalysis.P
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ 20 near-dup copies (id+100000, "zzz " prefix). */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id").as("id"), col("text"))
+      .unionByName(d.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(lit("zzz "), col("text")).as("text")))
+  }
+
+  /** embeddings ∪ 20 scaled copies (id+100000, ×2 — cosine 1 with source). */
+  private def scaledEmbCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    e.unionByName(e.where(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"),
+        col("label")))
+  }
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    t(s, dir, "embeddings").where(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble)
+
+  val all: Map[String, Q] = Map(
+    // dedup: exact content-hash groups on a corpus with planted copies
+    "q_dedup_exact" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+        .unionByName(t(s, dir, "documents").where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("id"), col("text")))
+      Dedup.exactDupGroups(corpus, "id", "text").orderBy("keeper")
+    }),
+
+    // dedup: exact pairwise n-gram Jaccard via shingle inverted index
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(nearDupCorpus(s, dir), "id", "text", n = 3, minJ = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // dedup: MinHash signatures (first 30 docs, bit-for-bit vs oracle)
+    "q_minhash_sig" -> ((s, dir) =>
+      t(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id"), Dedup.minHashSignature(col("text")).as("sig"))
+        .orderBy("doc_id")),
+
+    // dedup: MinHash LSH banding → candidate pairs ≥ estimated Jaccard
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minHashPairs(nearDupCorpus(s, dir), "id", "text", minEst = 0.5)
+        .orderBy("id_a", "id_b")),
+
+    // dedup: 32-bit SimHash per document (portable token hash)
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simHash(t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text")
+        .orderBy("id")),
+
+    // dedup: embedding-cosine near-duplicates within label blocks
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(scaledEmbCorpus(s, dir), "vec_id", "embedding",
+        "label", minCos = 0.98).orderBy("id_a", "id_b")),
+
+    // similarity: brute-force cosine top-k for the vec_id=0 query
+    "q_ann_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), k = 5)),
+
+    // similarity: LSH-bucketed ANN (query scans only its own bucket)
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), k = 5)),
+
+    // text analysis: language-ID heuristic with auditable marker scores
+    "q_langid" -> ((s, dir) => {
+      val sc = TextAnalysis.langScores(col("text"))
+      t(s, dir, "documents").select(
+        (Seq(col("doc_id")) ++
+          sc.map { case (l, c) => c.cast("long").as(s"score_$l") } :+
+          TextAnalysis.langPredict(col("text")).as("pred")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // text analysis: quality scoring
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.nWords(col("text")).cast("long").as("n_words"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.alphaRatio(col("text")).as("alpha_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")),
+
+    // text analysis: whitespace + BPE-ish token counts
+    "q_token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // text analysis: rolling-hash document fingerprint
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // multimodal plumbing: binary payload → per-partition feature extraction
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeStub(s,
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("doc_id"))
+  )
+
+  // --------------------------------------------------------------- oracles
+
+  /** Portable polynomial hash of a string expression, DuckDB SQL. `cv` names
+    * the char-index lambda variable (must be unique when nested).
+    */
+  private def sqlHash(expr: String, cv: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($expr)), $cv -> ascii(substr($expr, $cv, 1)))), " +
+      s"(acc, x) -> (acc * 31 + x) % $P)"
+
+  private val corpusCte =
+    """corpus AS (SELECT doc_id AS id, text FROM documents
+      | UNION ALL SELECT doc_id + 100000, 'zzz ' || text FROM documents WHERE doc_id < 20)""".stripMargin
+
+  /** shingle-hash list per doc over `corpus(id, text)`. */
+  private val shingleCte = {
+    val sh = sqlHash("ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]", "ci")
+    s"""w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
+       |shl AS (SELECT id, CASE WHEN len(ws) >= 3
+       |  THEN list_transform(generate_series(0, len(ws) - 3), i -> $sh)
+       |  ELSE CAST([] AS BIGINT[]) END AS shs FROM w)""".stripMargin
+  }
+
+  private val sigExpr = {
+    // minhash_j = min over shingles of ((a_j h + b_j) mod P), sentinel P
+    s"""list_transform(generate_series(0, ${Dedup.NumHashes - 1}), j ->
+       | coalesce(list_min(list_transform(shs, h ->
+       |   (((j + 1) * 1103515245 % $P) * h + ((j + 1) * 12345 % $P)) % $P)), $P))""".stripMargin
+  }
+
+  private val dedupExactOracle =
+    """WITH corpus AS (SELECT doc_id AS id, text FROM documents
+      | UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50)
+      |SELECT sha256(text) AS sha, count(*) AS n, CAST(min(id) AS BIGINT) AS keeper
+      |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $corpusCte, $shingleCte,
+       | sh AS (SELECT DISTINCT id, s AS sh FROM (SELECT id, unnest(shs) AS s FROM shl)),
+       | sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+       | inter AS (SELECT a.id AS ia, b.id AS ib, count(*) AS i
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+       |SELECT ia AS id_a, ib AS id_b,
+       | round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+       |FROM inter JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib
+       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5 - 1e-12
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val minhashSigOracle =
+    s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 30),
+       | $shingleCte
+       |SELECT id AS doc_id, $sigExpr AS sig FROM shl ORDER BY doc_id""".stripMargin
+
+  private val minhashPairsOracle = {
+    val bandEq = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
+      val lo = b * Dedup.BandRows + 1; val hi = lo + Dedup.BandRows - 1
+      s"(a.sig[$lo:$hi] = b.sig[$lo:$hi])"
+    }.mkString(" OR ")
+    s"""WITH $corpusCte, $shingleCte,
+       | sig AS (SELECT id, $sigExpr AS sig FROM shl),
+       | est AS (SELECT a.id AS id_a, b.id AS id_b,
+       |   round(CAST(list_sum(list_transform(generate_series(1, ${Dedup.NumHashes}),
+       |     i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |     / ${Dedup.NumHashes}, 6) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandEq))
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val simhashOracle = {
+    val tokHash = sqlHash("tok", "ci")
+    s"""WITH w AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
+       |           FROM documents WHERE doc_id < 50),
+       | hs AS (SELECT id, list_transform(ws, tok -> $tokHash) AS hl FROM w)
+       |SELECT id, CAST(list_sum(list_transform(generate_series(0, 31), b ->
+       |  CASE WHEN list_sum(list_transform(hl, h ->
+       |    (CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1)) > 0
+       |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+       |FROM hs ORDER BY id""".stripMargin
+  }
+
+  /** Left-fold double dot product matching Spark's aggregate(zip_with(...)). */
+  private def sqlDot(a: String, b: String, dim: Int, v: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, $dim), $v -> " +
+      s"CAST($a[$v] AS DOUBLE) * CAST($b[$v] AS DOUBLE))), (x, y) -> x + y)"
+
+  private def sqlCos(a: String, b: String, dim: Int): String =
+    s"(${sqlDot(a, b, dim, "i1")} / (sqrt(${sqlDot(a, a, dim, "i2")}) * sqrt(${sqlDot(b, b, dim, "i3")})))"
+
+  private val embedNeardupOracle =
+    s"""WITH corpus AS (SELECT vec_id, embedding, label FROM embeddings
+       | UNION ALL SELECT vec_id + 100000,
+       |   list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)), label
+       | FROM embeddings WHERE vec_id < 20)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       | round(${sqlCos("a.embedding", "b.embedding", 64)}, 5) AS cos
+       |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${sqlCos("a.embedding", "b.embedding", 64)}, 5) >= 0.98
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val annTopkOracle =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${sqlCos("embedding", "qv", 64)}, 5) AS cos
+       |FROM embeddings, q ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
+  private def sqlPlaneDot(vec: String, j: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, 64), d -> " +
+      s"CAST($vec[d] AS DOUBLE) * CAST(((31 * ($j + 1) + 17 * (d - 1)) % 97) - 48 AS DOUBLE))), " +
+      s"(x, y) -> x + y)"
+
+  private val annLshOracle = {
+    val bucket = s"CAST(list_sum(list_transform(generate_series(0, ${Similarity.NumPlanes - 1}), " +
+      s"j -> CASE WHEN ${sqlPlaneDot("embedding", "j")} > 0 " +
+      s"THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       | qb AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
+       |SELECT vec_id, round(${sqlCos("embedding", "qv", 64)}, 5) AS cos
+       |FROM b, qb WHERE bucket = qbucket
+       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+  }
+
+  private val langidOracle = {
+    val scores = TextAnalysis.LangMarkers.map { case (l, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS score_$l"
+    }.mkString(", ")
+    val langs = TextAnalysis.LangMarkers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val chain = langs.map(l =>
+      s"WHEN score_$l = $best AND score_$l > 0 THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT doc_id, text, $scores FROM documents)
+       |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       | CASE WHEN len(regexp_extract_all(text, '${TextAnalysis.CjkPattern}')) > 0 THEN 'zh'
+       |  $chain ELSE 'und' END AS pred
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private val qualityOracle =
+    """SELECT doc_id,
+      | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      | round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+      | round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+      | round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+      |   + (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.5, 6) AS score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val tokenCountsOracle =
+    s"""SELECT doc_id,
+       | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+       | CAST(${TextAnalysis.sqlBpeCount("text")} AS BIGINT) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val fingerprintOracle =
+    s"SELECT doc_id, ${sqlHash("text", "ci")} AS fp FROM documents ORDER BY doc_id"
+
+  private val multimodalOracle =
+    """WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      |  list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1))) AS codes
+      | FROM documents)
+      |SELECT doc_id, n_bytes,
+      | CAST(len(list_filter(codes, c -> CAST(floor(c / 64) AS INT) = 0)) AS BIGINT) AS b0,
+      | CAST(len(list_filter(codes, c -> CAST(floor(c / 64) AS INT) = 1)) AS BIGINT) AS b1,
+      | CAST(len(list_filter(codes, c -> CAST(floor(c / 64) AS INT) = 2)) AS BIGINT) AS b2,
+      | CAST(len(list_filter(codes, c -> CAST(floor(c / 64) AS INT) = 3)) AS BIGINT) AS b3
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactOracle,
+    "q_ngram_jaccard" -> jaccardOracle,
+    "q_minhash_sig" -> minhashSigOracle,
+    "q_minhash_pairs" -> minhashPairsOracle,
+    "q_simhash" -> simhashOracle,
+    "q_embed_neardup" -> embedNeardupOracle,
+    "q_ann_topk" -> annTopkOracle,
+    "q_ann_lsh" -> annLshOracle,
+    "q_langid" -> langidOracle,
+    "q_quality" -> qualityOracle,
+    "q_token_counts" -> tokenCountsOracle,
+    "q_fingerprint" -> fingerprintOracle,
+    "q_multimodal_features" -> multimodalOracle
+  )
+}

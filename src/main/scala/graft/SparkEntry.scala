@@ -12,10 +12,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Queries.all("q_rule_verdicts")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+  /** One entry per implemented operator from SURVEY.md §2 plus the
+    * training-data-pipeline operators (dedup / similarity / text analysis /
+    * multimodal). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ QueriesPipeline.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Queries.oracles
+  def oracleSql: Map[String, String] = Queries.oracles ++ QueriesPipeline.oracles
 }

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline.
+  *
+  * - exact: hash-groupBy on sha256(text) — one shuffle of (hash, id), map-
+  *   side combined; the text itself never shuffles.
+  * - n-gram Jaccard: shingle-inverted-index self-join — exact, O(pairs
+  *   sharing a shingle); for unbounded corpora use MinHash below.
+  * - MinHash + LSH banding: signatures are per-row expression work; banding
+  *   turns near-dup search into an equi-join on (band, bandKey), which is
+  *   the scale path (no all-pairs comparison; hot buckets are bounded by
+  *   banding width).
+  * - SimHash: 32-bit signature; near-dups share band prefixes.
+  *
+  * Hashing is the portable polynomial hash from [[TextAnalysis]], so every
+  * signature is reproducible outside Spark.
+  */
+object Dedup {
+  import TextAnalysis.{polyHash, words, P}
+
+  /** Exact duplicate groups by content hash: (sha, n, keeper=min id). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("sha"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keeper"))
+      .where(col("n") > 1)
+
+  /** De-duplicated view: keep the min-id representative per distinct text. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = df.groupBy(sha2(col(textCol), 256).as("sha"))
+      .agg(min(col(idCol)).as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** n-word shingles as portable hashes (empty when the doc is too short). */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => polyHash(concat_ws(" ", slice(w, i + 1, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ minJ via a shingle inverted index:
+    * explode distinct (id, shingle) → self-join on shingle → |∩| per pair →
+    * Jaccard from set sizes. Only pairs sharing ≥1 shingle are ever
+    * materialized.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("sh"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .where(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash parameters: numHashes affine permutations (a_j h + b_j) mod P.
+    * Deterministic constants shared with the SQL mirror.
+    */
+  val NumHashes = 16
+  val BandRows = 4
+  def aj(j: Int): Long = ((j + 1).toLong * 1103515245L) % P
+  def bj(j: Int): Long = ((j + 1).toLong * 12345L) % P
+
+  /** MinHash signature column: array of NumHashes minima over the shingle
+    * hashes (empty-shingle docs get P as the "infinite" sentinel).
+    */
+  def minHashSignature(text: Column, n: Int = 3): Column = {
+    val sh = shingleHashes(text, n)
+    transform(sequence(lit(0), lit(NumHashes - 1)), j => {
+      val perm = transform(sh, h => {
+        val jL = j.cast("long")
+        (((jL + 1L) * 1103515245L % P) * h + ((jL + 1L) * 12345L % P)) % P
+      })
+      coalesce(array_min(perm), lit(P))
+    })
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band of the signature,
+    * scored by the fraction of matching signature positions (the standard
+    * unbiased Jaccard estimate). One equi-join on (band, bandKey) — the
+    * 100 TB path: no quadratic blow-up, band buckets are the only fan-in.
+    */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, minEst: Double = 0.5): DataFrame = {
+    val bands = NumHashes / BandRows
+    val withSig = df.select(col(idCol).as("id"), minHashSignature(col(textCol), n).as("sig"))
+    val banded = withSig.select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bandKey",
+        concat_ws(",", slice(col("sig"), col("band") * BandRows + 1, lit(BandRows))))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandKey") === col("b.bandKey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("est_jaccard",
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0L), (acc, v) => acc + v)
+          .cast("double") / NumHashes, 6))
+      .where(col("est_jaccard") >= minEst)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 32-bit SimHash per document. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      TextAnalysis.simHash32(TextAnalysis.tokenHashes(col(textCol))).as("simhash"))
+}

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed per-partition in batches.
+  *
+  * The decode step is a STUB (this container has no image/audio codecs):
+  * `decodeStub` computes a deterministic 4-bucket byte histogram where a
+  * real pipeline would JNI/FFI into a decoder. Everything around it — the
+  * schema (binary payload + metadata struct), the `mapPartitions` batch
+  * seam, the partition sizing — is the real production shape: at 100 TB the
+  * payloads stay columnar in parquet, only the partitions being decoded are
+  * resident, and the per-partition iterator is exactly where a batched GPU/
+  * codec call slots in.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+      b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Wrap a text table as a binary media table (payload = UTF-8 bytes). */
+  def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("binary").as("payload"),
+      lit("text/plain").as("mime"),
+      length(col(textCol)).cast("long").as("n_bytes"))
+
+  /** The decode seam: replace the histogram body with a real decoder call
+    * (e.g. image decode + resize + feature extraction) in production. Runs
+    * per-partition so a batched native call amortizes setup per task, not
+    * per row.
+    */
+  def decodeStub(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val h = new Array[Long](4)
+        var i = 0
+        val p = r.payload
+        while (i < p.length) {
+          h(((p(i) & 0xff) >> 6)) += 1
+          i += 1
+        }
+        MediaFeatures(r.doc_id, r.n_bytes, h(0), h(1), h(2), h(3))
+      }
+    }
+  }
+}

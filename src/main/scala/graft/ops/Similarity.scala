@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - brute-force cosine top-k: one scan, per-row dot product via
+  *   `zip_with` + `aggregate` (codegen'd, no UDF), then a global top-k —
+  *   the exactness baseline.
+  * - LSH-bucketed ANN: sign-of-dot-product against deterministic integer
+  *   hyperplanes buckets the corpus; the query only scans its own bucket.
+  *   At 100 TB the bucket column becomes the partition key so a query
+  *   touches one partition instead of the corpus.
+  * - near-duplicate pairs: cosine ≥ threshold within blocking keys
+  *   (here `label`), the embedding analog of MinHash blocking.
+  */
+object Similarity {
+
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against a constant query vector. Rounded so the
+    * ordering (and any cross-engine audit) is stable.
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol),
+        round(cosine(toDouble(col(vecCol)), q), 5).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic integer hyperplanes: plane j, dim d weight =
+    * ((31(j+1) + 17d) mod 97) − 48 ∈ [−48,48]. Integer arithmetic ⇒ exactly
+    * reproducible anywhere.
+    */
+  val NumPlanes = 8
+  def planeWeight(j: Int, d: Int): Int = ((31 * (j + 1) + 17 * d) % 97) - 48
+  def planes(dim: Int): Seq[Seq[Int]] =
+    (0 until NumPlanes).map(j => (0 until dim).map(d => planeWeight(j, d)))
+
+  /** Bucket id = bits of sign(dot(v, plane_j)). */
+  def lshBucket(vec: Column, dim: Int): Column =
+    planes(dim).zipWithIndex.map { case (p, j) =>
+      val pw = array(p.map(w => lit(w.toDouble)): _*)
+      when(dot(vec, pw) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN: restrict the exact scan to the query's LSH bucket. */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int): DataFrame = {
+    val dim = query.size
+    val qBucket = {
+      // driver-side bucket of the constant query vector (same arithmetic)
+      (0 until NumPlanes).map { j =>
+        val d = query.zipWithIndex.map { case (v, i) => v * planeWeight(j, i) }.sum
+        if (d > 0) 1L << j else 0L
+      }.sum
+    }
+    val bucketed = df.withColumn("bucket", lshBucket(toDouble(col(vecCol)), dim))
+    bruteForceTopK(bucketed.where(col("bucket") === qBucket), idCol, vecCol, query, k)
+  }
+
+  /** Near-duplicate pairs by cosine within a blocking column. */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   blockCol: String, minCos: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      toDouble(col(vecCol)).as("v"))
+    v.as("a").join(v.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.v"), col("b.v")), 5).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-in expressions (higher-order
+  * array functions, regexp counters) — no UDFs — so the whole pipeline stays
+  * inside whole-stage codegen and distributes trivially: per-row work only,
+  * no shuffles.
+  *
+  * All hashes use a PORTABLE polynomial rolling hash
+  * (acc = (acc*31 + codepoint) mod 1e9+7) instead of xxhash64 so results are
+  * engine-independent (reproducible in DuckDB/any SQL engine for oracle
+  * checks and cross-system audits).
+  */
+object TextAnalysis {
+  val P = 1000000007L
+
+  /** Codepoints of every character, 1-indexed scan (ASCII-safe). */
+  def chars(c: Column): Column =
+    transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))))
+
+  /** Left-fold polynomial rolling hash of a string, mod P. */
+  def polyHash(c: Column): Column =
+    aggregate(chars(c), lit(0L), (acc, x) => (acc * 31 + x) % P)
+
+  /** Whitespace tokens. */
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  def wsTokenCount(c: Column): Column = size(words(c))
+
+  /** BPE-ish pre-tokenizer count: alpha runs | digit runs | single symbols. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpePattern))
+
+  /** Language-ID heuristic: count language-marker word hits per language,
+    * pick the max (ties resolved by fixed priority order), CJK content wins
+    * outright. The score columns are exposed so the decision is auditable.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|value|row)\\b",
+    "es" -> "\\b(el|la|los|las|de|que)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "fr" -> "\\b(le|les|et|est|une)\\b")
+  val CjkPattern = "[\\x{4e00}-\\x{9fff}]" // \x{...} parses in both Java regex and RE2
+
+  def langScores(c: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (l, re) => l -> regexp_count(c, lit(re)) }
+
+  def langPredict(c: Column): Column = {
+    val scores = langScores(c)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && s > 0 && acc === "und", lit(l)).otherwise(acc)
+    }
+    when(regexp_count(c, lit(CjkPattern)) > 0, lit("zh")).otherwise(pick)
+  }
+
+  /** Quality signals: word count, punctuation ratio, alpha ratio, mean word
+    * length; composite score in [0,1].
+    */
+  def nWords(c: Column): Column = wsTokenCount(c)
+  def punctRatio(c: Column): Column =
+    round(regexp_count(c, lit("[.,;:!?]")).cast("double") / length(c), 6)
+  def alphaRatio(c: Column): Column =
+    round(regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c), 6)
+  def qualityScore(c: Column): Column =
+    round(least(nWords(c).cast("double") / 100.0, lit(1.0)) * 0.5 +
+      (regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c)) * 0.5, 6)
+
+  /** Document fingerprint: the rolling hash of the whole text. */
+  def fingerprint(c: Column): Column = polyHash(c)
+
+  /** 32-bit SimHash over whitespace tokens with the portable token hash.
+    * bit b of the result is set iff the ±1 sum of token-hash bit b is > 0.
+    * Exact integer arithmetic via doubles < 2^53 (hashes < 2^30), portable.
+    */
+  def simHash32(tokenHashes: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => {
+        val bitSum = aggregate(tokenHashes, lit(0L),
+          (a2, h) => a2 + (floor(h.cast("double") / pow(lit(2.0), b.cast("double")))
+            .cast("long") % 2L) * 2L - 1L)
+        acc + when(bitSum > 0, floor(pow(lit(2.0), b.cast("double"))).cast("long"))
+          .otherwise(0L)
+      })
+
+  def tokenHashes(c: Column): Column = transform(words(c), w => polyHash(w))
+
+  // ---- DuckDB-SQL mirrors of the same computations (shared constants) ----
+
+  def sqlChars(col: String): String =
+    s"list_transform(generate_series(1, length($col)), i -> ascii(substr($col, i, 1)))"
+  def sqlPolyHash(col: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), ${sqlChars(col)}), (a, b) -> (a * 31 + b) % $P)"
+  def sqlWords(col: String): String = s"string_split_regex(trim($col), '\\s+')"
+  def sqlBpeCount(col: String): String =
+    s"len(regexp_extract_all($col, '$BpePattern'))"
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("exact dedup: planted copies found, representative keeps min id") {
+    val corpus = docs.select(col("doc_id").as("id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("id"), col("text")))
+    val groups = Dedup.exactDupGroups(corpus, "id", "text").collect()
+    assert(groups.length === 10)
+    assert(groups.forall(r => r.getLong(1) === 2L && r.getLong(2) < 10))
+    val deduped = Dedup.dropExactDups(corpus, "id", "text")
+    assert(deduped.count() === docs.count())
+    assert(deduped.where(col("id") >= 100000L).count() === 0)
+  }
+
+  test("ngram jaccard: prefixed near-dup pairs score high, random pairs filtered") {
+    val corpus = docs.where(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 1000L).as("id"), concat(lit("zzz "), col("text")).as("text")))
+    val pairs = Dedup.jaccardPairs(corpus, "id", "text", minJ = 0.5).collect()
+    val planted = pairs.filter(r => r.getLong(1) === r.getLong(0) + 1000L)
+    assert(planted.length === 5)
+    assert(planted.forall(_.getDouble(2) > 0.8))
+  }
+
+  test("minhash estimate tracks true jaccard on planted pairs") {
+    val corpus = docs.where(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 1000L).as("id"), concat(lit("zzz "), col("text")).as("text")))
+    val pairs = Dedup.minHashPairs(corpus, "id", "text", minEst = 0.5)
+      .where(col("id_b") === col("id_a") + 1000L).collect()
+    assert(pairs.length === 5)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash: identical texts identical hashes; near-dups close in hamming") {
+    val h = Dedup.simHash(docs.limit(20), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Dedup.simHash(docs.limit(20), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === h2)
+    // near-dup: prepending one token flips few bits
+    val mutated = docs.limit(20).select(col("doc_id"),
+      concat(lit("zzz "), col("text")).as("text"))
+    val hm = Dedup.simHash(mutated, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = h.keys.map(k => java.lang.Long.bitCount(h(k) ^ hm(k)))
+    assert(dists.forall(_ <= 16), s"hamming dists: ${dists.mkString(",")}")
+  }
+
+  test("brute-force topk: self is rank 1 with cosine 1") {
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) === 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-4)
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("lsh ann: returns subset of bucket, self found, results ⊆ brute-force corpus") {
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val top = Similarity.lshTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) === 0L) // query's own bucket contains itself
+  }
+
+  test("embedding near-dup: scaled copies have cosine 1 within block") {
+    val corpus = emb.unionByName(emb.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"),
+        transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"),
+        col("label")))
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding", "label", 0.98)
+      .collect()
+    assert(pairs.length === 5)
+    assert(pairs.forall(_.getDouble(2) >= 0.99999))
+  }
+
+  test("multimodal: histogram buckets sum to payload size") {
+    val feats = Multimodal.decodeStub(spark,
+      Multimodal.asMedia(docs.limit(50), "doc_id", "text")).collect()
+    assert(feats.length === 50)
+    assert(feats.forall(f => f.b0 + f.b1 + f.b2 + f.b3 === f.n_bytes))
+  }
+
+  test("language id is deterministic and in-domain") {
+    val preds = docs.select(TextAnalysis.langPredict(col("text")).as("p"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
+  }
+
+  test("fingerprint: stable and order-sensitive") {
+    val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
+    val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
+    assert(fp1 === fp2)
+    val a = spark.sql("SELECT 'ab ba' AS t")
+    val b = spark.sql("SELECT 'ba ab' AS t")
+    assert(a.select(TextAnalysis.fingerprint(col("t"))).head().getLong(0) !==
+      b.select(TextAnalysis.fingerprint(col("t"))).head().getLong(0))
+  }
+}
