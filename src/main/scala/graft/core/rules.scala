@@ -34,6 +34,9 @@ final case class Required(name: String, column: String) extends RowRule
 /** enum → value-domain membership (reference: enum_.rs:9-95). */
 final case class EnumIn(name: String, column: String, values: Seq[String]) extends RowRule
 
+/** numeric enum (integer/number variants, enum_.rs:51-82). */
+final case class EnumInNum(name: String, column: String, values: Seq[Double]) extends RowRule
+
 /** const → equality with a literal (reference: const_.rs:9-31). */
 final case class ConstEq(name: String, column: String, value: String) extends RowRule
 

@@ -39,6 +39,7 @@ object RuleCompiler {
       case TypeIs(_, _, _)     => lit(true) // static check, see conformsToSchema
       case Required(_, _)      => c.isNotNull
       case EnumIn(_, _, vs)    => nullSafe(c.isin(vs: _*))
+      case EnumInNum(_, _, vs) => nullSafe(c.isin(vs: _*))
       case ConstEq(_, _, v)    => nullSafe(c === lit(v))
       case MatchesPattern(_, _, re) => nullSafe(c.rlike(re))
       case HasFormat(_, _, f) =>

@@ -51,6 +51,8 @@ final case class RunResult(
 final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig()) {
 
   val PartCol = "__part"
+  def config: EngineConfig = cfg
+  def suiteHash: String = suite.ruleSetHash
 
   def partitioned(df: DataFrame): DataFrame =
     df.withColumn(PartCol, pmod(xxhash64(col(cfg.partitionKey)), lit(cfg.numParts)).cast("int"))

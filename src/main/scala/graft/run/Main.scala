@@ -1,24 +1,52 @@
 package graft.run
 
-import graft.core._
 import graft.data.Synth
+import graft.suite.SuiteLoader
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** spark-submit entry: full rule-suite evaluation over the synthetic code
-  * table — the chain.rs-shaped orchestration (load → static-validate →
-  * stats+verdict pass → violation pass → table checks → report) with
+  * table — the chain.rs-shaped orchestration (load suite → static-validate →
+  * checkpointed verdict/violation passes → table checks → report) with
   * per-phase wall-clock logging like the reference's chain timing
   * (cli/src/commands/chain.rs:134-184).
   *
-  * Usage: Main [rows] [repos] [numParts] [outDir]
+  * Usage: Main [rows] [repos] [numParts] [checkpointDir]
+  * Rerunning with the same checkpointDir resumes: completed partitions are
+  * skipped via the manifest (lineage: snapshotId, part, ruleSetHash).
   */
 object Main {
+
+  /** The default suite as a declarative JSON document (what a user ships). */
+  val DefaultSuiteJson: String =
+    s"""{
+       |  "type": "object",
+       |  "title": "code_files",
+       |  "required": ["repo", "path", "commit"],
+       |  "properties": {
+       |    "repo":   {"type": "string", "format": "repo-slug"},
+       |    "path":   {"type": "string", "format": "rel-path",
+       |               "minLength": 1, "maxLength": 4096},
+       |    "commit": {"type": "string", "pattern": "^[0-9a-f]{40}$$",
+       |               "minLength": 40, "maxLength": 40},
+       |    "lang":   {"type": ["null", "string"],
+       |               "enum": ${Synth.Langs.map("\"" + _ + "\"").mkString("[", ",", "]")}},
+       |    "content": {"type": ["null", "string"]}
+       |  },
+       |  "x-checks": {
+       |    "unique": [["repo", "path", "commit"]],
+       |    "referential": [{"keys": ["repo"], "dim": "dim_repos"}],
+       |    "drift": [{"kind": "chi2", "column": "lang", "maxStat": 50.0},
+       |              {"kind": "ks", "column": "content_len", "bins": 50, "maxStat": 0.05}],
+       |    "sha256": [{"column": "content", "shaColumn": "content_sha256"}]
+       |  }
+       |}""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val rows = args.lift(0).map(_.toLong).getOrElse(100000L)
     val repos = args.lift(1).map(_.toInt).getOrElse(1000)
     val numParts = args.lift(2).map(_.toInt).getOrElse(64)
-    val outDir = args.lift(3)
+    val ckptDir = args.lift(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
@@ -34,22 +62,12 @@ object Main {
       println(f"[graft] phase $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
     }
 
+    // load + static-validate the declarative suite (fail fast on the driver,
+    // like validate_jsonschema — reference validate/mod.rs:30-42)
     val suite = phase("load-suite") {
-      RuleSuite(Seq(
-        TypeIs("type_repo", "repo", "string"),
-        Required("req_repo", "repo"), Required("req_path", "path"),
-        Required("req_commit", "commit"),
-        MatchesPattern("pat_commit", "commit", "^[0-9a-f]{40}$"),
-        MinLength("minlen_commit", "commit", 40), MaxLength("maxlen_commit", "commit", 40),
-        EnumIn("enum_lang", "lang", Synth.Langs),
-        HasFormat("fmt_path", "path", "rel-path"),
-        MinLength("minlen_path", "path", 1), MaxLength("maxlen_path", "path", 4096),
-        Sha256Invariant("sha_content", "content", "content_sha256"),
-        UniqueKey("uniq_key", Seq("repo", "path", "commit")),
-        RefIntegrity("ref_repo", Seq("repo"), "dim_repos", Seq("repo")),
-        ChiSquareDrift("drift_lang", "lang", maxStat = 50.0),
-        KsDrift("drift_len", "content_len", bins = 50, maxStat = 0.05)
-      ))
+      val errs = SuiteLoader.staticValidate(DefaultSuiteJson)
+      require(errs.isEmpty, s"suite failed static validation: ${errs.mkString("; ")}")
+      SuiteLoader.parse(DefaultSuiteJson)
     }
     println(s"[graft] ruleSetHash=${suite.ruleSetHash.take(16)} rules=${suite.rules.size}")
 
@@ -57,32 +75,43 @@ object Main {
     val baseline = Synth.baseline(spark, rows, repos)
       .withColumn("content_len", length(col("content")))
     val dims = Map("dim_repos" -> Synth.dimRepos(spark, repos))
-
     val engine = new ValidationEngine(suite, EngineConfig(
       numParts = numParts,
       statsColumns = Seq("repo", "path", "commit", "lang", "content_len")))
-    val result = phase("plan") { engine.run(spark, df, dims, Some(baseline)) }
 
-    val verdicts = phase("verdicts") { result.verdicts.cache().collect() }
-    val byRule = verdicts.groupBy(_.rule).toSeq.sortBy(_._1)
-    println(f"[graft] ${"rule"}%-16s ${"evaluated"}%12s ${"violations"}%12s pass")
-    byRule.foreach { case (rule, vs) =>
-      val ev = vs.map(_.evaluated).sum
-      val vi = vs.map(_.violations).sum
-      println(f"[graft] $rule%-16s $ev%12d $vi%12d ${vs.forall(_.pass)}")
+    ckptDir match {
+      case Some(dir) =>
+        val snapshotId = s"synth-$rows-$repos"
+        val report = phase("row-plane(ckpt)") {
+          Checkpoint.runResumable(spark, engine, df, dir, snapshotId, batches = 8)
+        }
+        println(s"[graft] checkpoint: ran ${report.ranBatches} batches, " +
+          s"skipped ${report.skippedParts}/${report.totalParts} parts (resumed)")
+        val verdicts = Checkpoint.verdicts(spark, dir)
+          .groupBy("rule").agg(sum("evaluated").as("evaluated"),
+            sum("violations").as("violations"))
+          .orderBy("rule").collect()
+        println(f"[graft] ${"rule"}%-22s ${"evaluated"}%12s ${"violations"}%12s")
+        verdicts.foreach(r =>
+          println(f"[graft] ${r.getString(0)}%-22s ${r.getLong(1)}%12d ${r.getLong(2)}%12d"))
+        val (tv, _) = phase("table-checks") {
+          engine.tableChecks(spark, df, dims, Some(baseline))
+        }
+        tv.groupBy("rule").agg(sum("violations").as("v")).orderBy("rule").collect()
+          .foreach(r => println(f"[graft] ${r.getString(0)}%-22s ${"" }%12s ${r.getLong(1)}%12d"))
+      case None =>
+        val result = phase("plan") { engine.run(spark, df, dims, Some(baseline)) }
+        val verdicts = phase("verdicts") { result.verdicts.collect() }
+        val byRule = verdicts.groupBy(_.rule).toSeq.sortBy(_._1)
+        println(f"[graft] ${"rule"}%-22s ${"evaluated"}%12s ${"violations"}%12s pass")
+        byRule.foreach { case (rule, vs) =>
+          println(f"[graft] $rule%-22s ${vs.map(_.evaluated).sum}%12d " +
+            f"${vs.map(_.violations).sum}%12d ${vs.forall(_.pass)}")
+        }
+        val nViol = phase("violations") { result.violations.count() }
+        val nStats = phase("stats") { result.stats.count() }
+        println(s"[graft] violation rows=$nViol statsRows=$nStats")
     }
-    val nViol = phase("violations") { result.violations.count() }
-    val nStats = phase("stats") { result.stats.count() }
-    println(s"[graft] violation rows=$nViol statsRows=$nStats")
-    outDir.foreach { dir =>
-      phase("write") {
-        result.verdicts.write.mode("overwrite").parquet(s"$dir/verdicts")
-        result.violations.write.mode("overwrite").parquet(s"$dir/violations")
-        result.stats.write.mode("overwrite").parquet(s"$dir/stats")
-      }
-    }
-    val failed = byRule.exists { case (_, vs) => !vs.forall(_.pass) }
-    println(s"[graft] suite ${if (failed) "FAILED (violations found, continue-on-error)" else "PASSED"}")
     spark.stop()
   }
 }

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.core.RuleSuite
+import graft.rules.RuleCompiler
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Streaming face of the validation engine (the reference is batch-only;
+  * this is the `foreachBatch`-shaped extension SURVEY.md §2.11 plans for).
+  *
+  * Both entry points reuse the exact same compiled Column predicates as the
+  * batch engine — rules compile once, run anywhere:
+  *
+  *  - [[violationsStream]] is fully stateless (filter + explode), so it runs
+  *    in append mode with no state store: violations flow out as rows
+  *    arrive, which is the shape you want for a 100 TB/day ingest firehose.
+  *  - [[windowedVerdicts]] aggregates per-rule fail counts into event-time
+  *    windows behind a watermark, so late data is folded in until the
+  *    watermark closes the window and state is evicted (bounded memory).
+  */
+object StreamValidate {
+
+  /** Stateless violation stream: (rule, rowRef, detail) per failed check. */
+  def violationsStream(stream: DataFrame, suite: RuleSuite,
+                       rowRefCols: Seq[String]): DataFrame = {
+    val compiled = RuleCompiler.compile(suite.rowRules)
+    require(compiled.nonEmpty, "suite has no row rules")
+    val anyFail: Column = !compiled.map(_.pred).reduce(_ && _)
+    val failed = array(compiled.map(c =>
+      when(!c.pred, struct(lit(c.rule.name).as("rule"), c.detail.as("detail")))): _*)
+    stream.where(anyFail)
+      .select(concat_ws("|", rowRefCols.map(col): _*).as("rowRef"),
+        explode(filter(failed, x => x.isNotNull)).as("v"))
+      .select(col("v.rule").as("rule"), col("rowRef"), col("v.detail").as("detail"))
+  }
+
+  /** Event-time-windowed verdict grid: (window, rule, evaluated, violations,
+    * pass), watermarked for bounded state.
+    */
+  def windowedVerdicts(stream: DataFrame, suite: RuleSuite, tsCol: String,
+                       windowDuration: String, watermark: String): DataFrame = {
+    val compiled = RuleCompiler.compile(suite.rowRules)
+    require(compiled.nonEmpty, "suite has no row rules")
+    val aggs = count(lit(1)).as("__evaluated") +:
+      compiled.map(c => sum(when(!c.pred, 1L).otherwise(0L)).as(c.rule.name))
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(aggs.head, aggs.tail: _*)
+      .unpivot(
+        Array(col("window"), col("__evaluated")),
+        compiled.map(c => col(c.rule.name)).toArray,
+        "rule", "violations")
+      .select(col("window"), col("rule"), col("__evaluated").as("evaluated"),
+        col("violations"), (col("violations") === 0L).as("pass"))
+  }
+}

@@ -1,0 +1,269 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import graft.core._
+import scala.jdk.CollectionConverters._
+
+/** Loads declarative rule suites written as JSON-Schema-shaped documents and
+  * compiles them into a [[RuleSuite]].
+  *
+  * Preprocessing preserves the reference's document-rewrite semantics so its
+  * fixture shapes load verbatim:
+  *   - `$ref` dereference with sibling-key merge over the resolution
+  *     (reference: process/dereference.rs:139-147), depth cap 50
+  *     (dereference.rs:90), RFC-6901 internal pointers
+  *     (resolver.rs:79-134).
+  *   - `allOf` merge, bottom-up: objects deep-merged key-wise, arrays
+  *     unioned without duplicates, scalars overwritten; single-element
+  *     passthrough (process/merge_allof.rs:59-65,110-155).
+  *   - `type: ["null", T]` simplification to nullable
+  *     (codegen/jsonschema/mod.rs:554-599) and two-variant
+  *     oneOf/anyOf-with-null collapse (anyoneof/mod.rs:123-173).
+  *   - keyword harvest: format, maximum, exclusiveMaximum, minimum,
+  *     exclusiveMinimum, maxLength, minLength, pattern, maxItems, minItems,
+  *     uniqueItems (jsonschema/mod.rs:466-481), enum with type coherence —
+  *     string variants win over integer over number, non-integral values in
+  *     integer enums are dropped (enum_.rs:29-95) — const (const_.rs:9-31),
+  *     required (required.rs:5-13), type (mod.rs:298-354).
+  *
+  * Engine-level whole-table checks ride in a vendor extension `x-checks`
+  * (the `x-*` harvest analog, jsonschema/mod.rs:514-552).
+  *
+  * Loading is driver-side work on a small document — the distributed plane
+  * only ever sees the compiled Column expressions.
+  */
+object SuiteLoader {
+  private val mapper = new ObjectMapper()
+
+  def parse(json: String): RuleSuite = fromRoot(mapper.readTree(json))
+
+  def fromRoot(root0: JsonNode): RuleSuite = {
+    val root = mergeAllOf(dereference(root0, root0, 0))
+    val rules = Vector.newBuilder[Rule]
+
+    val required: Set[String] =
+      Option(root.get("required")).toSeq.flatMap(_.elements().asScala)
+        .map(_.asText()).toSet
+    required.foreach(c => rules += Required(s"required_$c", c))
+
+    Option(root.get("properties")).foreach { props =>
+      props.properties().asScala.foreach { e =>
+        val (name, node0) = (e.getKey, e.getValue)
+        val (node, nullable) = simplifyNullable(mergeAllOf(dereference(node0, root, 0)))
+        rules ++= propertyRules(name, node, nullable)
+      }
+    }
+
+    Option(root.get("x-checks")).foreach { xc =>
+      Option(xc.get("unique")).toSeq.flatMap(_.elements().asScala).foreach { u =>
+        val keys = u.elements().asScala.map(_.asText()).toSeq
+        rules += UniqueKey(s"unique_${keys.mkString("_")}", keys)
+      }
+      Option(xc.get("referential")).toSeq.flatMap(_.elements().asScala).foreach { r =>
+        val keys = r.get("keys").elements().asScala.map(_.asText()).toSeq
+        val dim = r.get("dim").asText()
+        val dimKeys = Option(r.get("dimKeys")).map(_.elements().asScala.map(_.asText()).toSeq)
+          .getOrElse(keys)
+        rules += RefIntegrity(s"ref_${keys.mkString("_")}_$dim", keys, dim, dimKeys)
+      }
+      Option(xc.get("drift")).toSeq.flatMap(_.elements().asScala).foreach { d =>
+        val c = d.get("column").asText()
+        d.get("kind").asText() match {
+          case "chi2" => rules += ChiSquareDrift(s"drift_chi2_$c", c, d.get("maxStat").asDouble())
+          case "ks" => rules += KsDrift(s"drift_ks_$c", c,
+            Option(d.get("bins")).map(_.asInt()).getOrElse(50), d.get("maxStat").asDouble())
+          case k => sys.error(s"unknown drift kind '$k'")
+        }
+      }
+      Option(xc.get("sha256")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+        val c = s.get("column").asText()
+        rules += Sha256Invariant(s"sha256_$c", c, s.get("shaColumn").asText())
+      }
+      Option(xc.get("lengthEquals")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+        val c = s.get("column").asText()
+        rules += LengthEqualsColumn(s"len_eq_$c", c, s.get("lenColumn").asText())
+      }
+    }
+    RuleSuite(rules.result())
+  }
+
+  /** Per-property keyword harvest → row rules. */
+  private def propertyRules(name: String, node: JsonNode, nullable: Boolean): Seq[RowRule] = {
+    val out = Vector.newBuilder[RowRule]
+    Option(node.get("type")).map(_.asText()).foreach {
+      case "string" => out += TypeIs(s"type_$name", name, "string")
+      case "integer" => out += TypeIs(s"type_$name", name, "bigint")
+      case "number" => out += TypeIs(s"type_$name", name, "double")
+      case "boolean" => out += TypeIs(s"type_$name", name, "boolean")
+      case _ => // object/array columns keep their parquet-declared type
+    }
+    Option(node.get("enum")).foreach { en =>
+      enumRule(name, en, Option(node.get("type")).map(_.asText())).foreach(out += _)
+    }
+    Option(node.get("const")).foreach(c => out += ConstEq(s"const_$name", name, c.asText()))
+    Option(node.get("pattern")).foreach(p =>
+      out += MatchesPattern(s"pattern_$name", name, p.asText()))
+    Option(node.get("format")).foreach(f => out += HasFormat(s"format_$name", name, f.asText()))
+    Option(node.get("minLength")).foreach(v => out += MinLength(s"minLength_$name", name, v.asInt()))
+    Option(node.get("maxLength")).foreach(v => out += MaxLength(s"maxLength_$name", name, v.asInt()))
+    Option(node.get("minimum")).foreach(v =>
+      out += MinValue(s"minimum_$name", name, v.asDouble()))
+    Option(node.get("exclusiveMinimum")).filter(_.isNumber).foreach(v =>
+      out += MinValue(s"exclusiveMinimum_$name", name, v.asDouble(), exclusive = true))
+    Option(node.get("maximum")).foreach(v =>
+      out += MaxValue(s"maximum_$name", name, v.asDouble()))
+    Option(node.get("exclusiveMaximum")).filter(_.isNumber).foreach(v =>
+      out += MaxValue(s"exclusiveMaximum_$name", name, v.asDouble(), exclusive = true))
+    Option(node.get("minItems")).foreach(v => out += MinItems(s"minItems_$name", name, v.asInt()))
+    Option(node.get("maxItems")).foreach(v => out += MaxItems(s"maxItems_$name", name, v.asInt()))
+    Option(node.get("uniqueItems")).filter(_.asBoolean(false)).foreach(_ =>
+      out += UniqueItems(s"uniqueItems_$name", name))
+    out.result()
+  }
+
+  /** Enum extraction with the reference's type-coherence policy
+    * (enum_.rs:29-95): string variants beat integer beat number; a float in
+    * an integer enum is dropped with the integer interpretation kept;
+    * complex-typed variants are ignored entirely (rule skipped).
+    */
+  private[suite] def enumRule(name: String, en: JsonNode,
+                              declared: Option[String]): Option[RowRule] = {
+    val vs = en.elements().asScala.toSeq
+    if (vs.exists(v => v.isObject || v.isArray)) return None // complex → AnyType
+    val strings = vs.filter(_.isTextual).map(_.asText())
+    val bools = vs.filter(_.isBoolean)
+    lazy val integral = vs.filter(v => v.isNumber && v.asDouble().isWhole).map(_.asDouble())
+    lazy val numbers = vs.filter(_.isNumber).map(_.asDouble())
+    declared match {
+      case Some("string") if strings.nonEmpty =>
+        Some(EnumIn(s"enum_$name", name, strings.sorted))
+      case Some("integer") if integral.nonEmpty =>
+        Some(EnumInNum(s"enum_$name", name, integral.sorted))
+      case Some("number") if numbers.nonEmpty =>
+        Some(EnumInNum(s"enum_$name", name, numbers.sorted))
+      case Some("boolean") if bools.nonEmpty => None // two-valued, vacuous
+      case _ if strings.nonEmpty => Some(EnumIn(s"enum_$name", name, strings.sorted))
+      case _ if numbers.nonEmpty => Some(EnumInNum(s"enum_$name", name, numbers.sorted))
+      case _ => None
+    }
+  }
+
+  /** `type: ["null", T]` → (node with type T, nullable=true); two-variant
+    * oneOf/anyOf where one is {"type":"null"} collapses to the other,
+    * nullable (anyoneof/mod.rs:103-173); single-variant collapses verbatim.
+    */
+  private[suite] def simplifyNullable(node: JsonNode): (JsonNode, Boolean) = {
+    Option(node.get("type")).filter(_.isArray).foreach { arr =>
+      val types = arr.elements().asScala.map(_.asText()).toSeq
+      val nonNull = types.filterNot(_ == "null")
+      if (nonNull.size == 1) {
+        val copy = node.deepCopy[ObjectNode]()
+        copy.put("type", nonNull.head)
+        return (copy, types.contains("null"))
+      }
+    }
+    for (key <- Seq("oneOf", "anyOf"); variants <- Option(node.get(key)).filter(_.isArray)) {
+      val vs = variants.elements().asScala.toSeq
+      if (vs.size == 1) return simplifyNullable(vs.head)
+      if (vs.size == 2) {
+        val (nulls, others) = vs.partition(v =>
+          Option(v.get("type")).exists(_.asText() == "null"))
+        if (nulls.size == 1 && others.size == 1) {
+          val (inner, _) = simplifyNullable(others.head)
+          return (inner, true)
+        }
+      }
+    }
+    (node, false)
+  }
+
+  /** Replace internal `$ref` nodes by their RFC-6901 resolution, merging any
+    * sibling keys of the `$ref` object over the resolved subtree (sibling
+    * wins — dereference.rs:139-147). Depth-capped like the reference.
+    */
+  private[suite] def dereference(node: JsonNode, root: JsonNode, depth: Int): JsonNode = {
+    require(depth <= 50, "dereference recursion depth cap (50) exceeded")
+    node match {
+      case o: ObjectNode if o.has("$ref") =>
+        val ref = o.get("$ref").asText()
+        require(ref.startsWith("#"), s"only internal refs supported in-sandbox, got '$ref'")
+        val target = root.at(ref.stripPrefix("#"))
+        require(!target.isMissingNode, s"dangling \\$$ref '$ref'")
+        val resolved = dereference(target, root, depth + 1).deepCopy[JsonNode]()
+        val siblings = o.deepCopy[ObjectNode]()
+        siblings.remove("$ref")
+        resolved match {
+          case ro: ObjectNode =>
+            siblings.properties().asScala.foreach { e => ro.set(e.getKey, e.getValue); () }
+            ro
+          case other => if (siblings.isEmpty) other else siblings
+        }
+      case o: ObjectNode =>
+        val copy = o.deepCopy[ObjectNode]()
+        o.properties().asScala.foreach { e =>
+          copy.set(e.getKey, dereference(e.getValue, root, depth + 1)); ()
+        }
+        copy
+      case a: ArrayNode =>
+        val copy = a.deepCopy[ArrayNode]()
+        copy.removeAll()
+        a.elements().asScala.foreach { v => copy.add(dereference(v, root, depth + 1)); () }
+        copy
+      case other => other
+    }
+  }
+
+  /** Bottom-up allOf merge (merge_allof.rs:25-155): children first, then
+    * each member deep-merged into the node; single-element passthrough.
+    */
+  private[suite] def mergeAllOf(node: JsonNode): JsonNode = node match {
+    case o: ObjectNode =>
+      val copy = mapper.createObjectNode()
+      o.properties().asScala.foreach { e => copy.set(e.getKey, mergeAllOf(e.getValue)); () }
+      Option(copy.get("allOf")).filter(_.isArray) match {
+        case Some(members: ArrayNode) =>
+          copy.remove("allOf")
+          members.elements().asScala.foldLeft(copy: JsonNode)((acc, m) => mergeValues(acc, m))
+        case _ => copy
+      }
+    case a: ArrayNode =>
+      val copy = mapper.createArrayNode()
+      a.elements().asScala.foreach { v => copy.add(mergeAllOf(v)); () }
+      copy
+    case other => other
+  }
+
+  /** merge_values (merge_allof.rs:137-155): objects merge key-wise
+    * recursively, arrays union without duplicates, scalars overwrite.
+    */
+  private[suite] def mergeValues(base: JsonNode, incoming: JsonNode): JsonNode =
+    (base, incoming) match {
+      case (b: ObjectNode, i: ObjectNode) =>
+        val out = b.deepCopy[ObjectNode]()
+        i.properties().asScala.foreach { e =>
+          val merged =
+            if (out.has(e.getKey)) mergeValues(out.get(e.getKey), e.getValue) else e.getValue
+          out.set(e.getKey, merged); ()
+        }
+        out
+      case (b: ArrayNode, i: ArrayNode) =>
+        val out = b.deepCopy[ArrayNode]()
+        i.elements().asScala.foreach { v => if (!out.elements().asScala.contains(v)) { out.add(v); () } }
+        out
+      case (_, i) => i.deepCopy[JsonNode]()
+    }
+
+  /** Static compile-only check — the analog of `validate_jsonschema`
+    * (validate/mod.rs:30-42): parse + compile the suite without running it;
+    * returns errors instead of throwing.
+    */
+  def staticValidate(json: String): Seq[String] =
+    try {
+      val suite = parse(json)
+      suite.rowRules.collect { case MatchesPattern(n, _, re) =>
+        try { java.util.regex.Pattern.compile(re); None }
+        catch { case e: Exception => Some(s"$n: bad pattern: ${e.getMessage}") }
+      }.flatten
+    } catch { case e: Exception => Seq(s"suite parse failed: ${e.getMessage}") }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.core._
+import graft.data.Synth
+import graft.run.{Checkpoint, EngineConfig, ValidationEngine}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class CheckpointSpec extends SparkSpec {
+
+  val suite = RuleSuite(Seq(
+    Required("req_repo", "repo"),
+    MatchesPattern("pat_commit", "commit", "^[0-9a-f]{40}$"),
+    EnumIn("enum_lang", "lang", Synth.Langs)))
+  val engine = new ValidationEngine(suite, EngineConfig(numParts = 16))
+  lazy val df = Synth.codeFiles(spark, 3000, repos = 50).cache()
+
+  test("kill after 2 of 4 batches, resume → identical results, no duplicates") {
+    val dir = Files.createTempDirectory("graft_ckpt").toString
+
+    // direct (un-checkpointed) truth
+    val direct = engine.rowVerdicts(spark, df)
+      .groupBy("rule").agg(sum("violations").as("v"), sum("evaluated").as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val directViol = engine.rowViolations(spark, df).count()
+
+    // killed run
+    val killed = intercept[RuntimeException] {
+      Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4,
+        failAfterBatches = Some(2))
+    }
+    assert(killed.getMessage.contains("simulated kill"))
+    val doneAfterKill = Checkpoint.completedParts(spark, dir, "snap1", engine.suiteHash)
+    assert(doneAfterKill.nonEmpty && doneAfterKill.size < 16)
+
+    // resume completes only the remainder
+    val report = Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4)
+    assert(report.skippedParts === doneAfterKill.size)
+    assert(Checkpoint.completedParts(spark, dir, "snap1", engine.suiteHash).size === 16)
+
+    val resumed = Checkpoint.verdicts(spark, dir)
+      .groupBy("rule").agg(sum("violations").as("v"), sum("evaluated").as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resumed === direct)
+    assert(Checkpoint.violations(spark, dir).count() === directViol)
+    // violations are not duplicated by the rerun
+    assert(Checkpoint.violations(spark, dir)
+      .groupBy("part", "rule", "rowRef").count().where(col("count") > 1).count() === 0)
+
+    // a second full rerun is a no-op (all parts checkpointed)
+    val rerun = Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4)
+    assert(rerun.ranBatches === 0)
+
+    // lineage: manifest keyed by (snapshotId, part, ruleSetHash)
+    val m = Checkpoint.manifest(spark, dir)
+    assert(m.count() === 16)
+    assert(m.select("ruleSetHash").distinct().head().getString(0) === engine.suiteHash)
+  }
+
+  test("a different rule-set hash re-validates from scratch") {
+    val dir = Files.createTempDirectory("graft_ckpt2").toString
+    Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 2)
+    val suite2 = RuleSuite(suite.rules :+ MinLength("minlen_path", "path", 1))
+    val engine2 = new ValidationEngine(suite2, EngineConfig(numParts = 16))
+    assert(Checkpoint.completedParts(spark, dir, "snap1", engine2.suiteHash).isEmpty)
+    val r = Checkpoint.runResumable(spark, engine2, df, dir, "snap1", batches = 2)
+    assert(r.ranBatches === 2 && r.skippedParts === 0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.core._
+import graft.streaming.StreamValidate
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class FileEvent(repo: String, commit: String, lang: String, ts: Timestamp)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val suite = RuleSuite(Seq(
+    Required("req_repo", "repo"),
+    MatchesPattern("pat_commit", "commit", "^[0-9a-f]{8}$"),
+    EnumIn("enum_lang", "lang", Seq("scala", "rust"))))
+
+  def ev(repo: String, commit: String, lang: String, sec: Int) =
+    FileEvent(repo, commit, lang, new Timestamp(1700000000000L + sec * 1000L))
+
+  test("stateless violation stream matches batch evaluation") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[FileEvent]
+    val q = StreamValidate.violationsStream(mem.toDF(), suite, Seq("repo", "commit"))
+      .writeStream.format("memory").queryName("viol").outputMode("append").start()
+    mem.addData(
+      ev("a/r", "0123abcd", "scala", 1),   // clean
+      ev(null, "0123abcd", "rust", 2),     // req_repo
+      ev("b/r", "XYZ", "scala", 3),        // pat_commit
+      ev("c/r", "0123abcd", "cobol", 4))   // enum_lang
+    q.processAllAvailable()
+    val got = spark.table("viol").select("rule").collect().map(_.getString(0)).sorted
+    assert(got === Array("enum_lang", "pat_commit", "req_repo"))
+    // late arrival still flows through (stateless)
+    mem.addData(ev("d/r", "bad", "scala", 0))
+    q.processAllAvailable()
+    assert(spark.table("viol").count() === 4)
+    q.stop()
+  }
+
+  test("windowed verdicts aggregate per rule behind a watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[FileEvent]
+    val q = StreamValidate.windowedVerdicts(mem.toDF(), suite, "ts",
+      "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("verd").outputMode("complete").start()
+    mem.addData(
+      ev("a/r", "0123abcd", "scala", 1),
+      ev("b/r", "nope", "rust", 2),
+      ev("c/r", "0123abcd", "go", 65)) // next window
+    q.processAllAvailable()
+    val rows = spark.table("verd")
+      .select(col("rule"), col("evaluated"), col("violations")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // window 1: 2 events, pat_commit 1 violation; window 2: 1 event, enum 1
+    assert(rows.count(_._1 == "pat_commit") === 2)
+    assert(rows.filter(_._1 == "pat_commit").map(_._3).sum === 1L)
+    assert(rows.filter(_._1 == "enum_lang").map(_._3).sum === 1L)
+    assert(rows.filter(_._2 == 2L).nonEmpty && rows.filter(_._2 == 1L).nonEmpty)
+    q.stop()
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.core._
+import graft.suite.SuiteLoader
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's own fixture semantics (file:line cites inline). */
+class SuiteLoaderSpec extends AnyFunSuite {
+
+  test("01-simple: typed properties + minimum (json-schemas/01-simple.json:5-19)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","title":"Person","properties":{
+        |  "firstName":{"type":"string"},
+        |  "lastName":{"type":"string"},
+        |  "age":{"type":"integer","minimum":0}}}""".stripMargin)
+    assert(suite.rules.contains(TypeIs("type_firstName", "firstName", "string")))
+    assert(suite.rules.contains(TypeIs("type_age", "age", "bigint")))
+    assert(suite.rules.contains(MinValue("minimum_age", "age", 0.0)))
+  }
+
+  test("15-enum: type coherence — string/integer/number/boolean variants (enum_.rs:29-95)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","required":["currencyCode","value"],"properties":{
+        |  "currencyCode":{"type":"string","enum":["AED","AFN","ALL"]},
+        |  "status":{"type":"number","enum":[1,2,3,4,5,6,-5]},
+        |  "simple2":{"type":"integer","enum":[1,2]},
+        |  "simple3":{"type":"boolean","enum":[false]},
+        |  "mixed_int":{"type":"integer","enum":[1,2.5,3]},
+        |  "complex":{"type":"string","enum":[{"a":1}]}}}""".stripMargin)
+    assert(suite.rules.contains(EnumIn("enum_currencyCode", "currencyCode",
+      Seq("AED", "AFN", "ALL"))))
+    assert(suite.rules.contains(EnumInNum("enum_status", "status",
+      Seq(-5.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0))))
+    assert(suite.rules.contains(EnumInNum("enum_simple2", "simple2", Seq(1.0, 2.0))))
+    // boolean enum is vacuous; float dropped from integer enum; complex enum skipped
+    assert(!suite.rules.exists(_.name == "enum_simple3"))
+    assert(suite.rules.contains(EnumInNum("enum_mixed_int", "mixed_int", Seq(1.0, 3.0))))
+    assert(!suite.rules.exists(_.name == "enum_complex"))
+    assert(suite.rules.contains(Required("required_currencyCode", "currencyCode")))
+  }
+
+  test("$ref dereference with sibling-key merge, sibling wins (dereference.rs:139-147)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "code":{"$ref":"#/definitions/codeType","maxLength":10}},
+        | "definitions":{"codeType":{"type":"string","pattern":"^[a-z]+$","maxLength":5}}}""".stripMargin)
+    assert(suite.rules.contains(MatchesPattern("pattern_code", "code", "^[a-z]+$")))
+    assert(suite.rules.contains(MaxLength("maxLength_code", "code", 10))) // sibling wins
+  }
+
+  test("dangling ref and depth cap fail fast (storage.rs missing-ref, dereference.rs:90)") {
+    assert(SuiteLoader.staticValidate(
+      """{"properties":{"a":{"$ref":"#/definitions/nope"}}}""").nonEmpty)
+    assert(SuiteLoader.staticValidate(
+      """{"properties":{"a":{"$ref":"#/properties/a"}}}""").nonEmpty) // cycle → depth cap
+  }
+
+  test("allOf deep merge: key-wise objects, array union w/o dups, scalar overwrite (merge_allof.rs:137-155)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "v":{"allOf":[
+        |    {"type":"string","minLength":1,"enum":["a","b"]},
+        |    {"maxLength":9,"enum":["b","c"]}]}}}""".stripMargin)
+    assert(suite.rules.contains(MinLength("minLength_v", "v", 1)))
+    assert(suite.rules.contains(MaxLength("maxLength_v", "v", 9)))
+    // array union without duplicates: ["a","b"] ∪ ["b","c"] = ["a","b","c"]
+    assert(suite.rules.contains(EnumIn("enum_v", "v", Seq("a", "b", "c"))))
+  }
+
+  test("single-element allOf passthrough (merge_allof.rs:59-65)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{"v":{"allOf":[{"type":"string","minLength":3}]}}}""")
+    assert(suite.rules.contains(MinLength("minLength_v", "v", 3)))
+  }
+
+  test("type:[null,T] simplification (jsonschema/mod.rs:554-599)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{"v":{"type":["null","string"],"minLength":2}}}""")
+    assert(suite.rules.contains(TypeIs("type_v", "v", "string")))
+    assert(suite.rules.contains(MinLength("minLength_v", "v", 2)))
+  }
+
+  test("two-variant oneOf with null collapses to nullable non-null variant (anyoneof/mod.rs:123-173)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "v":{"oneOf":[{"type":"null"},{"type":"string","pattern":"^x"}]},
+        |  "w":{"oneOf":[{"type":"string","maxLength":4}]}}}""".stripMargin)
+    assert(suite.rules.contains(MatchesPattern("pattern_v", "v", "^x")))
+    assert(suite.rules.contains(MaxLength("maxLength_w", "w", 4))) // single-variant collapse
+  }
+
+  test("x-checks vendor extension → table rules") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{},
+        | "x-checks":{
+        |  "unique":[["repo","path","commit"]],
+        |  "referential":[{"keys":["repo"],"dim":"dim_repos"}],
+        |  "drift":[{"kind":"chi2","column":"lang","maxStat":50.0},
+        |           {"kind":"ks","column":"len","bins":40,"maxStat":0.05}],
+        |  "sha256":[{"column":"content","shaColumn":"content_sha256"}]}}""".stripMargin)
+    assert(suite.tableRules.contains(UniqueKey("unique_repo_path_commit",
+      Seq("repo", "path", "commit"))))
+    assert(suite.tableRules.contains(RefIntegrity("ref_repo_dim_repos",
+      Seq("repo"), "dim_repos", Seq("repo"))))
+    assert(suite.tableRules.contains(ChiSquareDrift("drift_chi2_lang", "lang", 50.0)))
+    assert(suite.tableRules.contains(KsDrift("drift_ks_len", "len", 40, 0.05)))
+    assert(suite.rowRules.contains(Sha256Invariant("sha256_content", "content",
+      "content_sha256")))
+  }
+
+  test("static validation catches bad regex without running (validate/mod.rs:30-42)") {
+    val errs = SuiteLoader.staticValidate(
+      """{"type":"object","properties":{"v":{"type":"string","pattern":"[unclosed"}}}""")
+    assert(errs.nonEmpty)
+    assert(errs.head.contains("pattern"))
+  }
+
+  test("suite hash is stable across rule order (schema_hash analog, jsonschema/mod.rs:399-441)") {
+    val a = RuleSuite(Seq(Required("r1", "a"), MinLength("r2", "b", 1)))
+    val b = RuleSuite(Seq(MinLength("r2", "b", 1), Required("r1", "a")))
+    assert(a.ruleSetHash === b.ruleSetHash)
+  }
+}
