@@ -144,13 +144,18 @@ object QueriesPipeline {
     """corpus AS (SELECT doc_id AS id, text FROM documents
       | UNION ALL SELECT doc_id + 100000, 'zzz ' || text FROM documents WHERE doc_id < 20)""".stripMargin
 
-  /** shingle-hash list per doc over `corpus(id, text)`. */
+  /** shingle-hash list per doc over `corpus(id, text)`: word hashes first,
+    * then base-1000003 combination of 3 consecutive word hashes (mirrors
+    * Dedup.shingleHashesFromWords exactly).
+    */
   private val shingleCte = {
-    val sh = sqlHash("ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]", "ci")
+    val B = Dedup.ShingleBase
     s"""w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
-       |shl AS (SELECT id, CASE WHEN len(ws) >= 3
-       |  THEN list_transform(generate_series(0, len(ws) - 3), i -> $sh)
-       |  ELSE CAST([] AS BIGINT[]) END AS shs FROM w)""".stripMargin
+       |whc AS (SELECT id, list_transform(ws, tok -> ${sqlHash("tok", "ci")}) AS whl FROM w),
+       |shl AS (SELECT id, CASE WHEN len(whl) >= 3
+       |  THEN list_transform(generate_series(0, len(whl) - 3), i ->
+       |    ((whl[i+1] * $B + whl[i+2]) % $P * $B + whl[i+3]) % $P)
+       |  ELSE CAST([] AS BIGINT[]) END AS shs FROM whc)""".stripMargin
   }
 
   private val sigExpr = {

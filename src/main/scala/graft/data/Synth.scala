@@ -72,10 +72,18 @@ object Synth {
       .otherwise(lang0)
 
     val nWords = (h(salt + "len", kid) % 120L) + 5L + lenShift
-    val content0 = concat_ws(" ",
-      transform(sequence(lit(0L), nWords - 1),
-        i => element_at(array(Vocab.map(lit): _*),
-          (h(salt + "w", kid, i) % Vocab.size + 1).cast("int"))))
+    // 12 words per 63-bit hash draw (5 bits each from the 32-word vocab):
+    // ~10 hash calls per row instead of ~125, so generating 10^7+ rows for
+    // the bench is cheap while content stays deterministic and word-soup-y.
+    val vocabArr = array(Vocab.map(lit): _*)
+    val content0 = array_join(flatten(
+      transform(sequence(lit(0L), floor((nWords - 1) / 12L).cast("long")), c => {
+        val hc = h(salt + "w", kid, c)
+        transform(sequence(lit(0L), least(lit(11L), nWords - c * 12L - 1L)), k =>
+          element_at(vocabArr,
+            (call_function("shiftright", hc, (k * 5L).cast("int"))
+              .bitwiseAND(lit(31L)) + 1L).cast("int")))
+      })), " ")
     val content = when(kid % 211 === 7, lit(null).cast("string")).otherwise(content0)
     val sha = when(kid % 379 === 17, lit("deadbeef" * 8)).otherwise(sha2(content, 256))
 

@@ -34,14 +34,26 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** n-word shingles as portable hashes (empty when the doc is too short). */
-  def shingleHashes(text: Column, n: Int = 3): Column = {
-    val w = words(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - n),
-        i => polyHash(concat_ws(" ", slice(w, i + 1, lit(n))))))
+  /** n-word shingles as portable hashes (empty when the doc is too short).
+    *
+    * Chars are hashed once per WORD; a shingle hash is then the base-1000003
+    * combination of its n word hashes (mod P). Higher-order lambdas evaluate
+    * interpreted (outside whole-stage codegen), so hashing every character
+    * once per shingle — let alone once per (shingle × minhash permutation) —
+    * is catastrophically slower; this keeps char-level work at O(text).
+    */
+  val ShingleBase = 1000003L
+  def wordHashes(text: Column): Column = transform(words(text), w => polyHash(w))
+
+  def shingleHashesFromWords(wh: Column, n: Int = 3): Column =
+    when(size(wh) >= n,
+      transform(sequence(lit(0), size(wh) - n), i =>
+        (0 until n).foldLeft(lit(0L): Column)((acc, k) =>
+          (acc * ShingleBase + element_at(wh, i + k + 1)) % P)))
       .otherwise(array().cast("array<bigint>"))
-  }
+
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    ColUtil.letBound(wordHashes(text))(wh => shingleHashesFromWords(wh, n))
 
   /** Exact pairwise n-gram Jaccard ≥ minJ via a shingle inverted index:
     * explode distinct (id, shingle) → self-join on shingle → |∩| per pair →
@@ -78,16 +90,24 @@ object Dedup {
   /** MinHash signature column: array of NumHashes minima over the shingle
     * hashes (empty-shingle docs get P as the "infinite" sentinel).
     */
-  def minHashSignature(text: Column, n: Int = 3): Column = {
-    val sh = shingleHashes(text, n)
-    transform(sequence(lit(0), lit(NumHashes - 1)), j => {
-      val perm = transform(sh, h => {
+  def minHashSignature(text: Column, n: Int = 3): Column =
+    signatureOfHashes(shingleHashes(text, n))
+
+  /** Signature from a PRE-MATERIALIZED shingle-hash array. Callers that use
+    * the signature more than once (banding, pair scoring) must materialize
+    * the hash array first — otherwise projection collapse inlines the
+    * O(words × chars) hashing expression into every consumer and codegen
+    * size explodes multiplicatively.
+    */
+  def signatureOfHashes(shs: Column): Column =
+    ColUtil.letBound(shs)(bound =>
+      transform(sequence(lit(0), lit(NumHashes - 1)), j => {
         val jL = j.cast("long")
-        (((jL + 1L) * 1103515245L % P) * h + ((jL + 1L) * 12345L % P)) % P
-      })
-      coalesce(array_min(perm), lit(P))
-    })
-  }
+        coalesce(
+          array_min(transform(bound, h =>
+            (((jL + 1L) * 1103515245L % P) * h + ((jL + 1L) * 12345L % P)) % P)),
+          lit(P))
+      }))
 
   /** LSH candidate pairs: docs sharing at least one band of the signature,
     * scored by the fraction of matching signature positions (the standard
@@ -97,7 +117,17 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minEst: Double = 0.5): DataFrame = {
     val bands = NumHashes / BandRows
-    val withSig = df.select(col(idCol).as("id"), minHashSignature(col(textCol), n).as("sig"))
+    // Materialize the shingle-hash stage, then the signature stage. Each
+    // persist is a projection-collapse barrier: without them Catalyst
+    // inlines the interpreted hashing lambdas into every one of the 16
+    // permutations / 4 band rows / 2 join sides (measured 600+ s for 5k
+    // docs; ~2 s with the barriers).
+    val withShs = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("shs"))
+      .persist()
+    val withSig = withShs
+      .select(col("id"), signatureOfHashes(col("shs")).as("sig"))
+      .persist()
     val banded = withSig.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bandKey",

@@ -49,10 +49,11 @@ object Similarity {
 
   /** Bucket id = bits of sign(dot(v, plane_j)). */
   def lshBucket(vec: Column, dim: Int): Column =
-    planes(dim).zipWithIndex.map { case (p, j) =>
-      val pw = array(p.map(w => lit(w.toDouble)): _*)
-      when(dot(vec, pw) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    ColUtil.letBound(vec)(v =>
+      planes(dim).zipWithIndex.map { case (p, j) =>
+        val pw = array(p.map(w => lit(w.toDouble)): _*)
+        when(dot(v, pw) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _))
 
   /** ANN: restrict the exact scan to the query's LSH bucket. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,

@@ -79,16 +79,17 @@ object TextAnalysis {
     * Exact integer arithmetic via doubles < 2^53 (hashes < 2^30), portable.
     */
   def simHash32(tokenHashes: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(31)),
-      lit(0L),
-      (acc, b) => {
-        val bitSum = aggregate(tokenHashes, lit(0L),
-          (a2, h) => a2 + (floor(h.cast("double") / pow(lit(2.0), b.cast("double")))
-            .cast("long") % 2L) * 2L - 1L)
-        acc + when(bitSum > 0, floor(pow(lit(2.0), b.cast("double"))).cast("long"))
-          .otherwise(0L)
-      })
+    ColUtil.letBound(tokenHashes)(bound =>
+      aggregate(
+        sequence(lit(0), lit(31)),
+        lit(0L),
+        (acc, b) => {
+          val bitSum = aggregate(bound, lit(0L),
+            (a2, h) => a2 + (floor(h.cast("double") / pow(lit(2.0), b.cast("double")))
+              .cast("long") % 2L) * 2L - 1L)
+          acc + when(bitSum > 0, floor(pow(lit(2.0), b.cast("double"))).cast("long"))
+            .otherwise(0L)
+        }))
 
   def tokenHashes(c: Column): Column = transform(words(c), w => polyHash(w))
 

@@ -60,12 +60,16 @@ object Checkpoint {
         throw new RuntimeException(s"simulated kill before batch $b"))
       val t0 = System.nanoTime()
       val slice = engine.partitioned(df).where(col(engine.PartCol) % batches === b)
-      val v = engine.rowVerdicts(spark, slice).withColumn("__batch", lit(b))
-      val viol = engine.rowViolations(spark, slice).withColumn("__batch", lit(b))
-      v.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(s"$dir/verdicts")
-      viol.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      // one heavy scan per batch: violations; verdicts derive from them
+      val violDf = engine.rowViolations(spark, slice).toDF().persist()
+      violDf.withColumn("__batch", lit(b))
+        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
         .partitionBy("__batch").parquet(s"$dir/violations")
+      engine.verdictGrid(spark, violDf, engine.partTotals(slice))
+        .withColumn("__batch", lit(b))
+        .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(s"$dir/verdicts")
+      violDf.unpersist()
       val wallMs = (System.nanoTime() - t0) / 1000000L
       import spark.implicits._
       // manifest covers EVERY part of the batch — a hash-empty partition is

@@ -15,39 +15,40 @@ import org.apache.spark.sql.types._
   * the per-row work happens exactly once regardless of how many stats are
   * requested, which is what "single-pass" means at 100 TB.
   *
-  * Output is long-format `ColStats` rows: (part, column, count, nulls, min,
+  * The agg-expression list is exposed separately ([[aggExprs]]) so the
+  * engine can FUSE stats collection into the rule-verdict aggregation —
+  * verdicts and stats then share literally one scan and one shuffle.
+  *
+  * Output is long-format ColStats rows: (part, column, count, nulls, min,
   * max, approxDistinct, q25, q50, q75).
   */
 object StatsCollector {
 
-  /** `partCol` must already exist on `df` (the engine adds `__part` =
-    * pmod(xxhash64(repo), P)).
-    */
-  def collect(df: DataFrame, columns: Seq[String], partCol: String = "__part",
-              rsd: Double = 0.02, quantAccuracy: Int = 10000): DataFrame = {
-    val schema = df.schema
+  def aggExprs(schema: StructType, columns: Seq[String],
+               rsd: Double = 0.05, quantAccuracy: Int = 2500): Seq[Column] = {
     def isNumeric(c: String) = schema(c).dataType match {
       case _: NumericType => true
       case _ => false
     }
-    val aggs: Seq[Column] = columns.flatMap { c =>
-      val base = Seq(
+    columns.flatMap { c =>
+      Seq(
         count(col(c)).as(s"${c}__count"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         min(col(c)).cast(StringType).as(s"${c}__min"),
         max(col(c)).cast(StringType).as(s"${c}__max"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__adist"))
-      val quants =
-        if (isNumeric(c))
-          Seq(percentile_approx(col(c).cast(DoubleType),
-            array(lit(0.25), lit(0.5), lit(0.75)), lit(quantAccuracy)).as(s"${c}__q"))
-        else
-          Seq(array(lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)).as(s"${c}__q"))
-      base ++ quants
+        approx_count_distinct(col(c), rsd).as(s"${c}__adist")) :+
+      (if (isNumeric(c))
+        percentile_approx(col(c).cast(DoubleType),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(quantAccuracy)).as(s"${c}__q")
+      else
+        array(lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)).as(s"${c}__q"))
     }
-    val wide = df.groupBy(col(partCol).as("part")).agg(aggs.head, aggs.tail: _*)
-    // Long format: one struct per column, then explode. The wide frame is
-    // tiny (P rows), so this reshaping is free.
+  }
+
+  /** Long-format reshape of a wide (per-part) stats frame. The wide frame is
+    * tiny (P rows), so this is free.
+    */
+  def reshape(wide: DataFrame, columns: Seq[String], partCol: String = "part"): DataFrame = {
     val structs = columns.map { c =>
       struct(
         lit(c).as("column"),
@@ -60,7 +61,15 @@ object StatsCollector {
         element_at(col(s"${c}__q"), 2).as("q50"),
         element_at(col(s"${c}__q"), 3).as("q75"))
     }
-    wide.select(col("part"), explode(array(structs: _*)).as("s"))
+    wide.select(col(partCol).as("part"), explode(array(structs: _*)).as("s"))
       .select(col("part"), col("s.*"))
+  }
+
+  /** Standalone collection (engine path fuses instead — see aggExprs). */
+  def collect(df: DataFrame, columns: Seq[String], partCol: String = "__part",
+              rsd: Double = 0.05, quantAccuracy: Int = 2500): DataFrame = {
+    val aggs = aggExprs(df.schema, columns, rsd, quantAccuracy)
+    val wide = df.groupBy(col(partCol).as("part")).agg(aggs.head, aggs.tail: _*)
+    reshape(wide, columns)
   }
 }

@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.checks.{Referential, Uniqueness}
+import graft.run.{EngineConfig, ValidationEngine}
+import graft.suite.SuiteLoader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: dump formatted physical plans of the core operators to verify
+  * pushdown / pruning / join strategy / whole-stage codegen spans.
+  * Usage: ExplainProbe <dataDir>
+  */
+object ExplainProbe {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args(0)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
+    val engine = new ValidationEngine(suite, EngineConfig(numParts = 64))
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    val dim = spark.read.parquet(s"$dataDir/dim_repos")
+
+    def show(name: String)(plan: => org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n===== $name =====")
+      println(plan.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    show("rowVerdicts") { engine.rowVerdicts(spark, df).toDF() }
+    show("rowViolations") { engine.rowViolations(spark, df).toDF() }
+    show("uniqueness-dupkeys") { Uniqueness.duplicateKeys(df, Seq("repo", "path", "commit")) }
+    show("referential-broadcast") {
+      Referential.orphans(df, dim, Seq("repo"), Seq("repo")).orphans }
+    show("pruned-projection") { df.select("repo", "lang").where(col("lang") === "scala") }
+    spark.stop()
+  }
+}

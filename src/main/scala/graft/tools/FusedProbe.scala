@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.run.{EngineConfig, ValidationEngine}
+import graft.suite.SuiteLoader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: per-action timings of exactly Bench.fullSuiteEval's work.
+  * Usage: FusedProbe <cores> <dataDir> [rounds]
+  */
+object FusedProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val rounds = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    val dims = Map("dim_repos" -> spark.read.parquet(s"$dataDir/dim_repos"))
+    val baseline = spark.read.parquet(s"$dataDir/baseline")
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[fused $cores] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    }
+    for (r <- 1 to rounds) {
+      println(s"[fused $cores] --- round $r ---")
+      val engine = new ValidationEngine(suite, EngineConfig(numParts = 64,
+        statsColumns = Seq("repo", "path", "commit", "lang", "content_len")))
+      val res = engine.run(spark, df, dims, Some(baseline))
+      t("verdicts-collect") { res.verdicts.collect() }
+      t("violations-write") { res.violations.write.mode("overwrite")
+        .parquet(s"$dataDir/_scratch_violations") }
+      t("stats-collect") { res.stats.collect() }
+      // persist() registers in the CacheManager and identical plans from the
+      // next round would silently reuse it — clear for honest rounds
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

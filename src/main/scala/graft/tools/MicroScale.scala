@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: micro-benchmarks at a given core count to isolate anti-scaling.
+  * Usage: MicroScale <cores> <dataDir>
+  */
+object MicroScale {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[micro $cores] $name%-20s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    }
+    for (r <- 1 to 2) {
+      println(s"[micro $cores] --- round $r ---")
+      t("pure-cpu-range") {
+        spark.range(200000000L).select(sum(col("id") * 3 % 7)).collect()
+      }
+      t("scan-count") { df.count() }
+      t("scan-len-sum") { df.select(sum(length(col("content")))).collect() }
+      t("sha2-count") {
+        df.select(sha2(col("content"), 256).as("h")).where(col("h") > "f0").count()
+      }
+      t("regex-count") { df.where(col("commit").rlike("^[0-9a-f]{40}$")).count() }
+      t("groupby-part") {
+        df.groupBy(pmod(xxhash64(col("repo")), lit(64))).count().count()
+      }
+    }
+    spark.stop()
+  }
+}

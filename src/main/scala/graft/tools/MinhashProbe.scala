@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: minhash pipeline stage timings at a given SF dir. */
+object MinhashProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = d.select(col("doc_id").as("id"), col("text"))
+      .unionByName(d.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(lit("zzz "), col("text")).as("text")))
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[mh] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2fs ($r)")
+    }
+    t("word-hashes") { corpus.select(Dedup.wordHashes(col("text")).as("wh"))
+      .agg(sum(size(col("wh")))).collect()(0) }
+    t("shingle-hashes") { corpus.select(Dedup.shingleHashes(col("text")).as("shs"))
+      .agg(sum(size(col("shs")))).collect()(0) }
+    val withShs = corpus.select(col("id"), Dedup.shingleHashes(col("text")).as("shs")).persist()
+    t("materialize-shs") { withShs.count() }
+    val withSig = withShs.select(col("id"), Dedup.signatureOfHashes(col("shs")).as("sig")).persist()
+    t("materialize-sig") { withSig.count() }
+    t("full-pairs") { Dedup.minHashPairs(corpus, "id", "text", minEst = 0.5).count() }
+    t("jaccard-pairs") { Dedup.jaccardPairs(corpus, "id", "text", minJ = 0.5).count() }
+    spark.stop()
+  }
+}

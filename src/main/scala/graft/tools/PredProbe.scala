@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: isolate predicate evaluation cost in agg vs filter form. */
+object PredProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    val shaFail = !coalesce((col("content").isNull && col("content_sha256").isNull) ||
+      sha2(col("content"), 256) === col("content_sha256"), lit(false))
+    val reFail = !coalesce(col("commit").isNull || col("commit").rlike("^[0-9a-f]{40}$"), lit(false))
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pred $cores] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs ($r)")
+    }
+    for (r <- 1 to 2) {
+      println(s"[pred $cores] --- round $r ---")
+      t("agg-sha") { df.agg(sum(when(shaFail, 1L).otherwise(0L))).collect()(0).getLong(0) }
+      t("agg-regex") { df.agg(sum(when(reFail, 1L).otherwise(0L))).collect()(0).getLong(0) }
+      t("filter-sha") { df.where(shaFail).count() }
+      t("filter-regex") { df.where(reFail).count() }
+      t("agg-grouped-sha") { df.groupBy(pmod(xxhash64(col("repo")), lit(64)))
+        .agg(sum(when(shaFail, 1L).otherwise(0L))).count() }
+    }
+    spark.stop()
+  }
+}

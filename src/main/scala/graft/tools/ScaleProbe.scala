@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.run.{EngineConfig, ValidationEngine}
+import graft.suite.SuiteLoader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: per-component wall time of the full suite eval at a given
+  * parallelism, to find non-scaling stages. Usage: ScaleProbe <cores> <dataDir>
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
+    val engine = new ValidationEngine(suite, EngineConfig(numParts = 64,
+      statsColumns = Seq("repo", "path", "commit", "lang", "content_len")))
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    val dims = Map("dim_repos" -> spark.read.parquet(s"$dataDir/dim_repos"))
+    val baseline = spark.read.parquet(s"$dataDir/baseline")
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[probe $cores] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
+    }
+    for (round <- 1 to 2) {
+      println(s"[probe $cores] --- round $round ---")
+      t("rowVerdicts") { engine.rowVerdicts(spark, df).count() }
+      t("rowViolations") { engine.rowViolations(spark, df).count() }
+      val (tv, tviol) = engine.tableChecks(spark, df, dims, Some(baseline))
+      t("tableVerdicts") { tv.count() }
+      t("tableViolations") { tviol.count() }
+      t("stats") { graft.stats.StatsCollector.collect(engine.partitioned(df),
+        Seq("repo", "path", "commit", "lang", "content_len")).count() }
+    }
+    spark.stop()
+  }
+}

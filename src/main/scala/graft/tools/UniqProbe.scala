@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.checks.{Referential, Uniqueness}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: uniqueness/referential stage timings. Usage: UniqProbe <cores> <dataDir> */
+object UniqProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    val dim = spark.read.parquet(s"$dataDir/dim_repos")
+    val keys = Seq("repo", "path", "commit")
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[uniq $cores] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs  ($r)")
+    }
+    for (r <- 1 to 3) {
+      println(s"[uniq $cores] --- round $r ---")
+      t("dupKeys-hash") { Uniqueness.duplicateKeys(df, keys).count() }
+      t("dupKeys-naive") { Uniqueness.duplicateKeysNaive(df, keys).count() }
+      t("dupRows") { Uniqueness.duplicateRows(df, keys).count() }
+      t("ref-orphans") { Referential.orphans(df, dim, Seq("repo"), Seq("repo")).orphans.count() }
+    }
+    spark.stop()
+  }
+}

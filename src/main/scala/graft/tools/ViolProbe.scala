@@ -1,0 +1,39 @@
+package graft.tools
+
+import graft.rules.RuleCompiler
+import graft.run.{EngineConfig, ValidationEngine}
+import graft.suite.SuiteLoader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: bisect the violations-pass cost. Usage: ViolProbe <cores> <dataDir> */
+object ViolProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
+    val engine = new ValidationEngine(suite, EngineConfig(numParts = 64))
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    val compiled = RuleCompiler.compile(suite.rowRules)
+    val anyFail = !compiled.map(_.pred).reduce(_ && _)
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[viol $cores] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2fs ($r)")
+    }
+    for (r <- 1 to 2) {
+      println(s"[viol $cores] --- round $r ---")
+      t("filter-count-only") { df.where(anyFail).count() }
+      t("filter-count-nosha") {
+        val preds = compiled.filterNot(_.rule.name.startsWith("sha")).map(_.pred)
+        df.where(!preds.reduce(_ && _)).count()
+      }
+      t("full-violations") { engine.rowViolations(spark, df).count() }
+      t("verdict-agg") { engine.rowVerdicts(spark, df).count() }
+    }
+    spark.stop()
+  }
+}

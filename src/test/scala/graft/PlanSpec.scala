@@ -1,0 +1,69 @@
+package graft
+
+import graft.checks.{Referential, Uniqueness}
+import graft.core._
+import graft.data.Synth
+import graft.run.{EngineConfig, ValidationEngine}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the scale-critical plan properties must hold
+  * structurally, not just anecdotally in BENCH.md.
+  */
+class PlanSpec extends SparkSpec {
+
+  lazy val tmp: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    Synth.codeFiles(spark, 2000, repos = 50).write.mode("overwrite").parquet(s"$dir/code")
+    Synth.dimRepos(spark, 50).write.mode("overwrite").parquet(s"$dir/dim")
+    dir
+  }
+  lazy val df = spark.read.parquet(s"$tmp/code")
+  lazy val dim = spark.read.parquet(s"$tmp/dim")
+
+  def plan(d: DataFrame): String =
+    d.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("uniqueness scan is pruned to the key columns (no content read)") {
+    val p = plan(Uniqueness.duplicateKeys(df, Seq("repo", "path", "commit")))
+    val readSchemas = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("content"), s"content not pruned:\n$readSchemas")
+  }
+
+  test("small dimension → broadcast anti join; large threshold → sort-merge") {
+    val b = Referential.orphans(df, dim, Seq("repo"), Seq("repo"))
+    assert(b.strategy === "broadcast-hash")
+    assert(plan(b.orphans).contains("BroadcastHashJoin"))
+    val s = Referential.orphans(df, dim, Seq("repo"), Seq("repo"), broadcastMaxRows = 0)
+    assert(s.strategy === "sort-merge")
+    assert(plan(s.orphans).contains("SortMergeJoin"))
+    // both must agree
+    assert(b.orphans.count() === s.orphans.count())
+  }
+
+  test("verdict totals use partial aggregation (map-side combine before exchange)") {
+    val engine = new ValidationEngine(RuleSuite(Seq(Required("r", "repo"))),
+      EngineConfig(numParts = 8))
+    val p = plan(engine.partTotals(df))
+    val idx = p.indexOf("Exchange")
+    assert(idx > 0)
+    assert(p.take(idx).contains("HashAggregate"), "no partial agg before shuffle")
+  }
+
+  test("filter + projection push down to the parquet scan") {
+    val p = plan(df.select("repo", "lang").where(col("lang") === "scala"))
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,scala)]"), p)
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("repo") && rs.contains("lang") && !rs.contains("content"))
+  }
+
+  test("violations prefilter runs inside whole-stage codegen on the scan side") {
+    val engine = new ValidationEngine(RuleSuite(Seq(
+      Required("req_repo", "repo"),
+      MatchesPattern("pat_commit", "commit", "^[0-9a-f]{40}$"))),
+      EngineConfig(numParts = 8))
+    val p = plan(engine.rowViolations(spark, df).toDF())
+    assert(p.contains("Filter [codegen id"), "prefilter not codegen'd:\n" + p.take(800))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.core._
+import graft.rules.RuleCompiler
+import graft.checks.Uniqueness
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based (ScalaCheck generators driven directly): compiled Column
+  * predicates agree with a naive Scala evaluation of the same rule on random
+  * data, and the salted uniqueness path equals the naive one on random
+  * skewed key distributions.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    Iterator.from(0)
+      .map(k => g.apply(Gen.Parameters.default, Seed(seed + 7919L * k)))
+      .collectFirst { case Some(v) => v }.get
+
+  private val strGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.oneOf("scala", "rust", "klingon", "", "0123abcd", "UPPER"),
+    Gen.const(null: String))
+
+  private def naive(r: RowRule, v: Option[String]): Boolean = r match {
+    case Required(_, _)      => v.isDefined
+    case EnumIn(_, _, vs)    => v.forall(vs.contains)
+    case ConstEq(_, _, c)    => v.forall(_ == c)
+    case MatchesPattern(_, _, re) =>
+      v.forall(x => java.util.regex.Pattern.compile(re).matcher(x).find())
+    case MinLength(_, _, n)  => v.forall(_.length >= n)
+    case MaxLength(_, _, n)  => v.forall(_.length <= n)
+    case _ => sys.error("not covered here")
+  }
+
+  private val ruleGen: Gen[RowRule] = Gen.oneOf(
+    Gen.const(Required("r", "v")),
+    Gen.someOf(Seq("scala", "rust", "go", "0123abcd")).suchThat(_.nonEmpty)
+      .map(vs => EnumIn("r", "v", vs.toSeq)),
+    Gen.oneOf("^[0-9a-f]+$", "^[a-z]+$", "a", "^UP").map(MatchesPattern("r", "v", _)),
+    Gen.choose(0, 10).map(MinLength("r", "v", _)),
+    Gen.choose(0, 10).map(MaxLength("r", "v", _)),
+    Gen.oneOf("scala", "").map(ConstEq("r", "v", _)))
+
+  test("compiled predicate == naive row-by-row evaluation (40 random cases)") {
+    for (i <- 1 to 40) {
+      val rule = sample(ruleGen, 1000 + i)
+      val values = sample(Gen.listOfN(30, strGen), 2000 + i)
+      val df = values.map(Option(_)).toDF("v")
+      val got = df.select(RuleCompiler.predicate(rule).as("p"))
+        .collect().map(_.getBoolean(0)).toSeq
+      val want = values.map(v => naive(rule, Option(v)))
+      assert(got === want, s"case $i rule=$rule values=$values")
+    }
+  }
+
+  test("salted duplicate detection == naive groupBy (10 random skewed tables)") {
+    val keyGen = Gen.frequency((8, Gen.const("hot")), (3, Gen.oneOf("a", "b", "c")),
+      (2, Gen.alphaNumStr.map(_.take(4))))
+    for (i <- 1 to 10) {
+      val pairs = sample(Gen.listOfN(200, Gen.zip(keyGen, Gen.choose(0, 3))), 3000 + i)
+      val df = pairs.map { case (k, s) => (k, s.toString) }.toDF("k1", "k2")
+      val salted = Uniqueness.duplicateKeys(df, Seq("k1", "k2"))
+        .orderBy("k1", "k2").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val naive = Uniqueness.duplicateKeysNaive(df, Seq("k1", "k2"))
+        .orderBy("k1", "k2").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(salted.toSeq === naive.toSeq, s"case $i")
+    }
+  }
+}
