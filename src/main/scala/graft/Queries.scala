@@ -242,8 +242,42 @@ object Queries {
         .agg(array_sort(collect_set(col("source"))).as("sources"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
+    }),
+
+    // §2.2 the reference's Filter/ConditionSet/Condition predicate DSL
+    // (tools.rs:259-376): OR of condition-sets, AND within a set
+    "q_filter_dsl" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(graft.rules.ConditionFilter.compile(FilterDslExpr))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // §2.1 load_urls analog: several sources → one frame, missing columns
+    // reconciled as nulls, provenance column attached
+    "q_source_union" -> ((s, dir) => {
+      graft.sources.Sources.loadMany(s,
+        Seq(s"$dir/nation.parquet", s"$dir/region.parquet"))
+        .select(
+          regexp_replace(col("__source"), ".*/", "").as("src"),
+          coalesce(col("n_nationkey"), col("r_regionkey")).as("key"),
+          coalesce(col("n_name"), col("r_name")).as("name"))
+        .orderBy("src", "key")
+    }),
+
+    // §2.2 skip-unused-models analog: retain rows referenced by kept
+    // operations via left_semi (and its anti complement is q_referential)
+    "q_semijoin_retain" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").where(col("l_quantity") > 45)
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .select("p_partkey", "p_brand")
+        .orderBy("p_partkey")
     })
   )
+
+  /** Shared between the Spark query and its oracle. */
+  val FilterDslExpr = "lang==en,source!=src3 lang==zh"
 
   // ---------------------------------------------------------------- oracles
 
@@ -359,6 +393,20 @@ object Queries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_group_collect" ->
       """SELECT lang, list_sort(list(DISTINCT source)) AS sources, count(*) AS n_docs
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_filter_dsl" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${graft.rules.ConditionFilter.toSql(graft.rules.ConditionFilter.parse(FilterDslExpr))}
+         |ORDER BY doc_id""".stripMargin,
+    "q_source_union" ->
+      """SELECT 'nation.parquet' AS src, n_nationkey AS key, n_name AS name FROM nation
+        |UNION ALL
+        |SELECT 'region.parquet' AS src, r_regionkey AS key, r_name AS name FROM region
+        |ORDER BY src, key""".stripMargin,
+    "q_semijoin_retain" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity > 45)
+        |ORDER BY p_partkey""".stripMargin
   )
 }

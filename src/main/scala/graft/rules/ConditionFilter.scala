@@ -1,0 +1,53 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's predicate DSL (`tools::Filter` / `ConditionSet` /
+  * `Condition`, tools.rs:259-376): an OR of condition-sets, AND within a
+  * set, conditions being `field == value` / `field != value` over JSON
+  * pointers — compiled here to a Catalyst Column over table columns.
+  *
+  * String form mirrors the reference CLI syntax, e.g.
+  * `"lang==scala,source!=src3 lang==rust"` = (lang==scala AND source!=src3)
+  * OR (lang==rust). Null semantics: == is null-safe-false, != is
+  * null-safe-true for non-null literals (a missing field never equals).
+  */
+object ConditionFilter {
+
+  final case class Condition(field: String, op: String, value: String)
+  final case class ConditionSet(conds: Seq[Condition])
+  final case class Filter(sets: Seq[ConditionSet])
+
+  def parse(s: String): Filter =
+    Filter(s.trim.split("\\s+").toSeq.filter(_.nonEmpty).map { setStr =>
+      ConditionSet(setStr.split(",").toSeq.filter(_.nonEmpty).map { c =>
+        c.split("!=|==", 2) match {
+          case Array(f, v) if c.contains("!=") => Condition(f.trim, "!=", v.trim)
+          case Array(f, v) => Condition(f.trim, "==", v.trim)
+          case _ => sys.error(s"bad condition '$c'")
+        }
+      })
+    })
+
+  def compile(f: Filter): Column =
+    f.sets.map { set =>
+      set.conds.map {
+        case Condition(field, "==", v) => col(field) <=> lit(v)
+        case Condition(field, "!=", v) => !(col(field) <=> lit(v))
+        case Condition(_, op, _) => sys.error(s"unknown op '$op'")
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+
+  def compile(s: String): Column = compile(parse(s))
+
+  /** DuckDB mirror of the same filter (IS NOT DISTINCT FROM = null-safe =). */
+  def toSql(f: Filter): String =
+    f.sets.map { set =>
+      set.conds.map {
+        case Condition(field, "==", v) => s"$field IS NOT DISTINCT FROM '$v'"
+        case Condition(field, "!=", v) => s"$field IS DISTINCT FROM '$v'"
+        case Condition(_, op, _) => sys.error(s"unknown op '$op'")
+      }.mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+}

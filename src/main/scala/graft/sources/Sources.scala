@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source loading mirroring the reference's multi-document semantics:
+  * `Schema::load_urls` wraps several files into ONE logical document
+  * (schema.rs:116-131); here several parquet sources become one DataFrame
+  * via unionByName with missing-column reconciliation (a source lacking a
+  * column contributes nulls — the row-oriented analog of a JSON document
+  * missing a key). A `__source` lineage column records provenance, like the
+  * reference tagging every Schema with its URL (schema.rs:9-13).
+  */
+object Sources {
+
+  def loadMany(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "no sources")
+    val dfs = paths.map(p => spark.read.parquet(p).withColumn("__source", lit(p)))
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Keyed document store (SchemaStorage analog, storage.rs:8-63): each
+    * source loaded exactly once, cached, addressed by name. Dimension tables
+    * for referential checks flow through this.
+    */
+  final class Store(spark: SparkSession) {
+    private val cache = scala.collection.mutable.Map[String, DataFrame]()
+    def get(path: String): DataFrame =
+      cache.getOrElseUpdate(path, spark.read.parquet(path).persist())
+    def names: Set[String] = cache.keySet.toSet
+  }
+}

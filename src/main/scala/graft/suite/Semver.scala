@@ -1,0 +1,44 @@
+package graft.suite
+
+/** Semver parse/compare/bump — the reference's bump-openapi version logic
+  * (process/bump_openapi.rs:47-108): compare two snapshots' component
+  * versions and derive the root bump (major beats minor beats patch).
+  * Driver-side (versions live in run/baseline metadata, not in data rows).
+  */
+final case class Semver(major: Int, minor: Int, patch: Int) extends Ordered[Semver] {
+  def compare(that: Semver): Int =
+    Ordering[(Int, Int, Int)].compare((major, minor, patch),
+      (that.major, that.minor, that.patch))
+  def bumpMajor: Semver = Semver(major + 1, 0, 0)
+  def bumpMinor: Semver = Semver(major, minor + 1, 0)
+  def bumpPatch: Semver = Semver(major, minor, patch + 1)
+  override def toString = s"$major.$minor.$patch"
+}
+
+object Semver {
+  def parse(s: String): Semver = s.split("\\.", 3) match {
+    case Array(ma, mi, pa) => Semver(ma.toInt, mi.toInt, pa.toInt.max(0))
+    case Array(ma, mi) => Semver(ma.toInt, mi.toInt, 0)
+    case _ => sys.error(s"bad semver '$s'")
+  }
+
+  sealed trait Bump
+  case object Major extends Bump
+  case object Minor extends Bump
+  case object Patch extends Bump
+  case object NoBump extends Bump
+
+  /** Bump kind between two versions of the same component. */
+  def diff(from: Semver, to: Semver): Bump =
+    if (to.major != from.major) Major
+    else if (to.minor != from.minor) Minor
+    else if (to.patch != from.patch) Patch
+    else NoBump
+
+  /** Root bump = max severity across component diffs (bump_openapi.rs:35-108). */
+  def rootBump(diffs: Seq[Bump]): Bump =
+    if (diffs.contains(Major)) Major
+    else if (diffs.contains(Minor)) Minor
+    else if (diffs.contains(Patch)) Patch
+    else NoBump
+}

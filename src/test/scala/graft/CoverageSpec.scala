@@ -1,0 +1,73 @@
+package graft
+
+import graft.rules.ConditionFilter
+import graft.sources.Sources
+import graft.suite.Semver
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Units for the smaller SURVEY §2 operator analogs. */
+class ConditionFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("filter DSL: OR of sets, AND within set, null-safe ops (tools.rs:259-376)") {
+    val f = ConditionFilter.parse("lang==en,src!=a lang==zh")
+    assert(f.sets.size === 2)
+    assert(f.sets.head.conds === Seq(
+      ConditionFilter.Condition("lang", "==", "en"),
+      ConditionFilter.Condition("src", "!=", "a")))
+    val df = Seq(
+      ("en", "a"), ("en", "b"), ("zh", "a"), ("de", "b"), (null, "b"))
+      .toDF("lang", "src")
+    val got = df.where(ConditionFilter.compile(f)).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("en", "b"), ("zh", "a")))
+    // null lang: == never matches, != of a non-null literal matches
+    val f2 = ConditionFilter.parse("lang!=en")
+    val got2 = df.where(ConditionFilter.compile(f2)).count()
+    assert(got2 === 3) // zh, de, null
+  }
+
+  test("multi-source load reconciles missing columns and tags provenance (schema.rs:116-131)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/one")
+    Seq((2, 3.5)).toDF("a", "c").write.parquet(s"$dir/two")
+    val all = Sources.loadMany(spark, Seq(s"$dir/one", s"$dir/two"))
+      .orderBy("a").collect()
+    assert(all.length === 2)
+    assert(all(0).getAs[String]("b") === "x")
+    assert(all(0).isNullAt(all(0).fieldIndex("c")))
+    assert(all(1).isNullAt(all(1).fieldIndex("b")))
+    assert(all.map(_.getAs[String]("__source")).distinct.length === 2)
+  }
+
+  test("document store loads each source once (storage.rs:35-47)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/one")
+    val store = new Sources.Store(spark)
+    val d1 = store.get(s"$dir/one")
+    val d2 = store.get(s"$dir/one")
+    assert(d1 eq d2)
+  }
+}
+
+class SemverSpec extends AnyFunSuite {
+  import Semver._
+
+  test("parse / compare / bump (bump_openapi.rs:47-108)") {
+    assert(parse("1.2.3") === Semver(1, 2, 3))
+    assert(parse("1.2") === Semver(1, 2, 0))
+    assert(parse("2.0.0") > parse("1.9.9"))
+    assert(Semver(1, 2, 3).bumpMinor === Semver(1, 3, 0))
+    assert(Semver(1, 2, 3).bumpMajor === Semver(2, 0, 0))
+  }
+
+  test("root bump = max severity across component diffs") {
+    assert(diff(parse("1.2.3"), parse("1.2.4")) === Patch)
+    assert(diff(parse("1.2.3"), parse("1.3.0")) === Minor)
+    assert(diff(parse("1.2.3"), parse("2.0.0")) === Major)
+    assert(rootBump(Seq(Patch, Minor, NoBump)) === Minor)
+    assert(rootBump(Seq(Patch, Major, Minor)) === Major)
+    assert(rootBump(Seq(NoBump, NoBump)) === NoBump)
+  }
+}
