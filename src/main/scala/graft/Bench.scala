@@ -58,10 +58,10 @@ object Bench {
       r.verdicts.collect()
       r.violations.write.mode("overwrite").parquet(s"$dataDir/_scratch_violations")
       r.stats.collect()
+      r.cleanup()
     }
-    // table checks persist small intermediates; identical plans in the NEXT
-    // eval would silently reuse them via the CacheManager → clear for honest
-    // repeated measurement
+    // cleanup() released the run's own intermediates; clearCache additionally
+    // drops anything else so the NEXT eval can't silently reuse cached plans
     spark.catalog.clearCache()
     sec
   }

@@ -236,10 +236,12 @@ object Queries {
     }),
 
     // §2.5 tag grouping analog: per-group sorted distinct collection
+    // (serialized to a CSV string: the driver's pandas-based compare cannot
+    // hash array-typed cells — see CORRECTNESS_r01 q_group_collect)
     "q_group_collect" -> ((s, dir) => {
       t(s, dir, "documents")
         .groupBy("lang")
-        .agg(array_sort(collect_set(col("source"))).as("sources"),
+        .agg(array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
           count(lit(1)).as("n_docs"))
         .orderBy("lang")
     }),
@@ -304,8 +306,8 @@ object Queries {
   }
 
   private val chi2Oracle: String =
-    """WITH cur AS (SELECT coalesce(lang, ' NULL') AS v, count(*) AS o FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
-      | base AS (SELECT coalesce(lang, ' NULL') AS v, count(*) AS b FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    """WITH cur AS (SELECT coalesce(lang, chr(0) || 'NULL') AS v, count(*) AS o FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      | base AS (SELECT coalesce(lang, chr(0) || 'NULL') AS v, count(*) AS b FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
       | j AS (SELECT CAST(coalesce(o, 0) AS DOUBLE) AS o, CAST(coalesce(b, 0) AS DOUBLE) AS b
       |       FROM cur FULL OUTER JOIN base ON cur.v = base.v),
       | tot AS (SELECT sum(o) AS so, sum(b) AS sb FROM j),
@@ -392,7 +394,8 @@ object Queries {
         | count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_group_collect" ->
-      """SELECT lang, list_sort(list(DISTINCT source)) AS sources, count(*) AS n_docs
+      """SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+        | count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_filter_dsl" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -58,10 +58,12 @@ object QueriesPipeline {
       Dedup.jaccardPairs(nearDupCorpus(s, dir), "id", "text", n = 3, minJ = 0.5)
         .orderBy("id_a", "id_b")),
 
-    // dedup: MinHash signatures (first 30 docs, bit-for-bit vs oracle)
+    // dedup: MinHash signatures (first 30 docs, bit-for-bit vs oracle;
+    // JSON-serialized because the driver's pandas compare can't hash arrays)
     "q_minhash_sig" -> ((s, dir) =>
       t(s, dir, "documents").where(col("doc_id") < 30)
-        .select(col("doc_id"), Dedup.minHashSignature(col("text")).as("sig"))
+        .select(col("doc_id"),
+          to_json(Dedup.minHashSignature(col("text"))).as("sig"))
         .orderBy("doc_id")),
 
     // dedup: MinHash LSH banding → candidate pairs ≥ estimated Jaccard
@@ -186,7 +188,8 @@ object QueriesPipeline {
   private val minhashSigOracle =
     s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 30),
        | $shingleCte
-       |SELECT id AS doc_id, $sigExpr AS sig FROM shl ORDER BY doc_id""".stripMargin
+       |SELECT id AS doc_id, '[' || array_to_string($sigExpr, ',') || ']' AS sig
+       |FROM shl ORDER BY doc_id""".stripMargin
 
   private val minhashPairsOracle = {
     val bandEq = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>

@@ -19,18 +19,35 @@ object Referential {
 
   final case class Result(orphans: DataFrame, strategy: String, dimRows: Long)
 
+  /** Estimated row count of the dimension's key projection WITHOUT running a
+    * job: Catalyst plan statistics (file-size-derived for parquet sources) /
+    * the plan's output row width — the sandbox stand-in for catalog/Iceberg
+    * row-count stats at cluster scale. A misestimate only ever flips the join
+    * strategy (both strategies are result-identical, see
+    * q_referential vs q_referential_smj), never the result.
+    */
+  private def estimateRows(dimProj: DataFrame): Long = {
+    val plan = dimProj.queryExecution.optimizedPlan
+    val bytes = plan.stats.sizeInBytes
+    val rowWidth = math.max(plan.output.map(a => a.dataType.defaultSize + 8).sum, 1)
+    if (bytes >= BigInt(Long.MaxValue)) Long.MaxValue
+    else math.max((bytes / rowWidth).toLong, 1L)
+  }
+
   /** @param broadcastMaxRows dimension row budget for broadcasting; with
     *   ~100-byte dim rows the default (10M) stays within a 1-2 GB broadcast,
     *   appropriate for large-executor clusters; tune down for small ones.
+    *   0 forces the sort-merge path.
+    * @param dimRowsHint exact dimension cardinality when the caller already
+    *   knows it (catalog stats, a prior count) — skips the estimate.
     */
   def orphans(fact: DataFrame, dim: DataFrame, factKeys: Seq[String], dimKeys: Seq[String],
-              broadcastMaxRows: Long = 10000000L): Result = {
+              broadcastMaxRows: Long = 10000000L,
+              dimRowsHint: Option[Long] = None): Result = {
     val dimProj = dimKeys.zip(factKeys).foldLeft(dim.select(dimKeys.map(col): _*)) {
       case (d, (dk, fk)) => if (dk == fk) d else d.withColumnRenamed(dk, fk)
     }.distinct()
-    // Cheap count on the (pruned, distinct) key projection. At cluster scale
-    // this would come from catalog/Iceberg stats instead of a count job.
-    val n = dimProj.count()
+    val n = dimRowsHint.getOrElse(estimateRows(dimProj))
     val cond = factKeys.map(k => fact(k) <=> dimProj(k)).reduce(_ && _)
     if (n <= broadcastMaxRows)
       Result(fact.join(broadcast(dimProj), cond, "left_anti"), "broadcast-hash", n)

@@ -138,12 +138,20 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-    cand.withColumn("est_jaccard",
+    val scored = cand.withColumn("est_jaccard",
         round(aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0L), (acc, v) => acc + v)
           .cast("double") / NumHashes, 6))
       .where(col("est_jaccard") >= minEst)
       .select("id_a", "id_b", "est_jaccard")
+    // Materialize the (small) pair set eagerly so the two barrier persists
+    // can be RELEASED here instead of leaking block-manager memory across a
+    // long-lived session; localCheckpoint also cuts the lineage so callers
+    // can't accidentally recompute the interpreted hashing stages.
+    val result = scored.localCheckpoint(true)
+    withShs.unpersist()
+    withSig.unpersist()
+    result
   }
 
   /** 32-bit SimHash per document. */

@@ -22,11 +22,17 @@ object ConditionFilter {
   def parse(s: String): Filter =
     Filter(s.trim.split("\\s+").toSeq.filter(_.nonEmpty).map { setStr =>
       ConditionSet(setStr.split(",").toSeq.filter(_.nonEmpty).map { c =>
-        c.split("!=|==", 2) match {
-          case Array(f, v) if c.contains("!=") => Condition(f.trim, "!=", v.trim)
-          case Array(f, v) => Condition(f.trim, "==", v.trim)
-          case _ => sys.error(s"bad condition '$c'")
-        }
+        // the operator is whichever token actually splits the string (its
+        // first occurrence) — a value containing "!=" after an earlier "=="
+        // must not flip the semantics (cf. tools.rs ConditionOperator)
+        val iEq = c.indexOf("==")
+        val iNe = c.indexOf("!=")
+        val op =
+          if (iNe >= 0 && (iEq < 0 || iNe < iEq)) "!="
+          else if (iEq >= 0) "=="
+          else sys.error(s"bad condition '$c'")
+        val idx = if (op == "==") iEq else iNe
+        Condition(c.substring(0, idx).trim, op, c.substring(idx + 2).trim)
       })
     })
 

@@ -1,6 +1,7 @@
 package graft.run
 
 import graft.core._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,12 +13,15 @@ import org.apache.spark.sql.functions._
   * Layout under `dir`:
   *   manifest/   CheckpointRow parquet: (snapshotId, part, ruleSetHash,
   *               evaluated, violations, wallMs) — append-only lineage.
-  *   verdicts/   partitioned by __batch, dynamic-overwrite per batch.
-  *   violations/ partitioned by __batch, dynamic-overwrite per batch.
+  *   verdicts/   partitioned by (snapshotId, ruleSetHash, part).
+  *   violations/ partitioned by (snapshotId, ruleSetHash, part).
   *
-  * Idempotency: a batch rerun overwrites exactly its own partition
-  * directories (partitionOverwriteMode=dynamic) and manifest rows are
-  * deduplicated on read by (snapshotId, part, ruleSetHash) — so a job killed
+  * Idempotency: outputs are partitioned by the LOGICAL partition id (plus the
+  * lineage keys), not by the batch — so a rerun overwrites exactly the
+  * partition directories it recomputes (partitionOverwriteMode=dynamic), and
+  * resuming with a DIFFERENT `batches` value is safe: the overwrite target of
+  * part p is stable no matter which batch slice recomputes it. Manifest rows
+  * are deduplicated on read by (snapshotId, part, ruleSetHash). A job killed
   * mid-batch and rerun produces identical final outputs with no duplicated
   * violations.
   *
@@ -25,16 +29,22 @@ import org.apache.spark.sql.functions._
   * (completed parts skipped). At cluster scale the fact table would be
   * stored bucketed by the same repo-hash so each batch's filter prunes
   * files; on the unpartitioned sandbox input the filter is evaluated in the
-  * scan (still one pass per batch).
+  * scan (still one pass per batch). All filesystem access goes through the
+  * Hadoop FileSystem API, so `dir` may live on HDFS/S3, not just local disk.
   */
 object Checkpoint {
 
   final case class RunReport(ranBatches: Int, skippedParts: Int, totalParts: Int)
 
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   def completedParts(spark: SparkSession, dir: String, snapshotId: String,
                      ruleSetHash: String): Set[Int] = {
     val path = s"$dir/manifest"
-    if (!new java.io.File(path).exists()) return Set.empty
+    if (!exists(spark, path)) return Set.empty
     spark.read.parquet(path)
       .where(col("snapshotId") === snapshotId && col("ruleSetHash") === ruleSetHash)
       .select("part").distinct().collect().map(_.getInt(0)).toSet
@@ -54,6 +64,7 @@ object Checkpoint {
     val remainingBatches = (0 until batches)
       .map(b => b -> (b until numParts by batches).filterNot(done.contains))
       .filter(_._2.nonEmpty)
+    val lineage = Seq(lit(snapshotId).as("snapshotId"), lit(hash).as("ruleSetHash"))
     var ran = 0
     remainingBatches.foreach { case (b, parts) =>
       failAfterBatches.foreach(k => if (ran >= k)
@@ -62,20 +73,21 @@ object Checkpoint {
       val slice = engine.partitioned(df).where(col(engine.PartCol) % batches === b)
       // one heavy scan per batch: violations; verdicts derive from them
       val violDf = engine.rowViolations(spark, slice).toDF().persist()
-      violDf.withColumn("__batch", lit(b))
+      violDf.select(col("*") +: lineage: _*)
         .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(s"$dir/violations")
-      engine.verdictGrid(spark, violDf, engine.partTotals(slice))
-        .withColumn("__batch", lit(b))
+        .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/violations")
+      val verdictDf = engine.verdictGrid(spark, violDf, engine.partTotals(slice))
+        .toDF().persist()
+      verdictDf.select(col("*") +: lineage: _*)
         .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(s"$dir/verdicts")
+        .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/verdicts")
       violDf.unpersist()
       val wallMs = (System.nanoTime() - t0) / 1000000L
       import spark.implicits._
       // manifest covers EVERY part of the batch — a hash-empty partition is
-      // still "validated" (evaluated=0) and must not be re-run on resume
-      val agg = spark.read.parquet(s"$dir/verdicts")
-        .where(col("__batch") === b)
+      // still "validated" (evaluated=0) and must not be re-run on resume.
+      // Aggregated from the same in-memory grid that was just written.
+      val agg = verdictDf
         .groupBy(col("part")).agg(max("evaluated").as("evaluated"),
           sum("violations").as("violations"))
       val manifestRows = parts.toDF("part")
@@ -87,16 +99,18 @@ object Checkpoint {
           lit(wallMs).as("wallMs"))
         .as[CheckpointRow]
       manifestRows.write.mode(SaveMode.Append).parquet(s"$dir/manifest")
+      verdictDf.unpersist()
       ran += 1
     }
     RunReport(ran, done.size, numParts)
   }
 
+  /** All verdict rows across lineage keys (callers filter/aggregate). */
   def verdicts(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/verdicts").drop("__batch")
+    spark.read.parquet(s"$dir/verdicts").drop("snapshotId", "ruleSetHash")
 
   def violations(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/violations").drop("__batch")
+    spark.read.parquet(s"$dir/violations").drop("snapshotId", "ruleSetHash")
 
   def manifest(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/manifest")

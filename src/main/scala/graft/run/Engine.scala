@@ -29,7 +29,14 @@ final case class EngineConfig(
 final case class RunResult(
     verdicts: Dataset[Verdict],
     violations: Dataset[Violation],
-    stats: DataFrame)
+    stats: DataFrame,
+    persisted: Seq[DataFrame] = Nil) {
+  /** Release the run's persisted intermediates. Call once every output has
+    * been materialized — long-lived sessions otherwise accumulate cached
+    * blocks across runs.
+    */
+  def cleanup(): Unit = persisted.foreach { df => df.unpersist(); () }
+}
 
 /** The validation engine: schema-tools' `validate` command re-expressed as
   * two Spark jobs over the fact table, however many rules the suite holds.
@@ -126,19 +133,26 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
   }
 
   /** Table-rule verdicts + violations. `dims` maps RefIntegrity.dim names to
-    * loaded dimension DataFrames; `baseline` feeds the drift rules.
+    * loaded dimension DataFrames; `baseline` feeds the drift rules. The third
+    * element is the list of persisted intermediates — unpersist them once the
+    * returned planes have been materialized (RunResult.cleanup does this).
     */
   def tableChecks(spark: SparkSession, df: DataFrame, dims: Map[String, DataFrame],
-                  baseline: Option[DataFrame]): (Dataset[Verdict], Dataset[Violation]) = {
+                  baseline: Option[DataFrame]): (Dataset[Verdict], Dataset[Violation], Seq[DataFrame]) = {
     import spark.implicits._
     val pdf = partitioned(df)
     var verdicts = spark.emptyDataset[Verdict].toDF()
     var violations = spark.emptyDataset[Violation].toDF()
+    val persisted = Seq.newBuilder[DataFrame]
     // tiny (numParts rows); persisted because both the verdict and the
     // violation planes consume it in separate actions
-    lazy val partTotals = pdf
-      .select((PartCol +: cfg.rowRefCols.filter(df.columns.contains)).map(col): _*)
-      .groupBy(col(PartCol)).agg(count(lit(1)).as("evaluated")).persist()
+    lazy val partTotals = {
+      val t = pdf
+        .select((PartCol +: cfg.rowRefCols.filter(df.columns.contains)).map(col): _*)
+        .groupBy(col(PartCol)).agg(count(lit(1)).as("evaluated")).persist()
+      persisted += t
+      t
+    }
 
     /** Key/ref-only projection: table checks must never drag the fat
       * `content` column through their scans and shuffles.
@@ -155,6 +169,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
       val badWithRef = bad
         .select(col(PartCol), rowRef(bad).as("rowRef"), detail.as("detail"))
         .persist()
+      persisted += badWithRef
       violations = violations.unionByName(
         badWithRef.select(col(PartCol).as("part"), lit(ruleName).as("rule"),
           col("rowRef"), col("detail")))
@@ -189,7 +204,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
           Verdict(-1, name, bins.toLong, if (r.statistic <= maxStat) 0L else 1L,
             r.statistic <= maxStat)).toDS().toDF())
     }
-    (verdicts.as[Verdict], violations.as[Violation])
+    (verdicts.as[Verdict], violations.as[Violation], persisted.result())
   }
 
   /** Full run: one codegen'd scan for ALL rule verdicts, one scan for ALL
@@ -216,8 +231,9 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     val rviol = rowViolations(spark, df).toDF().persist()
     val rv = verdictGrid(spark, rviol, partTotals(df))
     val stats = StatsCollector.collect(partitioned(df), statsCols, PartCol)
-    val (tv, tviol) = tableChecks(spark, df, dims, baseline)
+    val (tv, tviol, tablePersisted) = tableChecks(spark, df, dims, baseline)
     import spark.implicits._
-    RunResult(rv.unionByName(tv), rviol.as[Violation].unionByName(tviol), stats)
+    RunResult(rv.unionByName(tv), rviol.as[Violation].unionByName(tviol), stats,
+      rviol +: tablePersisted)
   }
 }

@@ -94,11 +94,12 @@ object Main {
         println(f"[graft] ${"rule"}%-22s ${"evaluated"}%12s ${"violations"}%12s")
         verdicts.foreach(r =>
           println(f"[graft] ${r.getString(0)}%-22s ${r.getLong(1)}%12d ${r.getLong(2)}%12d"))
-        val (tv, _) = phase("table-checks") {
+        val (tv, _, tablePersisted) = phase("table-checks") {
           engine.tableChecks(spark, df, dims, Some(baseline))
         }
         tv.groupBy("rule").agg(sum("violations").as("v")).orderBy("rule").collect()
           .foreach(r => println(f"[graft] ${r.getString(0)}%-22s ${"" }%12s ${r.getLong(1)}%12d"))
+        tablePersisted.foreach { p => p.unpersist(); () }
       case None =>
         val result = phase("plan") { engine.run(spark, df, dims, Some(baseline)) }
         val verdicts = phase("verdicts") { result.verdicts.collect() }

@@ -16,10 +16,16 @@ final case class Semver(major: Int, minor: Int, patch: Int) extends Ordered[Semv
 }
 
 object Semver {
-  def parse(s: String): Semver = s.split("\\.", 3) match {
-    case Array(ma, mi, pa) => Semver(ma.toInt, mi.toInt, pa.toInt.max(0))
-    case Array(ma, mi) => Semver(ma.toInt, mi.toInt, 0)
-    case _ => sys.error(s"bad semver '$s'")
+  // tolerate (and ignore) prerelease/build-metadata suffixes like the
+  // reference's semver crate (bump_openapi.rs:137-144 accepts 1.2.3-alpha,
+  // 1.2.3+build); reject anything else with a clear error
+  private val Full = """^(\d+)\.(\d+)\.(\d+)(?:[-+].*)?$""".r
+  private val TwoPart = """^(\d+)\.(\d+)$""".r
+
+  def parse(s: String): Semver = s.trim match {
+    case Full(ma, mi, pa) => Semver(ma.toInt, mi.toInt, pa.toInt)
+    case TwoPart(ma, mi) => Semver(ma.toInt, mi.toInt, 0)
+    case other => sys.error(s"bad semver '$other'")
   }
 
   sealed trait Bump

@@ -32,7 +32,7 @@ object ScaleProbe {
       println(s"[probe $cores] --- round $round ---")
       t("rowVerdicts") { engine.rowVerdicts(spark, df).count() }
       t("rowViolations") { engine.rowViolations(spark, df).count() }
-      val (tv, tviol) = engine.tableChecks(spark, df, dims, Some(baseline))
+      val (tv, tviol, _) = engine.tableChecks(spark, df, dims, Some(baseline))
       t("tableVerdicts") { tv.count() }
       t("tableViolations") { tviol.count() }
       t("stats") { graft.stats.StatsCollector.collect(engine.partitioned(df),

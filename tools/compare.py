@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query dumped by
+graft.Verify, run its oracle SQL in DuckDB over the same parquet tables and
+compare row counts, schemas (column names), and values (sorted by all
+columns, like the driver's pandas compare). Usage:
+  python3 tools/compare.py <sfDir> <verifyOutDir> [query ...]
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+
+sf, out = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in glob.glob(f"{sf}/*.parquet"):
+    name = t.split("/")[-1].replace(".parquet", "")
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+fails = 0
+for q, sql in sorted(oracles.items()):
+    if only and q not in only:
+        continue
+    try:
+        spark_df = con.execute(
+            f"SELECT * FROM read_parquet('{out}/{q}/*.parquet')").df()
+        oracle_df = con.execute(sql).df()
+        sp = spark_df.reindex(sorted(spark_df.columns), axis=1)
+        oc = oracle_df.reindex(sorted(oracle_df.columns), axis=1)
+        if list(sp.columns) != list(oc.columns):
+            print(f"FAIL {q}: schema {list(sp.columns)} vs {list(oc.columns)}")
+            fails += 1
+            continue
+        if len(sp) != len(oc):
+            print(f"FAIL {q}: rows {len(sp)} vs {len(oc)}")
+            fails += 1
+            continue
+        sp = sp.sort_values(by=list(sp.columns)).reset_index(drop=True)
+        oc = oc.sort_values(by=list(oc.columns)).reset_index(drop=True)
+        # exact compare, like the driver's hash
+        eq = sp.astype(str).equals(oc.astype(str))
+        if eq:
+            print(f"ok   {q} ({len(sp)} rows)")
+        else:
+            diff = (sp.astype(str) != oc.astype(str)).any(axis=1)
+            print(f"FAIL {q}: value mismatch in {diff.sum()} rows, e.g.")
+            print(sp[diff].head(3))
+            print(oc[diff].head(3))
+            fails += 1
+    except Exception as e:
+        print(f"ERR  {q}: {type(e).__name__}: {str(e)[:300]}")
+        fails += 1
+print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+sys.exit(1 if fails else 0)
