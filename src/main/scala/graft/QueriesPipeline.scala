@@ -76,10 +76,22 @@ object QueriesPipeline {
       Dedup.simHash(t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text")
         .orderBy("id")),
 
-    // dedup: embedding-cosine near-duplicates within label blocks
+    // dedup: SimHash banded near-dup search (hamming ≤ 3 via 4×8-bit band
+    // equi-join; the oracle computes the all-pairs answer, so this also
+    // proves the banding is lossless at this radius)
+    "q_simhash_pairs" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
+        .unionByName(t(s, dir, "documents").where(col("doc_id") < 50)
+          .select((col("doc_id") + 100000L).as("id"), col("text")))
+      Dedup.simHashPairs(corpus, "id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // dedup: embedding-cosine near-duplicates within (label, LSH-bucket)
+    // blocks — the bounded-block scale path; oracle applies the same blocks
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(scaledEmbCorpus(s, dir), "vec_id", "embedding",
-        "label", minCos = 0.98).orderBy("id_a", "id_b")),
+        "label", minCos = 0.98, dim = 64).orderBy("id_a", "id_b")),
 
     // similarity: brute-force cosine top-k for the vec_id=0 query
     "q_ann_topk" -> ((s, dir) =>
@@ -175,7 +187,9 @@ object QueriesPipeline {
 
   private val jaccardOracle =
     s"""WITH $corpusCte, $shingleCte,
-       | sh AS (SELECT DISTINCT id, s AS sh FROM (SELECT id, unnest(shs) AS s FROM shl)),
+       | sh0 AS (SELECT DISTINCT id, s AS sh FROM (SELECT id, unnest(shs) AS s FROM shl)),
+       | rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+       | sh AS (SELECT sh0.id, sh0.sh FROM sh0 JOIN rare USING (sh)),
        | sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
        | inter AS (SELECT a.id AS ia, b.id AS ib, count(*) AS i
        |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
@@ -207,16 +221,37 @@ object QueriesPipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** 32-bit simhash of a hash-list column, DuckDB SQL (mirrors simHash32). */
+  private def sqlSimhash(hl: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, 31), b ->
+       |  CASE WHEN list_sum(list_transform($hl, h ->
+       |    (CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1)) > 0
+       |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
+
   private val simhashOracle = {
     val tokHash = sqlHash("tok", "ci")
     s"""WITH w AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
        |           FROM documents WHERE doc_id < 50),
        | hs AS (SELECT id, list_transform(ws, tok -> $tokHash) AS hl FROM w)
-       |SELECT id, CAST(list_sum(list_transform(generate_series(0, 31), b ->
-       |  CASE WHEN list_sum(list_transform(hl, h ->
-       |    (CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1)) > 0
-       |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
+       |SELECT id, ${sqlSimhash("hl")} AS simhash
        |FROM hs ORDER BY id""".stripMargin
+  }
+
+  /** All-pairs hamming ≤ 3 — proves the Spark side's banded equi-join finds
+    * exactly the same pairs (pigeonhole over 4 bands).
+    */
+  private val simhashPairsOracle = {
+    val tokHash = sqlHash("tok", "ci")
+    s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50),
+       | w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
+       | hs AS (SELECT id, list_transform(ws, tok -> $tokHash) AS hl FROM w),
+       | sg AS (SELECT id, ${sqlSimhash("hl")} AS sh FROM hs)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       | CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM sg a JOIN sg b ON a.id < b.id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Left-fold double dot product matching Spark's aggregate(zip_with(...)). */
@@ -228,16 +263,22 @@ object QueriesPipeline {
   private def sqlCos(a: String, b: String, dim: Int): String =
     s"(${sqlDot(a, b, dim, "i1")} / (sqrt(${sqlDot(a, a, dim, "i2")}) * sqrt(${sqlDot(b, b, dim, "i3")})))"
 
-  private val embedNeardupOracle =
-    s"""WITH corpus AS (SELECT vec_id, embedding, label FROM embeddings
+  private val embedNeardupOracle = {
+    val bucket = s"CAST(list_sum(list_transform(generate_series(0, ${Similarity.NumPlanes - 1}), " +
+      s"j -> CASE WHEN ${sqlPlaneDot("embedding", "j")} > 0 " +
+      s"THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT)"
+    s"""WITH corpus0 AS (SELECT vec_id, embedding, label FROM embeddings
        | UNION ALL SELECT vec_id + 100000,
        |   list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)), label
-       | FROM embeddings WHERE vec_id < 20)
+       | FROM embeddings WHERE vec_id < 20),
+       | corpus AS (SELECT vec_id, embedding, label, $bucket AS bucket FROM corpus0)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        | round(${sqlCos("a.embedding", "b.embedding", 64)}, 5) AS cos
-       |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM corpus a JOIN corpus b
+       | ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
        |WHERE round(${sqlCos("a.embedding", "b.embedding", 64)}, 5) >= 0.98
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private val annTopkOracle =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -311,6 +352,7 @@ object QueriesPipeline {
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_simhash" -> simhashOracle,
+    "q_simhash_pairs" -> simhashPairsOracle,
     "q_embed_neardup" -> embedNeardupOracle,
     "q_ann_topk" -> annTopkOracle,
     "q_ann_lsh" -> annLshOracle,

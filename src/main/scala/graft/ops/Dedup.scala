@@ -55,15 +55,28 @@ object Dedup {
   def shingleHashes(text: Column, n: Int = 3): Column =
     ColUtil.letBound(wordHashes(text))(wh => shingleHashesFromWords(wh, n))
 
-  /** Exact pairwise n-gram Jaccard ≥ minJ via a shingle inverted index:
-    * explode distinct (id, shingle) → self-join on shingle → |∩| per pair →
-    * Jaccard from set sizes. Only pairs sharing ≥1 shingle are ever
-    * materialized.
+  /** Pairwise n-gram Jaccard ≥ minJ via a shingle inverted index:
+    * explode distinct (id, shingle) → document-frequency cutoff → self-join
+    * on shingle → |∩| per pair → Jaccard from set sizes.
+    *
+    * The df cutoff is the scale guard: a shingle occurring in k documents
+    * emits k² join rows, so one stop-phrase shingle ("the quick brown") on a
+    * web corpus is a de-facto cartesian product. Shingles with df > maxDf
+    * are dropped from BOTH the index and the set sizes, so the reported
+    * value is the exact Jaccard of the *rare-shingle* sets — the standard
+    * stop-shingle construction; near-dup pairs share plenty of rare shingles,
+    * stop shingles carry no discriminating signal. Join fan-out is bounded
+    * by maxDf² per shingle. The oracle applies the identical cutoff.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, minJ: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("sh"))
+                   n: Int = 3, minJ: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val shAll = df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("sh"))
       .distinct()
+    val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("sh")
+    // consumed three times (sizes + both self-join sides); the identical
+    // exchanges are deduplicated by Catalyst ReuseExchange, no persist needed
+    val sh = shAll.join(rare, Seq("sh"), "left_semi")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -158,4 +171,39 @@ object Dedup {
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       TextAnalysis.simHash32(TextAnalysis.tokenHashes(col(textCol))).as("simhash"))
+
+  /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming, found
+    * by banding the 32-bit signature into 4 × 8-bit keys and equi-joining on
+    * (band, key) — never all-pairs. By pigeonhole, a pair with ≤ 3 differing
+    * bits has at least one of the 4 bands intact, so for maxHamming ≤ 3 the
+    * banded search is EXACT (identical to all-pairs); the oracle verifies
+    * that by computing the all-pairs answer.
+    */
+  val SimHashBands = 4
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimHashBands,
+      s"banded search is only exact for maxHamming < $SimHashBands bands")
+    // materialize signatures first: simHash32 is an interpreted higher-order
+    // lambda and must not be inlined into 4 band rows × 2 join sides
+    val sigs = simHash(df, idCol, textCol).persist()
+    val bandStructs = (0 until SimHashBands).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey")))
+    val banded = sigs.select(col("id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+    val result = pairs.localCheckpoint(true)
+    sigs.unpersist()
+    result
+  }
 }

@@ -70,13 +70,25 @@ object Similarity {
     bruteForceTopK(bucketed.where(col("bucket") === qBucket), idCol, vecCol, query, k)
   }
 
-  /** Near-duplicate pairs by cosine within a blocking column. */
+  /** Near-duplicate pairs by cosine within composite (blockCol, lshBucket)
+    * blocks. Blocking on a label alone leaves one hot label O(n²); composing
+    * it with the sign-hash bucket bounds every block: candidates must agree
+    * on all `NumPlanes` hyperplane signs, which near-identical vectors do
+    * (a scaled copy has the exact same bucket — scaling never flips a sign).
+    * Recall is therefore approximate for borderline pairs near the cosine
+    * threshold, exact for true duplicates; the oracle applies the identical
+    * blocking.
+    *
+    * @param dim embedding dimensionality (hyperplanes are generated per-dim)
+    */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                   blockCol: String, minCos: Double): DataFrame = {
+                   blockCol: String, minCos: Double, dim: Int): DataFrame = {
     val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      toDouble(col(vecCol)).as("v"))
+        toDouble(col(vecCol)).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), dim))
     v.as("a").join(v.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosine(col("a.v"), col("b.v")), 5).as("cos"))
       .where(col("cos") >= minCos)

@@ -79,10 +79,44 @@ class OpsSpec extends SparkSpec {
       .select((col("vec_id") + 1000L).as("vec_id"),
         transform(col("embedding"), x => (x * lit(2.0f)).cast("float")).as("embedding"),
         col("label")))
-    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding", "label", 0.98)
+    val pairs = Similarity.nearDupPairs(corpus, "vec_id", "embedding", "label", 0.98, dim = 64)
       .collect()
     assert(pairs.length === 5)
     assert(pairs.forall(_.getDouble(2) >= 0.99999))
+  }
+
+  test("jaccard df cutoff: a planted hot shingle cannot explode the join") {
+    // 200 docs that share one stop phrase (a hot shingle with df=200) plus
+    // distinct content; 3 planted near-dup copies
+    val base = (0 until 200).map(i =>
+      (i.toLong, s"the quick brown w${i}a w${i}b w${i}c w${i}d w${i}e"))
+    val copies = (0 until 3).map(i =>
+      (1000L + i, s"the quick brown w${i}a w${i}b w${i}c w${i}d w${i}e zzz"))
+    val corpus = (base ++ copies).toDF("id", "text")
+    val pairs = Dedup.jaccardPairs(corpus, "id", "text", minJ = 0.5, maxDf = 50).collect()
+    // the hot shingle is dropped from the index: only the 3 planted pairs
+    // (which share 5+ rare shingles each) survive; 200² hot fan-out never
+    // reaches the join
+    val planted = pairs.filter(r => r.getLong(1) === r.getLong(0) + 1000L)
+    assert(planted.length === 3)
+    assert(pairs.length === 3, s"unexpected pairs: ${pairs.mkString(";")}")
+  }
+
+  test("simhash banded pairs == all-pairs hamming (pigeonhole exactness)") {
+    val corpus = docs.where(col("doc_id") < 60).select(col("doc_id").as("id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 15)
+        .select((col("doc_id") + 1000L).as("id"), col("text")))
+    val banded = Dedup.simHashPairs(corpus, "id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // oracle: all-pairs over collected signatures
+    val sigs = Dedup.simHash(corpus, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val allPairs = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(banded === allPairs)
+    assert(banded.size >= 15) // the 15 exact copies (hamming 0) are all found
   }
 
   test("multimodal: histogram buckets sum to payload size") {
