@@ -30,6 +30,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // 32 MB split bins → ~300 balanced tasks per scan: measured (ScanProbe)
+      // the default 128 MB bins leave the last task wave ragged and ~9 of 32
+      // cores idle; 32 MB moved the heavy scan from 0.50 to 0.70 efficiency
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -41,9 +45,12 @@ object Bench {
   }
 
   /** Full rule-suite evaluation (row verdicts + violations + uniqueness +
-    * referential + drift) from parquet; returns wall seconds.
+    * referential + drift) from parquet; returns wall seconds plus the
+    * per-stage breakdown from the engine's concurrent evaluation (stage
+    * times overlap — they sum to more than the wall by design).
     */
-  private def fullSuiteEval(spark: SparkSession, dataDir: String, numParts: Int): Double = {
+  private def fullSuiteEval(spark: SparkSession, dataDir: String,
+                            numParts: Int): (Double, Map[String, Double]) = {
     val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
     val engine = new ValidationEngine(suite, EngineConfig(numParts = numParts,
       statsColumns = Seq("repo", "path", "commit", "lang", "content_len")))
@@ -52,18 +59,20 @@ object Bench {
     val baseline = spark.read.parquet(s"$dataDir/baseline")
     // collect()/write force EVERY output value: a bare count() would let
     // Catalyst prune the rule aggregates out of the plan and the "benchmark"
-    // would measure an empty aggregation.
-    val (_, sec) = time {
-      val r = engine.run(spark, df, dims, Some(baseline))
+    // would measure an empty aggregation. runConcurrent has already
+    // materialized every heavy scan into caches; the finals are tiny reads.
+    val ((stages: Map[String, Double]), sec) = time {
+      val (r, st) = engine.runConcurrent(spark, df, dims, Some(baseline))
       r.verdicts.collect()
       r.violations.write.mode("overwrite").parquet(s"$dataDir/_scratch_violations")
       r.stats.collect()
       r.cleanup()
+      st
     }
     // cleanup() released the run's own intermediates; clearCache additionally
     // drops anything else so the NEXT eval can't silently reuse cached plans
     spark.catalog.clearCache()
-    sec
+    (sec, stages)
   }
 
   def main(args: Array[String]): Unit = {
@@ -75,11 +84,13 @@ object Bench {
     // scan I/O-bound and unscalable. RAM-backed input makes the benchmark
     // measure the ENGINE (CPU) — which is also the realistic cluster regime,
     // where NVMe/page-cache feeds executors faster than they compute.
-    val dataDir = s"/dev/shm/graft_bench_${benchRows}"
+    val dataDir = s"/dev/shm/graft_bench_v2_${benchRows}"
 
     // ---- phase 1: driver-contract per-query timings at the SF dir --------
+    // (SPARK_GRAFT_SKIP_QUERIES=1 skips phase 1 for local scaling iteration)
     val spark1 = session(cpus)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = if (sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")) Nil
+      else SparkEntry.queries.toSeq.sortBy(_._1)
     val perQuery = queries.map { case (name, fn) =>
       val (_, sec) = time {
         try fn(spark1, sfDir).count()
@@ -89,16 +100,18 @@ object Bench {
     }
 
     // ---- phase 2: materialize the synthetic code table once --------------
-    // 128 output files so a 32-core read gets ≥4 tasks/core regardless of
-    // maxPartitionBytes.
+    // 512 output files: with 32 MB split bins the scan gets ~300 evenly-sized
+    // tasks, so the final wave at 32 cores stays packed (measured: util 23/32
+    // at 128 files → 27/32 at 512; the cluster-scale analog is simply "size
+    // input splits ≈ 2-4 waves per executor core").
     if (!new java.io.File(s"$dataDir/_done").exists()) {
       import graft.data.Synth
       Synth.codeFiles(spark1, benchRows).withColumn("content_len", length(col("content")))
-        .repartition(128)
+        .repartition(512)
         .write.mode("overwrite").parquet(s"$dataDir/code_files")
       Synth.baseline(spark1, benchRows)
         .withColumn("content_len", length(col("content")))
-        .repartition(128)
+        .repartition(512)
         .write.mode("overwrite").parquet(s"$dataDir/baseline")
       Synth.dimRepos(spark1).write.mode("overwrite").parquet(s"$dataDir/dim_repos")
       new java.io.File(s"$dataDir/_done").createNewFile()
@@ -106,28 +119,32 @@ object Bench {
     spark1.stop()
 
     // ---- phase 3: scaling — same job, same input, N and 4N cores ---------
-    // The sandbox host is noisily shared: identical runs vary up to ~10×
-    // minutes apart. Levels are therefore INTERLEAVED (N,4N,N,4N,…) so both
-    // levels sample the same weather, and min-of-k is reported — wall-clock
-    // noise only ever inflates a run. N=4→4N=16 stays inside the region
-    // where the host itself scales (OS-level sha256: 3.45× at 4→16 procs;
-    // only 2.9× at 8→32).
-    val levels = Seq(4, 16)
-    val samples = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
-    for (round <- 0 until 3; cores <- levels) {
+    // The BASELINE.md-mandated levels: local[8] (N) vs local[32] (4N). The
+    // sandbox host is noisily shared (identical runs vary several-fold
+    // minutes apart), so levels are INTERLEAVED (N,4N,N,4N,…) — both levels
+    // sample the same weather — and min-of-k is reported: wall-clock noise
+    // only ever inflates a run. Each eval submits its independent jobs
+    // concurrently (ValidationEngine.runConcurrent), so per-job scheduling
+    // constants overlap instead of serializing — the round-1 efficiency
+    // loss was exactly that serial fraction.
+    val levels = Seq(8, 32)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val samples = scala.collection.mutable.Map[Int, List[(Double, Map[String, Double])]]()
+      .withDefaultValue(Nil)
+    for (round <- 0 until rounds; cores <- levels) {
       val s = session(cores)
       if (round == 0) fullSuiteEval(s, dataDir, numParts = 64) // warm-up
       samples(cores) = fullSuiteEval(s, dataDir, numParts = 64) :: samples(cores)
       s.stop()
     }
-    val rates = levels.map { cores =>
-      val sec = samples(cores).min
-      cores -> (benchRows.toDouble / sec, sec)
-    }
-    val (rateN, secN) = rates.head._2
-    val (rate4N, sec4N) = rates.last._2
+    val best = levels.map(cores => cores -> samples(cores).minBy(_._1)).toMap
+    val (secN, stagesN) = best(levels.head)
+    val (sec4N, stages4N) = best(levels.last)
+    val (rateN, rate4N) = (benchRows.toDouble / secN, benchRows.toDouble / sec4N)
     val efficiency = (rate4N / rateN) / (levels.last.toDouble / levels.head)
 
+    def stagesJson(st: Map[String, Double]): String =
+      st.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString("{", ",", "}")
     val qJson = perQuery.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val totalSec = perQuery.map(_._2).sum
     println(
@@ -135,6 +152,7 @@ object Bench {
       s""""files_per_sec":${f"$rate4N%.0f"},"bench_rows":$benchRows,""" +
       s""""scaling":{"n_cores":${levels.head},"sec_n":${f"$secN%.2f"},"rate_n":${f"$rateN%.0f"},""" +
       s""""four_n_cores":${levels.last},"sec_4n":${f"$sec4N%.2f"},"rate_4n":${f"$rate4N%.0f"},""" +
-      s""""efficiency":${f"$efficiency%.3f"}}}""")
+      s""""efficiency":${f"$efficiency%.3f"},""" +
+      s""""stages_n":${stagesJson(stagesN)},"stages_4n":${stagesJson(stages4N)}}}""")
   }
 }

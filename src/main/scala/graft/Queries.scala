@@ -275,8 +275,81 @@ object Queries {
       p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
         .select("p_partkey", "p_brand")
         .orderBy("p_partkey")
+    }),
+
+    // §2.9 multi-variant oneOf + discriminated union (anyoneof/mod.rs:13-93,
+    // extractor.rs:199-260): the suite is parsed by SuiteLoader (refs,
+    // discriminator mapping and all), compiled to Column predicates, and the
+    // verdicts aggregated — loader and compiler exercised end-to-end.
+    "q_oneof_verdicts" -> ((s, dir) => {
+      val suite = graft.suite.SuiteLoader.parse(OneOfSuiteJson)
+      val eng = new ValidationEngine(suite,
+        EngineConfig(partitionKey = "source", rowRefCols = Seq("doc_id"), numParts = 16))
+      eng.rowVerdicts(s, t(s, dir, "documents"))
+        .groupBy("rule")
+        .agg(sum("evaluated").as("evaluated"), sum("violations").as("violations"))
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy("rule")
+    }),
+
+    // §2.3 minProperties/maxProperties over a map-typed payload column
+    // (keyword list jsonschema/mod.rs:466-481) — the JSON props payload is
+    // parsed to map<string,string>, widened to 2 keys on every third event
+    "q_props_bounds" -> ((s, dir) => {
+      import graft.core.{MaxProperties, MinProperties}
+      val e = t(s, dir, "events")
+      val base = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      val withMap = e.withColumn("props_map",
+        when(col("event_id") % 3 === 0,
+          map_concat(base, map(lit("et"), col("event_type")))).otherwise(base))
+      val rules = Seq(MinProperties("min_props", "props_map", 2),
+        MaxProperties("max_props", "props_map", 1))
+      val aggs = rules.map(r => sum(when(!graft.rules.RuleCompiler.predicate(r), 1L)
+        .otherwise(0L)).as(r.name))
+      val wide = withMap.agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(rules.map(r =>
+        struct(lit(r.name).as("rule"), col(r.name).as("violations"))): _*)).as("s"))
+        .select(col("s.*")).orderBy("rule")
+    }),
+
+    // §2.8 patch apply, distributed: a constant inline patch (replace /k,
+    // add /et, remove nothing) compiled once into the scan projection and
+    // applied to every row's payload map (process/patch.rs:66-79)
+    "q_patch_inline" -> ((s, dir) => {
+      import graft.ops.PatchOps
+      val e = t(s, dir, "events")
+      val m = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      val patched = PatchOps.applyFlat(m, Seq(
+        PatchOps.Replace("k", (get_json_object(col("props"), "$.k").cast("long") * 2)
+          .cast("string")),
+        PatchOps.Add("et", col("event_type"))))
+      e.select(col("event_id"), PatchOps.entriesCsv(patched).as("patched"))
+        .orderBy("event_id")
     })
   )
+
+  /** Suite for q_oneof_verdicts: a property-level keyword union plus a
+    * discriminated row union, shared verbatim with the loader tests' shapes
+    * (14-simple-one-of / 22-23-discriminator analogs).
+    */
+  val OneOfSuiteJson: String =
+    """{
+      |  "type": "object",
+      |  "properties": {
+      |    "n_chars": {"oneOf": [
+      |      {"minimum": 100, "maximum": 250},
+      |      {"minimum": 400}]}
+      |  },
+      |  "oneOf": [{"$ref": "#/$defs/En"}, {"$ref": "#/$defs/Zh"}],
+      |  "discriminator": {"propertyName": "lang", "mapping": {
+      |    "en": "#/$defs/En", "zh": "#/$defs/Zh"}},
+      |  "$defs": {
+      |    "En": {"required": ["source"], "properties": {"n_chars": {"minimum": 50}}},
+      |    "Zh": {"properties": {"n_chars": {"minimum": 60}}}
+      |  }
+      |}""".stripMargin
 
   /** Shared between the Spark query and its oracle. */
   val FilterDslExpr = "lang==en,source!=src3 lang==zh"
@@ -410,6 +483,45 @@ object Queries {
       """SELECT p_partkey, p_brand FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_partkey = p_partkey AND l_quantity > 45)
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "q_oneof_verdicts" -> {
+      // mirrors the compiled predicates: nullSafe leaf semantics, AnyOf = OR
+      // of per-variant conjunctions, discriminated = OR of tag&&constraints
+      val oneofViol =
+        """NOT ((coalesce(n_chars IS NULL OR n_chars >= 100, FALSE)
+          |      AND coalesce(n_chars IS NULL OR n_chars <= 250, FALSE))
+          |  OR coalesce(n_chars IS NULL OR n_chars >= 400, FALSE))""".stripMargin
+      val discViol =
+        """NOT ((coalesce(lang IS NULL OR lang = 'en', FALSE)
+          |       AND source IS NOT NULL
+          |       AND coalesce(n_chars IS NULL OR n_chars >= 50, FALSE))
+          |  OR (coalesce(lang IS NULL OR lang = 'zh', FALSE)
+          |       AND coalesce(n_chars IS NULL OR n_chars >= 60, FALSE)))""".stripMargin
+      Seq("oneof_n_chars" -> oneofViol, "oneof_root_discriminated" -> discViol)
+        .map { case (rule, viol) =>
+          s"""SELECT '$rule' AS rule, count(*) AS evaluated,
+             | CAST(sum(CASE WHEN $viol THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             | sum(CASE WHEN $viol THEN 1 ELSE 0 END) = 0 AS pass FROM documents""".stripMargin
+        }.mkString("SELECT rule, evaluated, violations, pass FROM (",
+          " UNION ALL ", ") ORDER BY rule")
+    },
+    "q_props_bounds" ->
+      """WITH sz AS (SELECT props,
+        |  len(json_keys(props)) + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS n
+        |  FROM events)
+        |SELECT rule, violations FROM (
+        | SELECT 'max_props' AS rule,
+        |  CAST(sum(CASE WHEN NOT coalesce(props IS NULL OR n <= 1, FALSE)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM sz
+        | UNION ALL
+        | SELECT 'min_props' AS rule,
+        |  CAST(sum(CASE WHEN NOT coalesce(props IS NULL OR n >= 2, FALSE)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM sz
+        |) ORDER BY rule""".stripMargin,
+    "q_patch_inline" ->
+      """SELECT event_id,
+        | 'et=' || event_type || ',k=' ||
+        |   CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS VARCHAR) AS patched
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }

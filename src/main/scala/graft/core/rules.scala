@@ -64,6 +64,13 @@ final case class MinItems(name: String, column: String, n: Int) extends RowRule
 final case class MaxItems(name: String, column: String, n: Int) extends RowRule
 final case class UniqueItems(name: String, column: String) extends RowRule
 
+/** minProperties/maxProperties over a map-typed column — the last two
+  * entries of the reference's keyword harvest (jsonschema/mod.rs:466-481),
+  * counting an object node's keys; here `size(map_keys(col))`.
+  */
+final case class MinProperties(name: String, column: String, n: Int) extends RowRule
+final case class MaxProperties(name: String, column: String, n: Int) extends RowRule
+
 /** Per-row invariant: sha2(contentColumn, 256) == shaColumn. */
 final case class Sha256Invariant(name: String, column: String, shaColumn: String) extends RowRule
 

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Distributed analog of `process patch inline` (reference
+  * process/patch.rs:43-49,72-77): a constant list of RFC-6902-shaped ops
+  * compiled ONCE on the driver into a Column transform and applied to a
+  * `map<string,string>` payload column per row. The driver-side document
+  * variant lives in graft.suite.JsonPatch; this is the 100 TB path — the
+  * patch is a plan-time constant, so Catalyst folds it into the scan
+  * projection (no per-row parse of the ops).
+  */
+object PatchOps {
+
+  sealed trait Op
+  final case class Add(key: String, value: Column) extends Op
+  final case class Replace(key: String, value: Column) extends Op
+  final case class Remove(key: String) extends Op
+
+  /** Apply ops to a flat string map column. add/replace both upsert (RFC
+    * add-on-object semantics); remove drops the key. map_filter is a
+    * higher-order function (interpreted per element) — acceptable because a
+    * payload map is tiny per row, unlike the row count.
+    */
+  def applyFlat(m: Column, ops: Seq[Op]): Column = ops.foldLeft(m) {
+    case (acc, Add(k, v))     => upsert(acc, k, v)
+    case (acc, Replace(k, v)) => upsert(acc, k, v)
+    case (acc, Remove(k))     => map_filter(acc, (key, _) => key =!= lit(k))
+  }
+
+  private def upsert(m: Column, k: String, v: Column): Column =
+    map_concat(map_filter(m, (key, _) => key =!= lit(k)), map(lit(k), v))
+
+  /** Canonical sorted `k=v,k2=v2` rendering (deterministic cross-engine). */
+  def entriesCsv(m: Column): Column =
+    array_join(array_sort(transform(map_entries(m),
+      e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+}

@@ -52,6 +52,8 @@ object RuleCompiler {
       case MinItems(_, _, n)   => nullSafe(size(c) >= n)
       case MaxItems(_, _, n)   => nullSafe(size(c) <= n)
       case UniqueItems(_, _)   => nullSafe(size(c) === size(array_distinct(c)))
+      case MinProperties(_, _, n) => nullSafe(size(map_keys(c)) >= n)
+      case MaxProperties(_, _, n) => nullSafe(size(map_keys(c)) <= n)
       case Sha256Invariant(_, _, shaCol) =>
         coalesce(
           (c.isNull && col(shaCol).isNull) || sha2(c, 256) === col(shaCol),

@@ -1,0 +1,158 @@
+package graft.run
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.suite._
+import java.net.URI
+import java.nio.file.{Files, Paths}
+
+/** Chain executor — the reference's `schematools chain -c '…' -c '…'`
+  * pipeline (cli/src/commands/chain.rs:58-184) over the suite-document
+  * plane:
+  *
+  *   phase LOAD    every `-c` command loads its schema; the schema argument
+  *                 `-` attaches the command to the most recent schema
+  *                 (SchemaAsReference signalling, chain.rs:99-132);
+  *   phase RESOLVE one shared storage over all root schemas so external
+  *                 fetches dedupe across steps (new_multi, chain.rs:140-148);
+  *   phase EXECUTE sequential command loop; after each `process` step the
+  *                 mutated schema is written back into storage so later
+  *                 steps resolve against updated bodies (chain.rs:150-178).
+  *
+  * Command vocabulary (the engine's distributed analog of codegen/registry
+  * steps lives in the query surface instead):
+  *   process dereference <path|-> [--skip-root-internal-references]
+  *       [--no-create-internal-references] [--skip-references h1,h2]
+  *   process merge-all-of <path|->
+  *   process patch <path|-> apply <patchFile> | inline <op> <ptr> [json]
+  *   validate <path|->         (static rule-suite compile check)
+  *   output <outFile>          (dump current schema, chain.rs:79-82)
+  *
+  * Per-phase wall-clock is logged like the reference (chain.rs:134-184).
+  */
+object Chain {
+
+  /** Shell-like argument splitting honoring single/double quotes and
+    * backslash escapes (tools.rs:147-197 ArgumentsExtractor).
+    */
+  def splitArgs(command: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var escaped = false
+    var quote: Option[Char] = None
+    command.foreach { c =>
+      if (escaped) { cur += c; escaped = false }
+      else if (c == '\\') escaped = true
+      else if (quote.contains(c)) quote = None
+      else if (quote.isDefined) cur += c
+      else if (c == '\'' || c == '"') quote = Some(c)
+      else if (c.isWhitespace) { if (cur.nonEmpty) { out += cur.result(); cur.clear() } }
+      else cur += c
+    }
+    if (cur.nonEmpty) out += cur.result()
+    out.result()
+  }
+
+  private final case class Step(parts: Seq[String], schemaArg: Option[String])
+
+  private def schemaArgOf(parts: Seq[String]): Option[String] = parts match {
+    case Seq("process", _, ref, _*) => Some(ref)
+    case Seq("validate", ref, _*) => Some(ref)
+    case Seq("output", _*) => None
+    case other => sys.error(s"unknown chain command '${other.headOption.getOrElse("")}'")
+  }
+
+  final case class ChainResult(schemas: Seq[(URI, JsonNode)], outputs: Map[String, JsonNode])
+
+  /** Run `-c` command strings. Returns every root schema's final body plus
+    * the bodies dumped by `output` steps (keyed by file path; also written).
+    */
+  def run(commands: Seq[String],
+          fetch: URI => JsonNode = SchemaDocs.fileFetch): ChainResult = {
+    def phase[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[graft-chain] $name%-10s ${(System.nanoTime() - t0) / 1e9}%8.2fs"); r
+    }
+
+    // ---- phase LOAD ------------------------------------------------------
+    val steps = commands.map(c => Step(splitArgs(c), None))
+    val loaded = phase("load") {
+      val schemas = Vector.newBuilder[(URI, JsonNode, Vector[Step])]
+      var acc = Vector.empty[(URI, JsonNode, Vector[Step])]
+      steps.foreach { step =>
+        schemaArgOf(step.parts) match {
+          case Some("-") | None =>
+            require(acc.nonEmpty, s"'${step.parts.mkString(" ")}' needs a previous schema")
+            val (u, n, cmds) = acc.last
+            acc = acc.init :+ ((u, n, cmds :+ step))
+          case Some(path) =>
+            val url = SchemaDocs.pathToUrl(path)
+            acc = acc :+ ((url, SchemaDocs.loadUrl(url, fetch), Vector(step)))
+        }
+      }
+      schemas ++= acc
+      schemas.result()
+    }
+
+    // ---- phase RESOLVE ---------------------------------------------------
+    var storage = phase("resolve") {
+      SchemaStorage.multi(loaded.map { case (u, n, _) => u -> n }, fetch)
+    }
+
+    // ---- phase EXECUTE ---------------------------------------------------
+    val outputs = scala.collection.mutable.LinkedHashMap[String, JsonNode]()
+    val finals = phase("execute") {
+      loaded.map { case (url, body0, cmds) =>
+        var body = body0
+        cmds.foreach { step =>
+          val t0 = System.nanoTime()
+          body = execute(step.parts, url, body, storage, fetch, outputs)
+          // write-back: later steps resolve against the updated body
+          storage = storage.updated(url, SchemaDocs.absolutizeRefs(url, body))
+          println(f"[graft-chain]   ${step.parts.take(2).mkString(" ")}%-24s " +
+            f"${(System.nanoTime() - t0) / 1e9}%8.2fs  ($url)")
+        }
+        url -> body
+      }
+    }
+    ChainResult(finals, outputs.toMap)
+  }
+
+  private def execute(parts: Seq[String], url: URI, body: JsonNode,
+                      storage: SchemaStorage, fetch: URI => JsonNode,
+                      outputs: scala.collection.mutable.Map[String, JsonNode]): JsonNode =
+    parts match {
+      case Seq("process", "dereference", _, flags @ _*) =>
+        val opts = DereferenceOptions(
+          skipRootInternalReferences = flags.contains("--skip-root-internal-references"),
+          createInternalReferences = !flags.contains("--no-create-internal-references"),
+          skipReferences = flags.sliding(2).collectFirst {
+            case Seq("--skip-references", hs) => hs.split(',').toSeq
+          }.getOrElse(Nil))
+        new Dereferencer(storage, opts).process(url, storage.resolve(url.toString))
+      case Seq("process", "merge-all-of", _, _*) =>
+        SuiteLoader.mergeAllOfPublic(body)
+      case Seq("process", "patch", _, "apply", patchFile, _*) =>
+        JsonPatch.apply(body, SchemaDocs.loadUrl(SchemaDocs.pathToUrl(patchFile), fetch))
+      case Seq("process", "patch", _, "create", originalFile, _*) =>
+        JsonPatch.diff(SchemaDocs.loadUrl(SchemaDocs.pathToUrl(originalFile), fetch), body)
+      case Seq("process", "patch", _, "inline", op, ptr, rest @ _*) =>
+        JsonPatch.inline(body, op, ptr,
+          rest.headOption.map(SchemaDocs.json.readTree))
+      case Seq("validate", _, _*) =>
+        val errs = SuiteLoader.staticValidate(body.toString)
+        require(errs.isEmpty, s"validate failed for $url: ${errs.mkString("; ")}")
+        body
+      case Seq("output", outFile, _*) =>
+        outputs(outFile) = body
+        Files.write(Paths.get(outFile), body.toPrettyString.getBytes("UTF-8"))
+        body
+      case other => sys.error(s"unknown chain command '${other.mkString(" ")}'")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val commands = args.toSeq.sliding(2).collect { case Seq("-c", cmd) => cmd }.toSeq
+    require(commands.nonEmpty, "usage: Chain -c '<command>' [-c '<command>' ...]")
+    run(commands)
+    ()
+  }
+}

@@ -7,6 +7,11 @@ import graft.stats.StatsCollector
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.jdk.CollectionConverters._
+
 /** Run-shaping knobs.
   *
   * @param numParts    logical partition count for the verdict/checkpoint
@@ -132,6 +137,96 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
       .as[Violation]
   }
 
+  /** One table rule, built: small verdict/violation planes over persisted
+    * intermediates, plus `force` — a blocking action materializing the
+    * rule's heavy scan (no-op where building already blocked, e.g. drift).
+    */
+  private final case class BuiltCheck(verdicts: DataFrame, violations: DataFrame,
+                                      persisted: Seq[DataFrame], force: () => Unit)
+
+  /** Per-rule builders. Each thunk is independent of the others, so callers
+    * may run them sequentially (tableChecks) or from one thread per rule
+    * (runConcurrent) — table checks are small-output jobs whose per-job
+    * scheduling constants otherwise serialize behind the heavy scans.
+    */
+  /** All columns any key-shaped table rule touches — the superset projection
+    * runConcurrent caches once and every check reads from.
+    */
+  private def tableKeyColumns(df: DataFrame): Seq[String] = {
+    val keys = suite.tableRules.flatMap {
+      case UniqueKey(_, ks) => ks
+      case RefIntegrity(_, ks, _, _) => ks
+      case _ => Nil
+    }
+    (Seq(PartCol) ++ cfg.rowRefCols ++ keys).distinct
+      .filter(c => c == PartCol || df.columns.contains(c))
+  }
+
+  private def tableCheckBuilders(spark: SparkSession, df: DataFrame,
+                                 dims: Map[String, DataFrame], baseline: Option[DataFrame],
+                                 partTotalsDf: () => DataFrame,
+                                 keySource: Option[DataFrame] = None): Seq[(String, () => BuiltCheck)] = {
+    import spark.implicits._
+    lazy val pdf = partitioned(df)
+
+    /** Key/ref-only projection: table checks must never drag the fat
+      * `content` column through their scans and shuffles. When a shared
+      * (cached) key projection is provided, every check reads it instead of
+      * rescanning parquet.
+      */
+    def pruned(extra: Seq[String]): DataFrame = {
+      val src = keySource.getOrElse(pdf)
+      val cols = (Seq(PartCol) ++ cfg.rowRefCols ++ extra).distinct
+        .filter(c => src.columns.contains(c))
+      src.select(cols.map(col): _*)
+    }
+
+    def perPart(ruleName: String, bad: DataFrame, detail: Column): BuiltCheck = {
+      // bad is violations-only (small); persist so the verdict-count action
+      // and the violation-row action don't re-execute the whole check chain
+      val badWithRef = bad
+        .select(col(PartCol), rowRef(bad).as("rowRef"), detail.as("detail"))
+        .persist()
+      val violations = badWithRef.select(col(PartCol).as("part"),
+        lit(ruleName).as("rule"), col("rowRef"), col("detail"))
+      val counts = badWithRef.groupBy(col(PartCol)).agg(count(lit(1)).as("violations"))
+      val verdicts = partTotalsDf().join(counts, Seq(PartCol), "left_outer")
+        .select(col(PartCol).as("part"), lit(ruleName).as("rule"), col("evaluated"),
+          coalesce(col("violations"), lit(0L)).as("violations"),
+          (coalesce(col("violations"), lit(0L)) === 0L).as("pass"))
+      BuiltCheck(verdicts, violations, Seq(badWithRef), () => { badWithRef.count(); () })
+    }
+
+    def driftVerdict(name: String, evaluated: Long, ok: Boolean): DataFrame =
+      Seq(Verdict(-1, name, evaluated, if (ok) 0L else 1L, ok)).toDS().toDF()
+
+    suite.tableRules.map {
+      case UniqueKey(name, keys) => name -> { () =>
+        perPart(name, Uniqueness.duplicateRows(pruned(keys), keys, cfg.salts),
+          Uniqueness.violationPredicateDetail(keys))
+      }
+      case RefIntegrity(name, keys, dim, dimKeys) => name -> { () =>
+        val d = dims.getOrElse(dim, sys.error(s"missing dimension table '$dim'"))
+        val res = Referential.orphans(pruned(keys), d, keys, dimKeys, cfg.broadcastMaxRows)
+        perPart(name, res.orphans,
+          concat(lit(s"dangling reference into $dim via ${res.strategy}: "),
+            concat_ws(",", keys.map(col): _*)))
+      }
+      case ChiSquareDrift(name, column, maxStat) => name -> { () =>
+        val b = baseline.getOrElse(sys.error(s"rule $name needs a baseline snapshot"))
+        val r = Drift.chiSquare(df, b, column) // blocks (tiny collect)
+        BuiltCheck(driftVerdict(name, r.dof.toLong + 1, r.statistic <= maxStat),
+          spark.emptyDataset[Violation].toDF(), Nil, () => ())
+      }
+      case KsDrift(name, column, bins, maxStat) => name -> { () =>
+        val b = baseline.getOrElse(sys.error(s"rule $name needs a baseline snapshot"))
+        val r = Drift.ks(df, b, column, bins) // blocks (tiny collect)
+        BuiltCheck(driftVerdict(name, bins.toLong, r.statistic <= maxStat),
+          spark.emptyDataset[Violation].toDF(), Nil, () => ())
+      }
+    }
+  }
+
   /** Table-rule verdicts + violations. `dims` maps RefIntegrity.dim names to
     * loaded dimension DataFrames; `baseline` feeds the drift rules. The third
     * element is the list of persisted intermediates — unpersist them once the
@@ -140,69 +235,21 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
   def tableChecks(spark: SparkSession, df: DataFrame, dims: Map[String, DataFrame],
                   baseline: Option[DataFrame]): (Dataset[Verdict], Dataset[Violation], Seq[DataFrame]) = {
     import spark.implicits._
-    val pdf = partitioned(df)
     var verdicts = spark.emptyDataset[Verdict].toDF()
     var violations = spark.emptyDataset[Violation].toDF()
     val persisted = Seq.newBuilder[DataFrame]
     // tiny (numParts rows); persisted because both the verdict and the
     // violation planes consume it in separate actions
-    lazy val partTotals = {
-      val t = pdf
-        .select((PartCol +: cfg.rowRefCols.filter(df.columns.contains)).map(col): _*)
-        .groupBy(col(PartCol)).agg(count(lit(1)).as("evaluated")).persist()
+    lazy val totals = {
+      val t = partTotals(df).persist()
       persisted += t
       t
     }
-
-    /** Key/ref-only projection: table checks must never drag the fat
-      * `content` column through their scans and shuffles.
-      */
-    def pruned(extra: Seq[String]): DataFrame = {
-      val cols = (Seq(PartCol) ++ cfg.rowRefCols ++ extra).distinct
-        .filter(c => pdf.columns.contains(c))
-      pdf.select(cols.map(col): _*)
-    }
-
-    def addPerPart(ruleName: String, bad: DataFrame, detail: Column): Unit = {
-      // bad is violations-only (small); persist so the verdict-count action
-      // and the violation-row action don't re-execute the whole check chain
-      val badWithRef = bad
-        .select(col(PartCol), rowRef(bad).as("rowRef"), detail.as("detail"))
-        .persist()
-      persisted += badWithRef
-      violations = violations.unionByName(
-        badWithRef.select(col(PartCol).as("part"), lit(ruleName).as("rule"),
-          col("rowRef"), col("detail")))
-      val counts = badWithRef.groupBy(col(PartCol)).agg(count(lit(1)).as("violations"))
-      verdicts = verdicts.unionByName(
-        partTotals.join(counts, Seq(PartCol), "left_outer")
-          .select(col(PartCol).as("part"), lit(ruleName).as("rule"), col("evaluated"),
-            coalesce(col("violations"), lit(0L)).as("violations"),
-            (coalesce(col("violations"), lit(0L)) === 0L).as("pass")))
-    }
-
-    suite.tableRules.foreach {
-      case UniqueKey(name, keys) =>
-        val dupRows = Uniqueness.duplicateRows(pruned(keys), keys, cfg.salts)
-        addPerPart(name, dupRows, Uniqueness.violationPredicateDetail(keys))
-      case RefIntegrity(name, keys, dim, dimKeys) =>
-        val d = dims.getOrElse(dim, sys.error(s"missing dimension table '$dim'"))
-        val res = Referential.orphans(pruned(keys), d, keys, dimKeys, cfg.broadcastMaxRows)
-        addPerPart(name, res.orphans,
-          concat(lit(s"dangling reference into $dim via ${res.strategy}: "),
-            concat_ws(",", keys.map(col): _*)))
-      case ChiSquareDrift(name, column, maxStat) =>
-        val b = baseline.getOrElse(sys.error(s"rule $name needs a baseline snapshot"))
-        val r = Drift.chiSquare(df, b, column)
-        verdicts = verdicts.unionByName(Seq(
-          Verdict(-1, name, r.dof.toLong + 1, if (r.statistic <= maxStat) 0L else 1L,
-            r.statistic <= maxStat)).toDS().toDF())
-      case KsDrift(name, column, bins, maxStat) =>
-        val b = baseline.getOrElse(sys.error(s"rule $name needs a baseline snapshot"))
-        val r = Drift.ks(df, b, column, bins)
-        verdicts = verdicts.unionByName(Seq(
-          Verdict(-1, name, bins.toLong, if (r.statistic <= maxStat) 0L else 1L,
-            r.statistic <= maxStat)).toDS().toDF())
+    tableCheckBuilders(spark, df, dims, baseline, () => totals).foreach { case (_, build) =>
+      val b = build()
+      verdicts = verdicts.unionByName(b.verdicts)
+      violations = violations.unionByName(b.violations)
+      persisted ++= b.persisted
     }
     (verdicts.as[Verdict], violations.as[Violation], persisted.result())
   }
@@ -235,5 +282,72 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     import spark.implicits._
     RunResult(rv.unionByName(tv), rviol.as[Violation].unionByName(tviol), stats,
       rviol +: tablePersisted)
+  }
+
+  /** Same results as [[run]], but fully materialized with every independent
+    * job submitted from its own thread: the heavy violations scan, the stats
+    * scan, the part-totals scan, and each table check overlap on the
+    * executors instead of serializing. Sequential submission makes scaling
+    * efficiency collapse at high core counts — each small job's fixed
+    * scheduling/planning constant is dead time for every core — whereas
+    * concurrent submission leaves wall-clock ≈ the heavy scan plus a small
+    * tail. This mirrors a real cluster driver running independent checks in
+    * separate scheduler pools.
+    *
+    * Returns the result plus per-stage wall seconds (stage times overlap, so
+    * they sum to more than the wall — that's the point).
+    */
+  def runConcurrent(spark: SparkSession, df: DataFrame, dims: Map[String, DataFrame] = Map.empty,
+                    baseline: Option[DataFrame] = None): (RunResult, Map[String, Double]) = {
+    val staticErrors = RuleCompiler.conformsToSchema(df.schema, suite.rules)
+    require(staticErrors.isEmpty, s"static rule-suite validation failed:\n${staticErrors.mkString("\n")}")
+    val statsCols = if (cfg.statsColumns.nonEmpty) cfg.statsColumns else df.columns.toSeq
+    val times = new ConcurrentHashMap[String, Double]()
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      times.put(name, (System.nanoTime() - t0) / 1e9); r
+    }
+    val pool = Executors.newFixedThreadPool(math.max(4, suite.tableRules.size + 3))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val rviol = rowViolations(spark, df).toDF().persist()
+      val statsDf = StatsCollector.collect(partitioned(df), statsCols, PartCol).persist()
+      // Part totals come FREE from the stats pass: count(col)+nulls(col) of
+      // any one stats column is the row count per partition — no extra scan.
+      val totals =
+        if (statsCols.nonEmpty)
+          statsDf.where(col("column") === lit(statsCols.head))
+            .select(col("part").as(PartCol), (col("count") + col("nulls")).as("evaluated"))
+            .persist()
+        else partTotals(df).persist()
+      // One cached key projection feeds uniqueness + referential + (fallback)
+      // totals instead of three parquet scans; columnar cache, content never
+      // enters it.
+      val keyCols = tableKeyColumns(df)
+      val needKeys = suite.tableRules.exists {
+        case _: UniqueKey | _: RefIntegrity => true; case _ => false
+      }
+      val keyed = if (needKeys) Some(partitioned(df).select(keyCols.map(col): _*).persist())
+                  else None
+      val builders = tableCheckBuilders(spark, df, dims, baseline, () => totals, keyed)
+      val fHeavy = Future(timed("violations_scan") { rviol.count() })
+      val fStats = Future(timed("stats_scan") { statsDf.count(); totals.count() })
+      val fTable = builders.map { case (name, build) =>
+        Future(timed(s"check_$name") { val b = build(); b.force(); b })
+      }
+      val built = Await.result(Future.sequence(fTable), Duration.Inf)
+      Await.result(fHeavy, Duration.Inf); Await.result(fStats, Duration.Inf)
+      import spark.implicits._
+      val result = timed("assemble") {
+        val rv = verdictGrid(spark, rviol, totals)
+        val tv = built.map(_.verdicts).foldLeft(spark.emptyDataset[Verdict].toDF())(_ unionByName _)
+        val tviol = built.map(_.violations)
+          .foldLeft(spark.emptyDataset[Violation].toDF())(_ unionByName _)
+        RunResult(rv.unionByName(tv.as[Verdict]),
+          rviol.as[Violation].unionByName(tviol.as[Violation]), statsDf,
+          rviol +: totals +: statsDf +: (keyed.toSeq ++ built.flatMap(_.persisted)))
+      }
+      (result, times.asScala.toMap)
+    } finally { pool.shutdown() }
   }
 }

@@ -101,7 +101,12 @@ object Main {
           .foreach(r => println(f"[graft] ${r.getString(0)}%-22s ${"" }%12s ${r.getLong(1)}%12d"))
         tablePersisted.foreach { p => p.unpersist(); () }
       case None =>
-        val result = phase("plan") { engine.run(spark, df, dims, Some(baseline)) }
+        val (result, stages) = phase("eval(concurrent)") {
+          engine.runConcurrent(spark, df, dims, Some(baseline))
+        }
+        stages.toSeq.sortBy(-_._2).foreach { case (n, s) =>
+          println(f"[graft]   stage $n%-20s $s%8.2fs")
+        }
         val verdicts = phase("verdicts") { result.verdicts.collect() }
         val byRule = verdicts.groupBy(_.rule).toSeq.sortBy(_._1)
         println(f"[graft] ${"rule"}%-22s ${"evaluated"}%12s ${"violations"}%12s pass")

@@ -1,0 +1,154 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import java.net.URI
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Options mirroring the reference's `DereferencerOptions`
+  * (process/dereference.rs:13-58):
+  *
+  * @param skipRootInternalReferences leave depth-1 `#/...` refs into the root
+  *        document untouched (dereference.rs:97-99)
+  * @param skipDiscriminators do not rewrite `discriminator.mapping` values
+  * @param createInternalReferences replace repeat resolutions of the same
+  *        reference with an internal `#/first/occurrence` pointer — space
+  *        dedup AND the cycle breaker (dereference.rs:125-135)
+  * @param skipReferences hostname substrings whose refs are left untouched
+  *        (dereference.rs:100-107)
+  */
+final case class DereferenceOptions(
+    skipRootInternalReferences: Boolean = false,
+    skipDiscriminators: Boolean = false,
+    createInternalReferences: Boolean = true,
+    skipReferences: Seq[String] = Nil)
+
+/** `process dereference` (process/dereference.rs:61-253): replace each
+  * `$ref` node with its resolution through a [[SchemaStorage]], merging any
+  * sibling keys of the `$ref` object over the resolved subtree (sibling
+  * wins — dereference.rs:176-224 keeps the original's keys). Depth-capped at
+  * 50 like the reference's `assert!(ctx.depth < 50)` (dereference.rs:90);
+  * with `createInternalReferences` a second resolution of the same absolute
+  * reference becomes an internal pointer to the first inline — which is also
+  * what makes infinitely-recursive refs (fixture 07-with-infinite-ref)
+  * terminate.
+  */
+final class Dereferencer(storage: SchemaStorage,
+                         options: DereferenceOptions = DereferenceOptions()) {
+
+  /** Dereference `root` (whose refs must already be absolute or
+    * root-internal) against `baseUrl`.
+    */
+  def process(baseUrl: URI, root: JsonNode): JsonNode = {
+    // absolute reference -> JSON pointer of its first inline (ctx.resolved)
+    val resolvedAt = mutable.LinkedHashMap[String, String]()
+    processNode(root, baseUrl, root, resolvedAt, scope = "", depth = 0)
+  }
+
+  private def processNode(node: JsonNode, base: URI, docRoot: JsonNode,
+                          resolvedAt: mutable.Map[String, String],
+                          scope: String, depth: Int): JsonNode = node match {
+    case o: ObjectNode if o.has("$ref") && o.get("$ref").isTextual =>
+      val reference = o.get("$ref").asText()
+      // refs into a document already inlined elsewhere re-point internally
+      // (dereference.rs:180-189)
+      val parted = reference.split("#", 2)
+      if (parted.length == 2 && parted(0).nonEmpty && resolvedAt.contains(parted(0))) {
+        val copy = o.deepCopy[ObjectNode]()
+        copy.put("$ref", s"#${resolvedAt(parted(0))}${parted(1)}")
+        copy
+      } else processRef(reference, o, base, docRoot, resolvedAt, scope, depth + 1)
+    case o: ObjectNode =>
+      val copy = SchemaDocs.json.createObjectNode()
+      o.properties().asScala.foreach { e =>
+        val childScope = s"$scope/${escapePointer(e.getKey)}"
+        var child = processNode(e.getValue, base, docRoot, resolvedAt, childScope, depth)
+        if (!options.skipDiscriminators && e.getKey == "discriminator" &&
+            child.path("mapping").isObject)
+          child = rewriteDiscriminator(child, base, resolvedAt)
+        copy.set(e.getKey, child); ()
+      }
+      copy
+    case a: ArrayNode =>
+      val copy = SchemaDocs.json.createArrayNode()
+      a.elements().asScala.zipWithIndex.foreach { case (v, i) =>
+        copy.add(processNode(v, base, docRoot, resolvedAt, s"$scope/$i", depth)); ()
+      }
+      copy
+    case other => other
+  }
+
+  private def processRef(reference: String, node: ObjectNode, base: URI,
+                         docRoot: JsonNode, resolvedAt: mutable.Map[String, String],
+                         scope: String, depth: Int): JsonNode = {
+    require(depth < 50, s"Infinite reference occurred! ($reference at $scope)")
+    val absUrl = SchemaDocs.refToUrl(base, reference)
+    val absRef = absUrl.toString
+    val docUrl = SchemaDocs.stripFragment(absUrl)
+
+    if (options.skipRootInternalReferences && depth == 1 && docUrl == base) return node
+    if (options.skipReferences.exists(h => absRef.contains(h))) return node
+
+    if (options.createInternalReferences && resolvedAt.contains(absRef)) {
+      // second resolution → internal pointer to the first inline
+      val out = SchemaDocs.json.createObjectNode()
+      out.put("$ref", s"#${resolvedAt(absRef)}")
+      return out
+    }
+    if (options.createInternalReferences) resolvedAt(absRef) = scopePointer(scope)
+
+    val resolved: JsonNode =
+      if (storage.contains(docUrl)) storage.resolve(absRef)
+      else {
+        // root document may be an in-memory node never registered by URL
+        val pointer = absRef.dropWhile(_ != '#').stripPrefix("#")
+        val t = if (pointer.isEmpty) docRoot else docRoot.at(pointer)
+        require(!t.isMissingNode, s"dangling $$ref '$reference'")
+        t
+      }
+
+    val processed =
+      processNode(resolved.deepCopy[JsonNode](), base, docRoot, resolvedAt, scope, depth)
+    // sibling-key merge: original's non-$ref keys win (dereference.rs:195-205)
+    val siblings = node.deepCopy[ObjectNode]()
+    siblings.remove("$ref")
+    processed match {
+      case po: ObjectNode =>
+        siblings.properties().asScala.foreach { e => po.set(e.getKey, e.getValue); () }
+        po
+      case other => if (siblings.isEmpty) other else siblings
+    }
+  }
+
+  /** discriminator.mapping rewrite after inlining (dereference.rs:226-253):
+    * exact resolved match → its internal pointer; else the longest
+    * '/'-prefix already inlined, keeping the remainder.
+    */
+  private def rewriteDiscriminator(disc: JsonNode, base: URI,
+                                   resolvedAt: mutable.Map[String, String]): JsonNode = {
+    val copy = disc.deepCopy[ObjectNode]()
+    val mapping = copy.get("mapping").asInstanceOf[ObjectNode]
+    mapping.properties().asScala.toSeq.foreach { e =>
+      if (e.getValue.isTextual) {
+        val plain = SchemaDocs.refToUrl(base, e.getValue.asText()).toString
+        resolvedAt.get(plain) match {
+          case Some(p) => mapping.put(e.getKey, s"#$p"); ()
+          case None =>
+            (plain.length to 0 by -1).find(i =>
+              i < plain.length && plain.charAt(i) == '/' &&
+                resolvedAt.contains(plain.substring(0, i))).foreach { i =>
+              mapping.put(e.getKey,
+                s"#${resolvedAt(plain.substring(0, i))}${plain.substring(i)}"); ()
+            }
+        }
+      }
+    }
+    copy
+  }
+
+  private def escapePointer(key: String): String =
+    key.replace("~", "~0").replace("/", "~1")
+
+  private def scopePointer(scope: String): String = if (scope.isEmpty) "" else scope
+}

@@ -1,0 +1,173 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** RFC-6902 JSON-Patch create / apply / inline — the engine's analog of the
+  * reference's `process patch` (process/patch.rs:53-79, which delegates to
+  * the `json-patch` crate): `diff(a, b)` produces a patch document such that
+  * `apply(a, diff(a, b)) == b`, `apply` executes add/remove/replace ops
+  * (with `test`/`copy`/`move` for completeness), and `inline(op, path,
+  * value)` applies a single operation like `patch inline` on the CLI.
+  *
+  * Patching rewrites rule-suite documents between runs — driver-side work on
+  * small documents. The distributed analog (same op vocabulary applied to a
+  * JSON column per row) lives in the query surface (`q_patch_inline`).
+  */
+object JsonPatch {
+  private val mapper = SchemaDocs.json
+
+  // ------------------------------------------------------------------ diff
+
+  /** Minimal patch turning `from` into `to`: objects diffed key-wise,
+    * arrays element-wise with tail adds/removes, scalars replaced (the same
+    * op shapes the json-patch crate's `diff` emits).
+    */
+  def diff(from: JsonNode, to: JsonNode): ArrayNode = {
+    val ops = mapper.createArrayNode()
+    diffInto(from, to, "", ops)
+    ops
+  }
+
+  private def op(kind: String, path: String, value: Option[JsonNode]): ObjectNode = {
+    val o = mapper.createObjectNode()
+    o.put("op", kind)
+    o.put("path", path)
+    value.foreach { v => o.set[JsonNode]("value", v.deepCopy[JsonNode]()); () }
+    o
+  }
+
+  private def diffInto(from: JsonNode, to: JsonNode, path: String, ops: ArrayNode): Unit =
+    (from, to) match {
+      case (f, t) if f == t => ()
+      case (f: ObjectNode, t: ObjectNode) =>
+        f.properties().asScala.toSeq.foreach { e =>
+          val p = s"$path/${escape(e.getKey)}"
+          if (!t.has(e.getKey)) { ops.add(op("remove", p, None)); () }
+          else diffInto(e.getValue, t.get(e.getKey), p, ops)
+        }
+        t.properties().asScala.toSeq.foreach { e =>
+          if (!f.has(e.getKey)) {
+            ops.add(op("add", s"$path/${escape(e.getKey)}", Some(e.getValue))); ()
+          }
+        }
+      case (f: ArrayNode, t: ArrayNode) =>
+        val common = math.min(f.size(), t.size())
+        (0 until common).foreach(i => diffInto(f.get(i), t.get(i), s"$path/$i", ops))
+        (common until t.size()).foreach { i =>
+          ops.add(op("add", s"$path/$i", Some(t.get(i)))); ()
+        }
+        // removes back-to-front so earlier indices stay valid while applying
+        (f.size() - 1 to common by -1).foreach { i =>
+          ops.add(op("remove", s"$path/$i", None)); ()
+        }
+      case (_, t) =>
+        ops.add(op("replace", path, Some(t))); ()
+    }
+
+  // ----------------------------------------------------------------- apply
+
+  /** Apply a patch document (array of ops) to `doc`, returning the patched
+    * copy. Unknown ops, bad paths, and failed `test` ops throw — matching
+    * the crate's PatchError behavior the reference surfaces verbatim.
+    */
+  def apply(doc: JsonNode, patch: JsonNode): JsonNode = {
+    require(patch.isArray, "a JSON-Patch document must be an array of operations")
+    patch.elements().asScala.foldLeft(doc.deepCopy[JsonNode]()) { (acc, o) =>
+      applyOp(acc, o)
+    }
+  }
+
+  /** `patch inline` (patch.rs:43-49,72-77): one op built from parts. */
+  def inline(doc: JsonNode, opKind: String, path: String, value: Option[JsonNode]): JsonNode =
+    applyOp(doc.deepCopy[JsonNode](), op(opKind, path, value))
+
+  private def applyOp(root: JsonNode, o: JsonNode): JsonNode = {
+    val kind = o.path("op").asText()
+    val path = o.path("path").asText()
+    kind match {
+      case "add" => addAt(root, path, o.get("value"))
+      case "remove" => removeAt(root, path)
+      case "replace" =>
+        removeAt(root, path) // errors if absent, per RFC 6902 §4.3
+        addAt(root, path, o.get("value"))
+      case "test" =>
+        require(valueAt(root, path) == o.get("value"),
+          s"test failed at $path")
+        root
+      case "copy" =>
+        addAt(root, path, valueAt(root, o.path("from").asText()).deepCopy[JsonNode]())
+      case "move" =>
+        val v = valueAt(root, o.path("from").asText()).deepCopy[JsonNode]()
+        removeAt(root, o.path("from").asText())
+        addAt(root, path, v)
+      case other => sys.error(s"unknown patch op '$other'")
+    }
+  }
+
+  private def segments(path: String): Seq[String] = {
+    require(path.isEmpty || path.startsWith("/"), s"bad JSON pointer '$path'")
+    if (path.isEmpty) Nil else path.split("/", -1).toSeq.drop(1).map(unescape)
+  }
+
+  private def parentOf(root: JsonNode, path: String): (JsonNode, String) = {
+    val segs = segments(path)
+    require(segs.nonEmpty, "cannot address the document root with this op")
+    val parent = segs.dropRight(1).foldLeft(root) { (n, s) =>
+      val next = n match {
+        case a: ArrayNode => a.get(s.toInt)
+        case obj => obj.get(s)
+      }
+      require(next != null, s"path '$path' does not exist (at '$s')")
+      next
+    }
+    (parent, segs.last)
+  }
+
+  private def valueAt(root: JsonNode, path: String): JsonNode = {
+    if (path.isEmpty) return root
+    val (parent, last) = parentOf(root, path)
+    val v = parent match {
+      case a: ArrayNode => a.get(last.toInt)
+      case obj => obj.get(last)
+    }
+    require(v != null, s"path '$path' does not exist")
+    v
+  }
+
+  private def addAt(root: JsonNode, path: String, value: JsonNode): JsonNode = {
+    require(value != null, "add/replace op needs a value")
+    val (parent, last) = parentOf(root, path)
+    parent match {
+      case a: ArrayNode =>
+        if (last == "-") { a.add(value.deepCopy[JsonNode]()); () }
+        else {
+          val i = last.toInt
+          require(i >= 0 && i <= a.size(), s"array index $i out of bounds at '$path'")
+          a.insert(i, value.deepCopy[JsonNode]()); ()
+        }
+      case obj: ObjectNode => obj.set[JsonNode](last, value.deepCopy[JsonNode]()); ()
+      case other => sys.error(s"cannot add into ${other.getNodeType} at '$path'")
+    }
+    root
+  }
+
+  private def removeAt(root: JsonNode, path: String): JsonNode = {
+    val (parent, last) = parentOf(root, path)
+    parent match {
+      case a: ArrayNode =>
+        val i = last.toInt
+        require(i >= 0 && i < a.size(), s"array index $i out of bounds at '$path'")
+        a.remove(i); ()
+      case obj: ObjectNode =>
+        require(obj.has(last), s"path '$path' does not exist")
+        obj.remove(last); ()
+      case other => sys.error(s"cannot remove from ${other.getNodeType} at '$path'")
+    }
+    root
+  }
+
+  private def escape(s: String): String = s.replace("~", "~0").replace("/", "~1")
+  private def unescape(s: String): String = s.replace("~1", "/").replace("~0", "~")
+}

@@ -1,0 +1,225 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import java.net.URI
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Document loading + keyed storage — the driver-side analog of the
+  * reference's `Schema` / `SchemaStorage`:
+  *   - `file://` URLs (bare paths canonicalized like schema.rs:153-175);
+  *   - YAML detected by extension, multi-document YAML streams collected
+  *     into one JSON array (schema.rs:76-103);
+  *   - `load_urls`: several documents into one array schema with each
+  *     document's relative refs absolutized (schema.rs:116-131);
+  *   - transitive external-`$ref` chase, each URL fetched exactly once
+  *     (storage.rs:28-101);
+  *   - all `$ref`s AND `discriminator.mapping` values rewritten to absolute
+  *     (storage.rs:103-138).
+  *
+  * Rule suites are small documents, so this is pure driver work; only the
+  * compiled Column expressions ever reach the distributed plane. The fetch
+  * function is pluggable so non-file schemes (the reference fetches http(s))
+  * can be served by a cache or test stub in the zero-egress sandbox.
+  */
+object SchemaDocs {
+  private[graft] val json = new ObjectMapper()
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  /** One spelling per URL: `file:///x` and `file:/x` are the same resource
+    * but differ under URI.equals (empty vs null authority) — storage keys
+    * and ref rewrites must agree on one form or lookups silently miss.
+    */
+  private[graft] def canon(u: URI): URI = {
+    val s = u.normalize().toString
+    if (s.startsWith("file:///")) URI.create("file:/" + s.stripPrefix("file:///")) else u.normalize()
+  }
+
+  /** CLI path → canonical file URL (schema.rs:153-175). */
+  def pathToUrl(path: String): URI = canon(
+    if (path.contains("://")) URI.create(path)
+    else Paths.get(path).toAbsolutePath.normalize.toUri)
+
+  /** YAML by last extension segment, like the reference's
+    * `s.contains("yaml") || s.contains("yml")` on the final dot part
+    * (schema.rs:68-82).
+    */
+  private[suite] def isYamlUrl(url: URI): Boolean = {
+    val last = Option(url.getPath).getOrElse("").split('/').lastOption.getOrElse("")
+    val ext = last.split('.').lastOption.getOrElse("")
+    ext.contains("yaml") || ext.contains("yml")
+  }
+
+  private[suite] def parseDocument(text: String, url: URI): JsonNode =
+    if (isYamlUrl(url)) {
+      val docs = yaml.readerFor(classOf[JsonNode]).readValues[JsonNode](text)
+        .readAll().asScala.toVector
+      docs.size match {
+        case 0 => sys.error(s"no YAML documents in $url")
+        case 1 => docs.head
+        case _ =>
+          // multi-doc stream → one array schema (schema.rs:86-98)
+          val arr = json.createArrayNode()
+          docs.foreach { d => arr.add(d); () }
+          arr
+      }
+    } else json.readTree(text)
+
+  /** Default fetch: `file://` only (the sandbox has zero egress; the
+    * reference additionally fetches http(s) — schema.rs:42-62).
+    */
+  val fileFetch: URI => JsonNode = { url =>
+    require(url.getScheme == "file",
+      s"only file:// URLs are fetchable in-sandbox (reference also supports http): $url")
+    parseDocument(new String(Files.readAllBytes(filePath(url)), "UTF-8"), url)
+  }
+
+  /** `java.nio.Paths.get(URI)` requires the `file:///` authority spelling
+    * that [[canon]] deliberately strips — bridge here.
+    */
+  private def filePath(url: URI) = Paths.get(
+    if (url.toString.startsWith("file:/") && !url.toString.startsWith("file:///"))
+      URI.create("file:///" + url.toString.stripPrefix("file:/"))
+    else url)
+
+  def loadUrl(url: URI, fetch: URI => JsonNode = fileFetch): JsonNode = fetch(url)
+
+  /** `load_urls` (schema.rs:116-131): N documents → one array schema, each
+    * document's relative refs absolutized against its own URL first.
+    */
+  def loadUrls(urls: Seq[URI], fetch: URI => JsonNode = fileFetch): JsonNode =
+    if (urls.size == 1) loadUrl(urls.head, fetch)
+    else {
+      val arr = json.createArrayNode()
+      urls.foreach { u => arr.add(absolutizeRefs(u, loadUrl(u, fetch))); () }
+      arr
+    }
+
+  /** `ref_to_url` (storage.rs:140-148): schemes and network-path refs parse
+    * absolute; everything else resolves against the base.
+    */
+  def refToUrl(base: URI, reference: String): URI = canon(
+    if (reference.indexOf("://") > 0 || reference.startsWith("//")) URI.create(reference)
+    else base.resolve(new URI(null, null, reference.takeWhile(_ != '#') match {
+      case "" => null
+      case p => p
+    }, reference.dropWhile(_ != '#') match {
+      case "" => null
+      case f => f.stripPrefix("#")
+    })))
+
+  /** Document URL of a reference: fragment dropped (ref_to_file_url,
+    * storage.rs:150-155).
+    */
+  def refToDocUrl(base: URI, reference: String): URI = stripFragment(refToUrl(base, reference))
+
+  def stripFragment(u: URI): URI =
+    if (u.getFragment == null) u else URI.create(u.toString.takeWhile(_ != '#'))
+
+  /** Rewrite every `$ref` (and `discriminator.mapping` value) in `node` to
+    * absolute form against `current` (storage.rs:103-138).
+    */
+  def absolutizeRefs(current: URI, node: JsonNode): JsonNode = node match {
+    case o: ObjectNode if o.has("$ref") && o.get("$ref").isTextual =>
+      val copy = o.deepCopy[ObjectNode]()
+      copy.put("$ref", refToUrl(current, o.get("$ref").asText()).toString)
+      copy
+    case o: ObjectNode =>
+      val copy = json.createObjectNode()
+      o.properties().asScala.foreach { e =>
+        val v =
+          if (e.getKey == "discriminator" && e.getValue.path("mapping").isObject) {
+            val d = e.getValue.deepCopy[ObjectNode]()
+            val m = d.get("mapping").asInstanceOf[ObjectNode]
+            m.properties().asScala.toSeq.foreach { me =>
+              if (me.getValue.isTextual) {
+                m.put(me.getKey, refToUrl(current, me.getValue.asText()).toString); ()
+              }
+            }
+            d
+          } else absolutizeRefs(current, e.getValue)
+        copy.set(e.getKey, v); ()
+      }
+      copy
+    case a: ArrayNode =>
+      val copy = json.createArrayNode()
+      a.elements().asScala.foreach { v => copy.add(absolutizeRefs(current, v)); () }
+      copy
+    case other => other
+  }
+}
+
+/** Keyed once-only document store (storage.rs:8-101): every external `$ref`
+  * reachable from the roots is fetched exactly once; all stored documents
+  * have their refs absolutized.
+  */
+final class SchemaStorage private (val schemas: Map[URI, JsonNode]) {
+
+  /** Resolve an ABSOLUTE reference `url#/pointer` through the store
+    * (resolver.rs:27-77 without the scope callback machinery — our consumers
+    * walk the returned subtree directly).
+    */
+  def resolve(absRef: String): JsonNode = {
+    val docUrl = SchemaDocs.stripFragment(URI.create(absRef))
+    val pointer = absRef.dropWhile(_ != '#').stripPrefix("#")
+    val root = schemas.getOrElse(docUrl, sys.error(s"schema not in storage: $docUrl"))
+    val node = if (pointer.isEmpty) root else root.at(pointer)
+    require(!node.isMissingNode, s"dangling $$ref '$absRef'")
+    node
+  }
+
+  def contains(docUrl: URI): Boolean = schemas.contains(docUrl)
+
+  /** Copy with one document replaced — the chain executor's write-back of a
+    * mutated schema so later steps resolve against it (chain.rs:159-163).
+    */
+  def updated(docUrl: URI, body: JsonNode): SchemaStorage =
+    new SchemaStorage(schemas.updated(docUrl, body))
+}
+
+object SchemaStorage {
+
+  def apply(url: URI, root: JsonNode,
+            fetch: URI => JsonNode = SchemaDocs.fileFetch): SchemaStorage =
+    multi(Seq(url -> root), fetch)
+
+  def load(url: URI, fetch: URI => JsonNode = SchemaDocs.fileFetch): SchemaStorage =
+    apply(url, SchemaDocs.loadUrl(url, fetch), fetch)
+
+  /** `new_multi` (storage.rs:22-26): one shared store over several roots —
+    * external fetches dedupe across them.
+    */
+  def multi(roots: Seq[(URI, JsonNode)],
+            fetch: URI => JsonNode = SchemaDocs.fileFetch): SchemaStorage = {
+    val resolved = mutable.LinkedHashMap[URI, JsonNode]()
+
+    def chase(base: URI, node: JsonNode): Unit = node match {
+      case o: ObjectNode if o.has("$ref") && o.get("$ref").isTextual =>
+        val doc = SchemaDocs.refToDocUrl(base, o.get("$ref").asText())
+        if (!resolved.contains(doc)) {
+          // unfetchable targets are tolerated here — they only become an
+          // error if a dereference actually needs them (a skip_references
+          // run never does; the reference gates the same way by feature)
+          scala.util.Try(fetch(doc)).foreach { body =>
+            resolved(doc) = body
+            chase(doc, body) // transitive; memoization above is the cycle guard
+          }
+        }
+      case o: ObjectNode =>
+        o.properties().asScala.foreach(e => chase(base, e.getValue))
+      case a: ArrayNode =>
+        a.elements().asScala.foreach(chase(base, _))
+      case _ =>
+    }
+
+    roots.foreach { case (u, n) =>
+      if (!resolved.contains(u)) { resolved(u) = n; chase(u, n) }
+    }
+    new SchemaStorage(resolved.map { case (u, n) =>
+      u -> SchemaDocs.absolutizeRefs(u, n)
+    }.toMap)
+  }
+}

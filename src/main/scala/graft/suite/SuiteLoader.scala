@@ -3,6 +3,7 @@ package graft.suite
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import graft.core._
+import java.net.URI
 import scala.jdk.CollectionConverters._
 
 /** Loads declarative rule suites written as JSON-Schema-shaped documents and
@@ -36,10 +37,30 @@ import scala.jdk.CollectionConverters._
 object SuiteLoader {
   private val mapper = new ObjectMapper()
 
+  /** Synthetic document URL for suites parsed from in-memory strings. */
+  private[graft] val InlineBase = URI.create("file:///__inline__/suite.json")
+
   def parse(json: String): RuleSuite = fromRoot(mapper.readTree(json))
 
-  def fromRoot(root0: JsonNode): RuleSuite = {
-    val root = mergeAllOf(dereference(root0, root0, 0))
+  /** Load a suite document from a path or URL: YAML or JSON by extension
+    * (multi-doc YAML collects into an array), external `$ref`s chased
+    * transitively through a [[SchemaStorage]] (each file fetched once).
+    */
+  def loadPath(path: String, fetch: URI => JsonNode = SchemaDocs.fileFetch): RuleSuite = {
+    val url = SchemaDocs.pathToUrl(path)
+    fromRoot(SchemaDocs.loadUrl(url, fetch), url, fetch)
+  }
+
+  def fromRoot(root0: JsonNode, base: URI = InlineBase,
+               fetch: URI => JsonNode = SchemaDocs.fileFetch): RuleSuite = {
+    // Full document rewrite before harvest: every ref (internal AND
+    // external) inlined — createInternalReferences=false because the rule
+    // compiler needs fully-expanded nodes; a truly cyclic suite therefore
+    // hits the reference's depth-50 cap and fails fast, like the
+    // reference's own assert (dereference.rs:90).
+    val storage = SchemaStorage(base, root0, fetch)
+    val deref = new Dereferencer(storage, DereferenceOptions(createInternalReferences = false))
+    val root = mergeAllOf(deref.process(base, storage.resolve(base.toString)))
     val rules = Vector.newBuilder[Rule]
 
     val required: Set[String] =
@@ -50,9 +71,22 @@ object SuiteLoader {
     Option(root.get("properties")).foreach { props =>
       props.properties().asScala.foreach { e =>
         val (name, node0) = (e.getKey, e.getValue)
-        val (node, nullable) = simplifyNullable(mergeAllOf(dereference(node0, root, 0)))
+        val (node, nullable) = simplifyNullable(node0)
         rules ++= propertyRules(name, node, nullable)
       }
+    }
+
+    // root-level multi-variant oneOf/anyOf: a row-shape union across
+    // columns (anyoneof/mod.rs:13-93); discriminator mapping → tagged cases
+    if (root.has("oneOf") || root.has("anyOf")) {
+      // mapping values may still be (absolutized) refs — inline them through
+      // the same storage + dereferencer used for the document itself
+      val resolveMapping: String => Option[JsonNode] = ref => {
+        val wrapped = mapper.createObjectNode()
+        wrapped.put("$ref", SchemaDocs.refToUrl(base, ref).toString)
+        scala.util.Try(mergeAllOf(deref.process(base, wrapped))).toOption
+      }
+      unionRule("root", root, resolveMapping).foreach(rules += _)
     }
 
     Option(root.get("x-checks")).foreach { xc =>
@@ -119,7 +153,139 @@ object SuiteLoader {
     Option(node.get("maxItems")).foreach(v => out += MaxItems(s"maxItems_$name", name, v.asInt()))
     Option(node.get("uniqueItems")).filter(_.asBoolean(false)).foreach(_ =>
       out += UniqueItems(s"uniqueItems_$name", name))
+    Option(node.get("minProperties")).foreach(v =>
+      out += MinProperties(s"minProperties_$name", name, v.asInt()))
+    Option(node.get("maxProperties")).foreach(v =>
+      out += MaxProperties(s"maxProperties_$name", name, v.asInt()))
+    // multi-variant oneOf/anyOf over THIS column: each variant is a keyword
+    // bundle; value passes if any variant's conjunction holds. (The
+    // two-variant-with-null and single-variant cases were already collapsed
+    // by simplifyNullable, mirroring anyoneof/mod.rs:95-175.)
+    for (key <- Seq("oneOf", "anyOf"); variants <- Option(node.get(key)).filter(_.isArray)) {
+      val vs = variants.elements().asScala.toSeq
+      if (vs.size >= 2) {
+        val members = vs.zipWithIndex.map { case (v, i) =>
+          val (vn, _) = simplifyNullable(v)
+          conjunction(s"${name}_v$i", name, propertyRules(name, vn, nullable = true)
+            .map(r => rename(r, s"${name}_v$i")))
+        }
+        // an unconstrainable variant (AnyType fallback, types.rs:181-182)
+        // makes the whole union vacuous — emit nothing
+        if (members.forall(_.isDefined))
+          out += AnyOfRule(s"${key.toLowerCase}_$name", name, members.flatten)
+      }
+    }
     out.result()
+  }
+
+  /** AND of member rules, or the single member, or None when empty. */
+  private def conjunction(nm: String, column: String,
+                          members: Seq[RowRule]): Option[RowRule] = members match {
+    case Seq() => None
+    case Seq(one) => Some(one)
+    case many => Some(AllOfRule(nm, column, many))
+  }
+
+  /** Stable per-variant member naming (variant0, variant1, … — the
+    * reference names union members Variant0..n, anyoneof/mod.rs:63-73).
+    */
+  private def rename(r: RowRule, prefix: String): RowRule = r match {
+    case x: TypeIs => x.copy(name = s"${prefix}_${x.name}")
+    case x: Required => x.copy(name = s"${prefix}_${x.name}")
+    case x: EnumIn => x.copy(name = s"${prefix}_${x.name}")
+    case x: EnumInNum => x.copy(name = s"${prefix}_${x.name}")
+    case x: ConstEq => x.copy(name = s"${prefix}_${x.name}")
+    case x: MatchesPattern => x.copy(name = s"${prefix}_${x.name}")
+    case x: HasFormat => x.copy(name = s"${prefix}_${x.name}")
+    case x: MinLength => x.copy(name = s"${prefix}_${x.name}")
+    case x: MaxLength => x.copy(name = s"${prefix}_${x.name}")
+    case x: MinValue => x.copy(name = s"${prefix}_${x.name}")
+    case x: MaxValue => x.copy(name = s"${prefix}_${x.name}")
+    case x: MinItems => x.copy(name = s"${prefix}_${x.name}")
+    case x: MaxItems => x.copy(name = s"${prefix}_${x.name}")
+    case x: UniqueItems => x.copy(name = s"${prefix}_${x.name}")
+    case x: MinProperties => x.copy(name = s"${prefix}_${x.name}")
+    case x: MaxProperties => x.copy(name = s"${prefix}_${x.name}")
+    case x: Sha256Invariant => x.copy(name = s"${prefix}_${x.name}")
+    case x: LengthEqualsColumn => x.copy(name = s"${prefix}_${x.name}")
+    case x: AnyOfRule => x.copy(name = s"${prefix}_${x.name}")
+    case x: AllOfRule => x.copy(name = s"${prefix}_${x.name}")
+  }
+
+  /** Rules for one union variant that is an object schema ACROSS columns
+    * (required + per-property keyword bundles).
+    */
+  private def objectVariantRules(prefix: String, variant: JsonNode): Seq[RowRule] = {
+    val req = Option(variant.get("required")).toSeq.flatMap(_.elements().asScala)
+      .map(c => Required(s"${prefix}_required_${c.asText()}", c.asText()))
+    val props = Option(variant.get("properties")).toSeq.flatMap(_.properties().asScala)
+      .flatMap { e =>
+        val (vn, _) = simplifyNullable(e.getValue)
+        propertyRules(e.getKey, vn, nullable = true).map(r => rename(r, prefix))
+      }
+    req ++ props
+  }
+
+  /** Wrapper-strategy autodetect, mirroring the Simple extractor
+    * (anyoneof/extractor.rs:100-197): every variant an object with exactly
+    * one property → Externally tagged; every variant carries a const
+    * property → Internally(prop); else BruteForce.
+    */
+  private[graft] def detectStrategy(variants: Seq[JsonNode]): String = {
+    def props(v: JsonNode): Seq[(String, JsonNode)] =
+      Option(v.get("properties")).toSeq.flatMap(_.properties().asScala)
+        .map(e => e.getKey -> e.getValue)
+    val perVariant = variants.map { v =>
+      val ps = props(v)
+      if (ps.size == 1) ("external", ps.head._1)
+      else ps.find(_._2.has("const")).map(p => ("internal", p._1))
+        .getOrElse(("unknown", ""))
+    }
+    if (perVariant.nonEmpty && perVariant.forall(_._1 == "external")) "externally"
+    else if (perVariant.nonEmpty && perVariant.forall(_._1 == "internal"))
+      s"internally:${perVariant.head._2}"
+    else "bruteForce"
+  }
+
+  /** Root-level union across columns. With an explicit OpenAPI-style
+    * `discriminator` (propertyName + mapping — anyoneof/extractor.rs:199-260)
+    * each case compiles to `tag == value && variant constraints`; without
+    * one, the auto-detected strategy (encoded in the rule name) still
+    * compiles to the OR of variant conjunctions — Internally/Externally
+    * tagging is implied by the variants' own const/required rules.
+    */
+  private[suite] def unionRule(name: String, node: JsonNode,
+                               resolveMapping: String => Option[JsonNode]): Option[RowRule] = {
+    val key = if (node.has("oneOf")) "oneOf" else "anyOf"
+    val variants = Option(node.get(key)).filter(_.isArray)
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+    if (variants.size < 2) return None
+    val disc = Option(node.get("discriminator"))
+      .filter(d => d.path("propertyName").isTextual && d.path("mapping").isObject)
+    disc match {
+      case Some(d) =>
+        val tag = d.get("propertyName").asText()
+        val cases = d.get("mapping").properties().asScala.toSeq.flatMap { e =>
+          val value = e.getKey
+          val variant =
+            if (e.getValue.isTextual) resolveMapping(e.getValue.asText()) else None
+          variant.map { v =>
+            val vrules = objectVariantRules(s"${name}_$value", v)
+            AllOfRule(s"${name}_case_$value", tag,
+              ConstEq(s"${name}_tag_$value", tag, value) +: vrules)
+          }
+        }
+        if (cases.isEmpty) None
+        else Some(AnyOfRule(s"${key.toLowerCase}_${name}_discriminated", tag, cases))
+      case None =>
+        val strategy = detectStrategy(variants).replace(':', '_')
+        val members = variants.zipWithIndex.map { case (v, i) =>
+          conjunction(s"${name}_variant$i", name, objectVariantRules(s"${name}_variant$i", v))
+        }
+        if (members.exists(_.isEmpty)) None
+        else Some(AnyOfRule(s"${key.toLowerCase}_${name}_$strategy",
+          members.flatten.head.column, members.flatten))
+    }
   }
 
   /** Enum extraction with the reference's type-coherence policy
@@ -178,41 +344,8 @@ object SuiteLoader {
     (node, false)
   }
 
-  /** Replace internal `$ref` nodes by their RFC-6901 resolution, merging any
-    * sibling keys of the `$ref` object over the resolved subtree (sibling
-    * wins — dereference.rs:139-147). Depth-capped like the reference.
-    */
-  private[suite] def dereference(node: JsonNode, root: JsonNode, depth: Int): JsonNode = {
-    require(depth <= 50, "dereference recursion depth cap (50) exceeded")
-    node match {
-      case o: ObjectNode if o.has("$ref") =>
-        val ref = o.get("$ref").asText()
-        require(ref.startsWith("#"), s"only internal refs supported in-sandbox, got '$ref'")
-        val target = root.at(ref.stripPrefix("#"))
-        require(!target.isMissingNode, s"dangling \\$$ref '$ref'")
-        val resolved = dereference(target, root, depth + 1).deepCopy[JsonNode]()
-        val siblings = o.deepCopy[ObjectNode]()
-        siblings.remove("$ref")
-        resolved match {
-          case ro: ObjectNode =>
-            siblings.properties().asScala.foreach { e => ro.set(e.getKey, e.getValue); () }
-            ro
-          case other => if (siblings.isEmpty) other else siblings
-        }
-      case o: ObjectNode =>
-        val copy = o.deepCopy[ObjectNode]()
-        o.properties().asScala.foreach { e =>
-          copy.set(e.getKey, dereference(e.getValue, root, depth + 1)); ()
-        }
-        copy
-      case a: ArrayNode =>
-        val copy = a.deepCopy[ArrayNode]()
-        copy.removeAll()
-        a.elements().asScala.foreach { v => copy.add(dereference(v, root, depth + 1)); () }
-        copy
-      case other => other
-    }
-  }
+  /** Public entry for the chain executor's `process merge-all-of` step. */
+  def mergeAllOfPublic(node: JsonNode): JsonNode = mergeAllOf(node)
 
   /** Bottom-up allOf merge (merge_allof.rs:25-155): children first, then
     * each member deep-merged into the node; single-element passthrough.

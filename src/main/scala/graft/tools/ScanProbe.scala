@@ -1,0 +1,78 @@
+package graft.tools
+
+import graft.run.{EngineConfig, ValidationEngine}
+import graft.suite.SuiteLoader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: WHY doesn't the heavy scan scale 8→32? One JVM (JIT shared),
+  * interleaved levels, every rep printed, plus process-CPU utilization per
+  * stage: util ≈ cores but wall high → slow cores (bandwidth/SMT);
+  * util ≪ cores → idle cores (skew/stragglers/scheduling).
+  * Usage: ScanProbe <dataDir> [reps]
+  */
+object ScanProbe {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args(0)
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    def session(cores: Int): SparkSession = {
+      val s = SparkSession.builder().master(s"local[$cores]")
+        .appName(s"scanprobe-$cores")
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+
+    def runLevel(cores: Int, rep: Int): Unit = {
+      val spark = session(cores)
+      val df = spark.read.parquet(s"$dataDir/code_files")
+      val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
+      val engine = new ValidationEngine(suite, EngineConfig(numParts = 64,
+        statsColumns = Seq("repo", "path", "commit", "lang", "content_len")))
+      def t(name: String)(f: => Any): Unit = {
+        val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime(); f
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cpuSec = (osBean.getProcessCpuTime - c0) / 1e9
+        println(f"[scan $cores rep$rep] $name%-16s $sec%7.2fs  cpu=${cpuSec}%7.1fs  util=${cpuSec / sec}%5.1f")
+      }
+      t("jvm_threads") { // plain JVM control: no Spark in the loop
+        val threads = (0 until cores).map { i =>
+          new Thread(() => {
+            var x = i.toLong; var n = 0L
+            while (n < 3000000000L / cores) { x = x * 6364136223846793005L + 1442695040888963407L; n += 1 }
+            if (x == 42L) println(x)
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+      }
+      t("cpu_only") { spark.range(0, 8000000000L, 1, cores * 4)
+        .select(max(xxhash64(col("id")))).collect() }
+      t("scan_lengths") { df.select(sum(length(col("content"))) +
+        sum(length(col("repo"))) + sum(length(col("path")))).collect() }
+      t("sha2_only") { df.select(sum(length(sha2(col("content"), 256)))).collect() }
+      t("full_violations") { engine.rowViolations(spark, df).count() }
+      for (mpb <- Seq(64, 32, 16, 8)) {
+        spark.conf.set("spark.sql.files.maxPartitionBytes", s"${mpb}m")
+        t(s"violations_512_${mpb}m") { engine.rowViolations(spark,
+          spark.read.parquet(s"$dataDir/code_files_512")).count() }
+      }
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+      spark.stop()
+    }
+
+    if (!new java.io.File(s"$dataDir/code_files_512/_SUCCESS").exists()) {
+      val s = session(32)
+      s.read.parquet(s"$dataDir/code_files").repartition(512)
+        .write.mode("overwrite").parquet(s"$dataDir/code_files_512")
+      s.stop()
+    }
+    runLevel(8, 0); runLevel(32, 0) // JIT warm-up at both levels
+    for (rep <- 1 to reps; cores <- Seq(8, 32)) runLevel(cores, rep)
+  }
+}

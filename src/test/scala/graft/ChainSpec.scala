@@ -1,0 +1,72 @@
+package graft
+
+import graft.run.Chain
+import graft.suite.SchemaDocs
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Chain executor semantics mirrored from cli/src/commands/chain.rs. */
+class ChainSpec extends AnyFunSuite {
+
+  val FixtureDir = "/root/reference/crates/schematools/resources/test"
+
+  test("argument extractor: quotes + escapes (tools.rs:147-197)") {
+    assert(Chain.splitArgs("""process dereference file.json""") ===
+      Seq("process", "dereference", "file.json"))
+    assert(Chain.splitArgs("""process patch - inline add /a "hello world"""") ===
+      Seq("process", "patch", "-", "inline", "add", "/a", "hello world"))
+    assert(Chain.splitArgs("""a 'b c' d\ e""") === Seq("a", "b c", "d e"))
+    assert(Chain.splitArgs("  spaced   out  ") === Seq("spaced", "out"))
+  }
+
+  test("dereference + output over the 22/23 fixture pair, '-' schema reuse (chain.rs:99-132)") {
+    val dir = Files.createTempDirectory("graft-chain")
+    val out = dir.resolve("out.json").toString
+    val r = Chain.run(Seq(
+      s"process dereference $FixtureDir/json-schemas/22-discriminator-root.json",
+      "process merge-all-of -", // attaches to the same schema via '-'
+      s"output $out"))
+    assert(r.schemas.size === 1)
+    val body = r.outputs(out)
+    assert(body.at("/properties/name/oneOf/0/properties/test/type").asText() === "string")
+    // the output step really wrote the file
+    val reread = SchemaDocs.json.readTree(new String(Files.readAllBytes(Paths.get(out)), "UTF-8"))
+    assert(reread === body)
+  }
+
+  test("storage write-back: a later step resolves against an earlier step's mutation (chain.rs:159-163)") {
+    val dir = Files.createTempDirectory("graft-chain-wb")
+    val a = dir.resolve("a.json")
+    val b = dir.resolve("b.json")
+    Files.write(a, """{"$defs":{"t":{"type":"string","maxLength":1}}}""".getBytes("UTF-8"))
+    Files.write(b, s"""{"properties":{"v":{"$$ref":"a.json#/$$defs/t"}}}""".getBytes("UTF-8"))
+    val r = Chain.run(Seq(
+      s"""process patch $a inline replace /$$defs/t/maxLength 99""",
+      s"process dereference $b"))
+    val bFinal = r.schemas.find(_._1.toString.endsWith("b.json")).get._2
+    assert(bFinal.at("/properties/v/maxLength").asInt() === 99,
+      s"expected write-back to be visible, got ${bFinal.toPrettyString}")
+  }
+
+  test("validate step fails the chain on a malformed suite") {
+    val dir = Files.createTempDirectory("graft-chain-val")
+    val bad = dir.resolve("bad.json")
+    Files.write(bad,
+      """{"properties":{"v":{"type":"string","pattern":"[unclosed"}}}""".getBytes("UTF-8"))
+    intercept[Exception] { Chain.run(Seq(s"validate $bad")) }
+  }
+
+  test("patch create step: body becomes the diff against the original (patch.rs:55-65)") {
+    val dir = Files.createTempDirectory("graft-chain-pc")
+    val orig = dir.resolve("orig.json"); val cur = dir.resolve("cur.json")
+    Files.write(orig, """{"a":1}""".getBytes("UTF-8"))
+    Files.write(cur, """{"a":2,"b":3}""".getBytes("UTF-8"))
+    val r = Chain.run(Seq(s"process patch $cur create $orig"))
+    val patch = r.schemas.head._2
+    assert(patch.isArray && patch.size() === 2)
+    // applying the produced patch to the original yields the current body
+    val roundTrip = graft.suite.JsonPatch.apply(
+      SchemaDocs.json.readTree("""{"a":1}"""), patch)
+    assert(roundTrip === SchemaDocs.json.readTree("""{"a":2,"b":3}"""))
+  }
+}

@@ -128,6 +128,28 @@ class EngineSpec extends SparkSpec {
     assert(ksDrift.statistic > 0.05)
   }
 
+  test("runConcurrent produces identical verdicts/violations/stats to run") {
+    val dims = Map("dim_repos" -> Synth.dimRepos(spark, 100))
+    val base = Synth.baseline(spark, 2000, 100).withColumn("len", length(col("content")))
+    val dfLen = df.withColumn("len", length(col("content")))
+    val fullSuite = suite ++ RuleSuite(Seq(
+      ChiSquareDrift("drift_chi2", "lang", 1e9),
+      KsDrift("drift_ks", "len", 20, 1.0)))
+    val eng = new ValidationEngine(fullSuite, EngineConfig(numParts = 8))
+    val seq = eng.run(spark, dfLen, dims, Some(base))
+    val (conc, stages) = eng.runConcurrent(spark, dfLen, dims, Some(base))
+    def vKey(v: Verdict) = (v.part, v.rule, v.evaluated, v.violations, v.pass)
+    assert(conc.verdicts.collect().map(vKey).sorted.toSeq ===
+      seq.verdicts.collect().map(vKey).sorted.toSeq)
+    assert(conc.violations.collect().map(_.toString).sorted.toSeq ===
+      seq.violations.collect().map(_.toString).sorted.toSeq)
+    assert(conc.stats.collect().map(_.toString).sorted.toSeq ===
+      seq.stats.collect().map(_.toString).sorted.toSeq)
+    assert(stages.contains("violations_scan") && stages.contains("stats_scan"))
+    assert(stages.keys.count(_.startsWith("check_")) === fullSuite.tableRules.size)
+    seq.cleanup(); conc.cleanup()
+  }
+
   test("static type check fails fast on wrong schema") {
     val badSuite = RuleSuite(Seq(TypeIs("t", "repo", "bigint")))
     val e = intercept[IllegalArgumentException] {

@@ -1,0 +1,270 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.core._
+import graft.suite._
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.nio.file.{Files, Paths}
+
+/** Document loading + storage + dereference + patch semantics, mirrored
+  * against the reference's own fixtures under
+  * crates/schematools/resources/test (read-only).
+  */
+class SuiteDocsSpec extends AnyFunSuite {
+
+  val FixtureDir = "/root/reference/crates/schematools/resources/test"
+  private def parse(s: String): JsonNode = SchemaDocs.json.readTree(s)
+
+  // ------------------------------------------------------------------ YAML
+
+  test("YAML loading by extension: reference openapi/01-simple.yaml parses (schema.rs:68-103)") {
+    val node = SchemaDocs.loadUrl(SchemaDocs.pathToUrl(s"$FixtureDir/openapi/01-simple.yaml"))
+    assert(node.at("/components/requestBodies/requestBody1/required").asBoolean())
+    assert(node.at("/paths/~1v2~1resources/post/requestBody/$ref").asText()
+      === "#/components/requestBodies/requestBody1")
+  }
+
+  test("multi-document YAML collects into one array (schema.rs:86-98)") {
+    val dir = Files.createTempDirectory("graft-yaml")
+    val f = dir.resolve("multi.yaml")
+    Files.write(f, "a: 1\n---\nb: 2\n---\nc: 3\n".getBytes("UTF-8"))
+    val node = SchemaDocs.loadUrl(f.toUri)
+    assert(node.isArray && node.size() === 3)
+    assert(node.get(1).get("b").asInt() === 2)
+    // YAML and JSON spellings of the same document parse identically
+    val y = dir.resolve("one.yaml"); Files.write(y, "x:\n  - 1\n  - true\n".getBytes("UTF-8"))
+    val j = dir.resolve("one.json"); Files.write(j, """{"x":[1,true]}""".getBytes("UTF-8"))
+    assert(SchemaDocs.loadUrl(y.toUri) === SchemaDocs.loadUrl(j.toUri))
+  }
+
+  test("load_urls: N documents → one array, refs absolutized per document (schema.rs:116-131)") {
+    val a = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/22-discriminator-root.json")
+    val b = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/23-discriminator.json")
+    val arr = SchemaDocs.loadUrls(Seq(a, b))
+    assert(arr.isArray && arr.size() === 2)
+    val ref = arr.get(0).at("/properties/name/$ref").asText()
+    assert(ref.startsWith("file:/") && ref.endsWith("23-discriminator.json#/$defs/NameType"))
+  }
+
+  // --------------------------------------------------------------- storage
+
+  test("storage chases external file refs transitively, once each (storage.rs:28-101)") {
+    val rootUrl = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/22-discriminator-root.json")
+    val storage = SchemaStorage.load(rootUrl)
+    val other = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/23-discriminator.json")
+    assert(storage.contains(rootUrl) && storage.contains(other))
+    assert(storage.schemas.size === 2)
+    val resolved = storage.resolve(s"$other#/$$defs/Test2")
+    assert(resolved.at("/properties/test2/type").asText() === "string")
+  }
+
+  test("storage absolutizes refs and discriminator.mapping values (storage.rs:103-138)") {
+    val rootUrl = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/23-discriminator.json")
+    val storage = SchemaStorage.load(rootUrl)
+    val doc = storage.schemas(rootUrl)
+    // internal refs become absolute against the document's own URL
+    assert(doc.at("/$defs/NameType/oneOf/1/$ref").asText() === s"$rootUrl#/$$defs/Test2")
+    val mapped = doc.at("/$defs/NameType/discriminator/mapping/test2").asText()
+    assert(mapped === s"$rootUrl#/$$defs/Test2")
+  }
+
+  test("pluggable fetch serves non-file schemes (the reference's http client seam)") {
+    val remote = Map(
+      "https://example.org/ext.json" -> parse("""{"definitions":{"d":{"type":"string","maxLength":3}}}"""))
+    val fetch: URI => JsonNode = u =>
+      remote.getOrElse(u.toString, SchemaDocs.fileFetch(u))
+    val suite = SuiteLoader.fromRoot(parse(
+      """{"type":"object","properties":{
+        |  "v":{"$ref":"https://example.org/ext.json#/definitions/d"}}}""".stripMargin),
+      fetch = fetch)
+    assert(suite.rules.contains(MaxLength("maxLength_v", "v", 3)))
+  }
+
+  // ----------------------------------------------------------- dereference
+
+  test("infinite ref (fixture 07) terminates via create_internal_references (dereference.rs:125-135)") {
+    val url = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/07-with-infinite-ref.json")
+    val storage = SchemaStorage.load(url)
+    val out = new Dereferencer(storage).process(url, storage.resolve(url.toString))
+    // first resolution inlined...
+    assert(out.at("/properties/vegetables/items/properties/veggieName/type").asText() === "string")
+    // ...the cycle inside it re-points internally instead of recursing
+    assert(out.at("/properties/vegetables/items/properties/veggier/$ref").asText()
+      === "#/properties/vegetables/items")
+    // without the space-dedup option the cycle trips the depth-50 cap
+    val e = intercept[IllegalArgumentException] {
+      new Dereferencer(storage, DereferenceOptions(createInternalReferences = false))
+        .process(url, storage.resolve(url.toString))
+    }
+    assert(e.getMessage.contains("Infinite reference"))
+  }
+
+  test("external ref into 23 is inlined through storage (fixtures 22+23 verbatim)") {
+    val url = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/22-discriminator-root.json")
+    val storage = SchemaStorage.load(url)
+    val out = new Dereferencer(storage,
+      DereferenceOptions(createInternalReferences = false))
+      .process(url, storage.resolve(url.toString))
+    assert(out.at("/properties/name/oneOf/0/properties/test/type").asText() === "string")
+    assert(out.at("/properties/name/oneOf/1/properties/test2/type").asText() === "string")
+    assert(out.at("/$defs/MovedTest2/properties/test2/type").asText() === "string")
+  }
+
+  test("skip_references leaves matching hostnames untouched (dereference.rs:100-107)") {
+    val root = parse(
+      """{"properties":{
+        |  "a":{"$ref":"https://skipme.example.org/x.json#/d"},
+        |  "b":{"$ref":"#/defs/local"}},
+        | "defs":{"local":{"type":"string"}}}""".stripMargin)
+    val base = SuiteLoader.InlineBase
+    val storage = SchemaStorage(base, root,
+      fetch = u => sys.error(s"must not fetch $u"))
+    val out = new Dereferencer(storage,
+      DereferenceOptions(skipReferences = Seq("skipme.example.org")))
+      .process(base, storage.resolve(base.toString))
+    assert(out.at("/properties/a/$ref").asText().contains("skipme.example.org"))
+    assert(out.at("/properties/b/type").asText() === "string")
+  }
+
+  test("skip_root_internal_references leaves depth-1 internal refs (dereference.rs:97-99)") {
+    val root = parse(
+      """{"properties":{"a":{"$ref":"#/defs/x"}},"defs":{"x":{"type":"string"}}}""")
+    val base = SuiteLoader.InlineBase
+    val storage = SchemaStorage(base, root)
+    val out = new Dereferencer(storage,
+      DereferenceOptions(skipRootInternalReferences = true))
+      .process(base, storage.resolve(base.toString))
+    assert(out.at("/properties/a/$ref").asText().nonEmpty)
+  }
+
+  test("repeat resolutions become internal pointers to the first inline (dereference.rs:125-135)") {
+    val root = parse(
+      """{"properties":{
+        |  "a":{"$ref":"#/defs/shared"},
+        |  "b":{"$ref":"#/defs/shared"}},
+        | "defs":{"shared":{"type":"string","maxLength":7}}}""".stripMargin)
+    val base = SuiteLoader.InlineBase
+    val storage = SchemaStorage(base, root)
+    val out = new Dereferencer(storage).process(base, storage.resolve(base.toString))
+    assert(out.at("/properties/a/maxLength").asInt() === 7)
+    assert(out.at("/properties/b/$ref").asText() === "#/properties/a")
+  }
+
+  test("discriminator.mapping rewritten to internal pointers after inlining (dereference.rs:226-253)") {
+    val url = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/23-discriminator.json")
+    val storage = SchemaStorage.load(url)
+    val out = new Dereferencer(storage).process(url, storage.resolve(url.toString))
+    val mapped = out.at("/$defs/NameType/discriminator/mapping/test2").asText()
+    assert(mapped.startsWith("#/"), s"expected internal pointer, got $mapped")
+  }
+
+  // ------------------------------------------------- oneOf / discriminator
+
+  test("14-simple-one-of: multi-variant union over a column compiles to AnyOf of conjunctions") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "v":{"oneOf":[
+        |    {"type":"integer","minimum":100,"maximum":200},
+        |    {"type":"integer","minimum":400}]}}}""".stripMargin)
+    val union = suite.rowRules.collectFirst { case r: AnyOfRule => r }
+    assert(union.isDefined)
+    assert(union.get.name === "oneof_v")
+    assert(union.get.members.size === 2)
+    val first = union.get.members.head.asInstanceOf[AllOfRule]
+    assert(first.members.exists { case MinValue(_, "v", 100.0, false) => true; case _ => false })
+    assert(first.members.exists { case MaxValue(_, "v", 200.0, false) => true; case _ => false })
+  }
+
+  test("wrapper-strategy autodetect mirrors the Simple extractor (anyoneof/extractor.rs:100-197)") {
+    def variants(s: String*) = s.map(parse)
+    assert(SuiteLoader.detectStrategy(variants(
+      """{"properties":{"car":{"type":"string"}}}""",
+      """{"properties":{"bike":{"type":"string"}}}""")) === "externally")
+    assert(SuiteLoader.detectStrategy(variants(
+      """{"properties":{"kind":{"const":"car"},"doors":{"type":"integer"}}}""",
+      """{"properties":{"kind":{"const":"bike"},"wheels":{"type":"integer"}}}"""))
+      === "internally:kind")
+    assert(SuiteLoader.detectStrategy(variants(
+      """{"properties":{"a":{"type":"string"},"b":{"type":"string"}}}""",
+      """{"properties":{"c":{"type":"string"}}}""")) === "bruteForce")
+  }
+
+  test("explicit discriminator (propertyName+mapping) compiles tagged cases (extractor.rs:199-260)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object",
+        | "oneOf":[{"$ref":"#/$defs/En"},{"$ref":"#/$defs/Zh"}],
+        | "discriminator":{"propertyName":"lang","mapping":{
+        |   "en":"#/$defs/En","zh":"#/$defs/Zh"}},
+        | "$defs":{
+        |   "En":{"required":["source"],"properties":{"n_chars":{"minimum":10}}},
+        |   "Zh":{"properties":{"n_chars":{"minimum":20}}}}}""".stripMargin)
+    val union = suite.rowRules.collectFirst { case r: AnyOfRule => r }
+    assert(union.isDefined)
+    assert(union.get.name.contains("discriminated"))
+    val cases = union.get.members.collect { case a: AllOfRule => a }
+    assert(cases.size === 2)
+    val en = cases.find(_.name.contains("_en")).get
+    assert(en.members.exists { case ConstEq(_, "lang", "en") => true; case _ => false })
+    assert(en.members.exists { case Required(_, "source") => true; case _ => false })
+    assert(en.members.exists { case MinValue(_, "n_chars", 10.0, false) => true; case _ => false })
+  }
+
+  // ------------------------------------------------ min/max properties
+
+  test("minProperties/maxProperties harvested (keyword list jsonschema/mod.rs:466-481)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "props":{"minProperties":1,"maxProperties":3}}}""".stripMargin)
+    assert(suite.rules.contains(MinProperties("minProperties_props", "props", 1)))
+    assert(suite.rules.contains(MaxProperties("maxProperties_props", "props", 3)))
+  }
+
+  // ------------------------------------------------------------ JSON-Patch
+
+  test("patch create/apply round-trip: apply(diff(a,b), a) == b (patch.rs:53-79)") {
+    val docs = Seq(
+      s"""{"a":1,"b":{"c":[1,2,3],"d":"x"},"e":[{"f":1}]}""",
+      s"""{"a":2,"b":{"c":[1,9],"d":"x","new":true}}""",
+      new String(Files.readAllBytes(
+        Paths.get(s"$FixtureDir/json-schemas/14-simple-one-of.json")), "UTF-8"),
+      new String(Files.readAllBytes(
+        Paths.get(s"$FixtureDir/json-schemas/23-discriminator.json")), "UTF-8")
+    ).map(parse)
+    for (a <- docs; b <- docs) {
+      val p = JsonPatch.diff(a, b)
+      assert(JsonPatch.apply(a, p) === b, s"round-trip failed for patch $p")
+      if (a == b) assert(p.size() === 0)
+    }
+  }
+
+  test("inline add/remove/replace ops (patch.rs:43-49); test/copy/move extras") {
+    val doc = parse("""{"x":{"y":[1,2]},"z":"keep"}""")
+    val added = JsonPatch.inline(doc, "add", "/x/y/-", Some(parse("3")))
+    assert(added.at("/x/y/2").asInt() === 3)
+    val removed = JsonPatch.inline(doc, "remove", "/x/y/0", None)
+    assert(removed.at("/x/y/0").asInt() === 2)
+    val replaced = JsonPatch.inline(doc, "replace", "/z", Some(parse("\"new\"")))
+    assert(replaced.at("/z").asText() === "new")
+    intercept[Exception] { JsonPatch.inline(doc, "replace", "/missing", Some(parse("1"))) }
+    intercept[Exception] { JsonPatch.inline(doc, "nope", "/z", Some(parse("1"))) }
+    val moved = JsonPatch.apply(doc, parse("""[{"op":"move","from":"/z","path":"/x/moved"}]"""))
+    assert(moved.at("/x/moved").asText() === "keep" && !moved.has("z"))
+    val tested = parse("""[{"op":"test","path":"/z","value":"keep"}]""")
+    assert(JsonPatch.apply(doc, tested) === doc)
+    intercept[Exception] {
+      JsonPatch.apply(doc, parse("""[{"op":"test","path":"/z","value":"wrong"}]"""))
+    }
+  }
+
+  test("suite patched between runs changes its ruleSetHash (lineage)") {
+    val suiteJson = parse(
+      """{"type":"object","properties":{"v":{"type":"string","maxLength":5}}}""")
+    val patched = JsonPatch.apply(suiteJson,
+      parse("""[{"op":"replace","path":"/properties/v/maxLength","value":9}]"""))
+    val a = SuiteLoader.fromRoot(suiteJson)
+    val b = SuiteLoader.fromRoot(patched)
+    assert(a.ruleSetHash !== b.ruleSetHash)
+    assert(b.rules.contains(MaxLength("maxLength_v", "v", 9)))
+  }
+}
