@@ -34,6 +34,7 @@ object Bench {
       // the default 128 MB bins leave the last task wave ragged and ~9 of 32
       // cores idle; 32 MB moved the heavy scan from 0.50 to 0.70 efficiency
       .config("spark.sql.files.maxPartitionBytes", "32m")
+      .config("spark.scheduler.mode", sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -127,7 +128,7 @@ object Bench {
     // concurrently (ValidationEngine.runConcurrent), so per-job scheduling
     // constants overlap instead of serializing — the round-1 efficiency
     // loss was exactly that serial fraction.
-    val levels = Seq(8, 32)
+    val levels = sys.env.getOrElse("SPARK_GRAFT_LEVELS", "8,32").split(",").toSeq.map(_.trim.toInt)
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val samples = scala.collection.mutable.Map[Int, List[(Double, Map[String, Double])]]()
       .withDefaultValue(Nil)

@@ -94,6 +94,80 @@ object Drift {
     Ks(d, bins)
   }
 
+  /** Per-value histogram of several columns in ONE grouping-sets scan —
+    * the fused path the engine uses when a suite carries several drift
+    * rules: chi2 needs per-category counts and KS needs binnable value
+    * counts, and both derive exactly from `value → count`, so one scan per
+    * snapshot replaces 3 scans per rule (chi2 freq, KS bounds, KS bins).
+    * Values travel as strings (numeric parse on the driver; Spark's
+    * double→string is shortest-roundtrip, so the parse is exact).
+    *
+    * Scale caveat: output is NDV(col) rows per column. Categorical and
+    * discretized numeric columns (the drift vocabulary) keep this tiny; a
+    * continuous high-NDV column should be pre-discretized or use the
+    * standalone [[ks]] two-pass path.
+    */
+  def valueHistograms(df: DataFrame, columns: Seq[String]): Map[String, Seq[(Option[String], Long)]] = {
+    require(columns.nonEmpty)
+    val n = columns.size
+    val gcols = columns.map(c => col(c).cast("string").as(s"__g_$c"))
+    val sets = columns.indices.map(i => Seq(col(s"__g_${columns(i)}")))
+    val rows = df.select(gcols: _*)
+      .groupingSets(sets, columns.map(c => col(s"__g_$c")): _*)
+      .agg(count(lit(1)).as("__n"), grouping_id().as("__gid"))
+      .collect()
+    // grouping_id bit i (from the left, 0-based) is SET when column i is
+    // NOT part of the grouping set; set k groups by column k only
+    def expectedGid(i: Int): Long = ((1L << n) - 1) ^ (1L << (n - 1 - i))
+    columns.zipWithIndex.map { case (c, i) =>
+      c -> rows.toSeq
+        .filter(_.getLong(n + 1) == expectedGid(i))
+        .map(r => (Option(r.getString(i)), r.getLong(n)))
+    }.toMap
+  }
+
+  /** Chi-square from per-value histograms — same math as [[chiSquare]]. */
+  def chiSquareFromHist(cur: Seq[(Option[String], Long)],
+                        base: Seq[(Option[String], Long)]): ChiSquare = {
+    val curM = cur.toMap.withDefaultValue(0L)
+    val baseM = base.toMap.withDefaultValue(0L)
+    val keys = (curM.keySet ++ baseM.keySet).toSeq
+    val to = curM.values.sum.toDouble
+    val tb = baseM.values.sum.toDouble
+    var stat = 0.0; var k = 0; var newCats = 0L
+    keys.foreach { key =>
+      val o = curM(key).toDouble
+      val e = baseM(key).toDouble * (to / tb)
+      if (e > 0) { stat += (o - e) * (o - e) / e; k += 1 }
+      else if (o > 0) newCats += 1
+    }
+    ChiSquare(stat, math.max(k - 1, 0), newCats)
+  }
+
+  /** Binned-CDF KS from per-value histograms — same binning arithmetic as
+    * [[ks]] (nulls excluded, combined min/max bounds, equal-width bins).
+    */
+  def ksFromHist(cur: Seq[(Option[String], Long)],
+                 base: Seq[(Option[String], Long)], bins: Int): Ks = {
+    def vals(h: Seq[(Option[String], Long)]) =
+      h.collect { case (Some(s), c) => (s.toDouble, c) }
+    val (cv, bv) = (vals(cur), vals(base))
+    val all = cv.map(_._1) ++ bv.map(_._1)
+    val (lo, hi) = (all.min, all.max)
+    val span = if (hi > lo) hi - lo else 1.0
+    def bin(v: Double): Int = math.min(math.floor((v - lo) / (span / bins)).toInt, bins - 1)
+    val c = Array.fill(bins)(0.0); val b = Array.fill(bins)(0.0)
+    cv.foreach { case (v, n) => c(bin(v)) += n.toDouble }
+    bv.foreach { case (v, n) => b(bin(v)) += n.toDouble }
+    val (totC, totB) = (c.sum, b.sum)
+    var cc = 0.0; var cb = 0.0; var d = 0.0
+    (0 until bins).foreach { i =>
+      cc += c(i) / totC; cb += b(i) / totB
+      d = math.max(d, math.abs(cc - cb))
+    }
+    Ks(d, bins)
+  }
+
   /** DataFrame-returning variants for the query surface. */
   def chiSquareDf(spark: SparkSession, current: DataFrame, baselineDf: DataFrame,
                   column: String): DataFrame = {

@@ -149,36 +149,19 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     * (runConcurrent) — table checks are small-output jobs whose per-job
     * scheduling constants otherwise serialize behind the heavy scans.
     */
-  /** All columns any key-shaped table rule touches — the superset projection
-    * runConcurrent caches once and every check reads from.
-    */
-  private def tableKeyColumns(df: DataFrame): Seq[String] = {
-    val keys = suite.tableRules.flatMap {
-      case UniqueKey(_, ks) => ks
-      case RefIntegrity(_, ks, _, _) => ks
-      case _ => Nil
-    }
-    (Seq(PartCol) ++ cfg.rowRefCols ++ keys).distinct
-      .filter(c => c == PartCol || df.columns.contains(c))
-  }
-
   private def tableCheckBuilders(spark: SparkSession, df: DataFrame,
                                  dims: Map[String, DataFrame], baseline: Option[DataFrame],
-                                 partTotalsDf: () => DataFrame,
-                                 keySource: Option[DataFrame] = None): Seq[(String, () => BuiltCheck)] = {
+                                 partTotalsDf: () => DataFrame): Seq[(String, () => BuiltCheck)] = {
     import spark.implicits._
     lazy val pdf = partitioned(df)
 
     /** Key/ref-only projection: table checks must never drag the fat
-      * `content` column through their scans and shuffles. When a shared
-      * (cached) key projection is provided, every check reads it instead of
-      * rescanning parquet.
+      * `content` column through their scans and shuffles.
       */
     def pruned(extra: Seq[String]): DataFrame = {
-      val src = keySource.getOrElse(pdf)
       val cols = (Seq(PartCol) ++ cfg.rowRefCols ++ extra).distinct
-        .filter(c => src.columns.contains(c))
-      src.select(cols.map(col): _*)
+        .filter(c => pdf.columns.contains(c))
+      pdf.select(cols.map(col): _*)
     }
 
     def perPart(ruleName: String, bad: DataFrame, detail: Column): BuiltCheck = {
@@ -200,7 +183,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     def driftVerdict(name: String, evaluated: Long, ok: Boolean): DataFrame =
       Seq(Verdict(-1, name, evaluated, if (ok) 0L else 1L, ok)).toDS().toDF()
 
-    suite.tableRules.map {
+    val keyChecks = suite.tableRules.collect {
       case UniqueKey(name, keys) => name -> { () =>
         perPart(name, Uniqueness.duplicateRows(pruned(keys), keys, cfg.salts),
           Uniqueness.violationPredicateDetail(keys))
@@ -212,19 +195,39 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
           concat(lit(s"dangling reference into $dim via ${res.strategy}: "),
             concat_ws(",", keys.map(col): _*)))
       }
-      case ChiSquareDrift(name, column, maxStat) => name -> { () =>
-        val b = baseline.getOrElse(sys.error(s"rule $name needs a baseline snapshot"))
-        val r = Drift.chiSquare(df, b, column) // blocks (tiny collect)
-        BuiltCheck(driftVerdict(name, r.dof.toLong + 1, r.statistic <= maxStat),
-          spark.emptyDataset[Violation].toDF(), Nil, () => ())
-      }
-      case KsDrift(name, column, bins, maxStat) => name -> { () =>
-        val b = baseline.getOrElse(sys.error(s"rule $name needs a baseline snapshot"))
-        val r = Drift.ks(df, b, column, bins) // blocks (tiny collect)
-        BuiltCheck(driftVerdict(name, bins.toLong, r.statistic <= maxStat),
-          spark.emptyDataset[Violation].toDF(), Nil, () => ())
-      }
     }
+
+    // ALL drift rules fuse into ONE grouping-sets histogram scan per
+    // snapshot (Drift.valueHistograms): chi2 frequencies, KS bounds and KS
+    // bins all derive from value→count, so rule count never multiplies
+    // passes over the snapshots (previously 3 thin scans per KS rule).
+    val driftRules = suite.tableRules.collect {
+      case r: ChiSquareDrift => r: TableRule
+      case r: KsDrift => r: TableRule
+    }
+    val driftCheck =
+      if (driftRules.isEmpty) Nil
+      else Seq("drift" -> { () =>
+        val b = baseline.getOrElse(
+          sys.error(s"drift rules ${driftRules.map(_.name)} need a baseline snapshot"))
+        val cols = driftRules.collect {
+          case ChiSquareDrift(_, c, _) => c
+          case KsDrift(_, c, _, _) => c
+        }.distinct
+        val curH = Drift.valueHistograms(df, cols) // blocks (tiny collect)
+        val baseH = Drift.valueHistograms(b, cols)
+        val verdicts = driftRules.map {
+          case ChiSquareDrift(name, c, maxStat) =>
+            val r = Drift.chiSquareFromHist(curH(c), baseH(c))
+            driftVerdict(name, r.dof.toLong + 1, r.statistic <= maxStat)
+          case KsDrift(name, c, bins, maxStat) =>
+            val r = Drift.ksFromHist(curH(c), baseH(c), bins)
+            driftVerdict(name, bins.toLong, r.statistic <= maxStat)
+          case other => sys.error(s"not a drift rule: $other")
+        }.reduce(_ unionByName _)
+        BuiltCheck(verdicts, spark.emptyDataset[Violation].toDF(), Nil, () => ())
+      })
+    keyChecks ++ driftCheck
   }
 
   /** Table-rule verdicts + violations. `dims` maps RefIntegrity.dim names to
@@ -320,16 +323,10 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
             .select(col("part").as(PartCol), (col("count") + col("nulls")).as("evaluated"))
             .persist()
         else partTotals(df).persist()
-      // One cached key projection feeds uniqueness + referential + (fallback)
-      // totals instead of three parquet scans; columnar cache, content never
-      // enters it.
-      val keyCols = tableKeyColumns(df)
-      val needKeys = suite.tableRules.exists {
-        case _: UniqueKey | _: RefIntegrity => true; case _ => false
-      }
-      val keyed = if (needKeys) Some(partitioned(df).select(keyCols.map(col): _*).persist())
-                  else None
-      val builders = tableCheckBuilders(spark, df, dims, baseline, () => totals, keyed)
+      // NOTE: a shared cached key projection for uniqueness+referential was
+      // measured and REVERTED — building the columnar cache (compression)
+      // cost more CPU than the two thin parquet rescans it saved.
+      val builders = tableCheckBuilders(spark, df, dims, baseline, () => totals)
       val fHeavy = Future(timed("violations_scan") { rviol.count() })
       val fStats = Future(timed("stats_scan") { statsDf.count(); totals.count() })
       val fTable = builders.map { case (name, build) =>
@@ -345,7 +342,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
           .foldLeft(spark.emptyDataset[Violation].toDF())(_ unionByName _)
         RunResult(rv.unionByName(tv.as[Verdict]),
           rviol.as[Violation].unionByName(tviol.as[Violation]), statsDf,
-          rviol +: totals +: statsDf +: (keyed.toSeq ++ built.flatMap(_.persisted)))
+          rviol +: totals +: statsDf +: built.flatMap(_.persisted))
       }
       (result, times.asScala.toMap)
     } finally { pool.shutdown() }

@@ -146,8 +146,25 @@ class EngineSpec extends SparkSpec {
     assert(conc.stats.collect().map(_.toString).sorted.toSeq ===
       seq.stats.collect().map(_.toString).sorted.toSeq)
     assert(stages.contains("violations_scan") && stages.contains("stats_scan"))
-    assert(stages.keys.count(_.startsWith("check_")) === fullSuite.tableRules.size)
+    // key rules get a stage each; ALL drift rules fuse into one "drift" stage
+    assert(stages.keys.count(_.startsWith("check_")) === 3)
+    assert(stages.contains("check_drift"))
     seq.cleanup(); conc.cleanup()
+  }
+
+  test("fused drift histograms reproduce the two-pass chi2/KS statistics exactly") {
+    val base = Synth.baseline(spark, 2000, 100).withColumn("len", length(col("content")))
+    val drifted = Synth.drifted(spark, 2000, 100).withColumn("len", length(col("content")))
+    val curH = graft.checks.Drift.valueHistograms(drifted, Seq("lang", "len"))
+    val baseH = graft.checks.Drift.valueHistograms(base, Seq("lang", "len"))
+    val chiFused = graft.checks.Drift.chiSquareFromHist(curH("lang"), baseH("lang"))
+    val chiClassic = Drift.chiSquare(drifted, base, "lang")
+    assert(chiFused.dof === chiClassic.dof)
+    assert(chiFused.newCategories === chiClassic.newCategories)
+    assert(math.abs(chiFused.statistic - chiClassic.statistic) < 1e-9)
+    val ksFused = graft.checks.Drift.ksFromHist(curH("len"), baseH("len"), 20)
+    val ksClassic = Drift.ks(drifted, base, "len", 20)
+    assert(math.abs(ksFused.statistic - ksClassic.statistic) < 1e-12)
   }
 
   test("static type check fails fast on wrong schema") {
