@@ -71,6 +71,15 @@ object QueriesPipeline {
       Dedup.minHashPairs(nearDupCorpus(s, dir), "id", "text", minEst = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // dedup: candidate pairs → transitive clusters with a canonical keeper
+    // (min id per connected component); oracle recomputes components with a
+    // recursive CTE over the identical pair list
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minHashPairs(nearDupCorpus(s, dir), "id", "text", minEst = 0.5),
+        "id_a", "id_b")
+        .orderBy("id")),
+
     // dedup: 32-bit SimHash per document (portable token hash)
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text")
@@ -221,6 +230,30 @@ object QueriesPipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  private val dedupClustersOracle = {
+    val bandEq = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
+      val lo = b * Dedup.BandRows + 1; val hi = lo + Dedup.BandRows - 1
+      s"(a.sig[$lo:$hi] = b.sig[$lo:$hi])"
+    }.mkString(" OR ")
+    // same pair derivation as minhashPairsOracle, then connected components
+    // via recursive min-label reachability (UNION dedup is the fixpoint)
+    s"""WITH RECURSIVE $corpusCte, $shingleCte,
+       | sig AS (SELECT id, $sigExpr AS sig FROM shl),
+       | est AS (SELECT a.id AS id_a, b.id AS id_b,
+       |   round(CAST(list_sum(list_transform(generate_series(1, ${Dedup.NumHashes}),
+       |     i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+       |     / ${Dedup.NumHashes}, 6) AS est_jaccard
+       |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandEq)),
+       | edges AS (SELECT id_a AS s, id_b AS d FROM est WHERE est_jaccard >= 0.5
+       |           UNION SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.5),
+       | reach(v, l) AS (
+       |   SELECT DISTINCT s, s FROM edges
+       |   UNION
+       |   SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v)
+       |SELECT v AS id, CAST(min(l) AS BIGINT) AS cluster FROM reach
+       |GROUP BY v ORDER BY id""".stripMargin
+  }
+
   /** 32-bit simhash of a hash-list column, DuckDB SQL (mirrors simHash32). */
   private def sqlSimhash(hl: String): String =
     s"""CAST(list_sum(list_transform(generate_series(0, 31), b ->
@@ -351,6 +384,7 @@ object QueriesPipeline {
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
+    "q_dedup_clusters" -> dedupClustersOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_embed_neardup" -> embedNeardupOracle,

@@ -206,4 +206,44 @@ object Dedup {
     sigs.unpersist()
     result
   }
+
+  /** Connected components over a near-duplicate pair list: every document in
+    * a pair gets `cluster = min(id in its component)` — the step that turns
+    * candidate pairs (minHashPairs / simHashPairs / jaccardPairs) into
+    * dedup groups with a canonical keeper, transitively (a~b, b~c → one
+    * cluster even when a~c was never emitted).
+    *
+    * Iterative min-label propagation to a fixpoint: labels start as own id;
+    * each round every vertex takes the min of its and its neighbors'
+    * labels. Rounds needed = graph diameter — tiny for dup clusters (near
+    * cliques). Each round localCheckpoints to cut lineage (iterative join
+    * plans otherwise grow exponentially) and the convergence check is a
+    * LIMIT-1 existence probe, not a full count. At extreme scale with
+    * adversarial chain-shaped graphs, switch to the large-star/small-star
+    * alternation (same join primitives, O(log n) rounds).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster"))
+        .unionByName(labels.select("id", "cluster"))
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.cluster") =!= col("o.cluster"))
+        .limit(1).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -23,6 +23,8 @@ import java.nio.file.{Files, Paths}
   *   process dereference <path|-> [--skip-root-internal-references]
   *       [--no-create-internal-references] [--skip-references h1,h2]
   *   process merge-all-of <path|->
+  *   process name <path|-> [--overwrite] [--overwrite-ambiguous]
+  *       [--base-name N]
   *   process patch <path|-> apply <patchFile> | inline <op> <ptr> [json]
   *   validate <path|->         (static rule-suite compile check)
   *   output <outFile>          (dump current schema, chain.rs:79-82)
@@ -131,6 +133,11 @@ object Chain {
         new Dereferencer(storage, opts).process(url, storage.resolve(url.toString))
       case Seq("process", "merge-all-of", _, _*) =>
         SuiteLoader.mergeAllOfPublic(body)
+      case Seq("process", "name", _, flags @ _*) =>
+        Namer.nameSchema(body, NamerOptions(
+          overwrite = flags.contains("--overwrite"),
+          overwriteAmbiguous = flags.contains("--overwrite-ambiguous"),
+          baseName = flags.sliding(2).collectFirst { case Seq("--base-name", n) => n }))
       case Seq("process", "patch", _, "apply", patchFile, _*) =>
         JsonPatch.apply(body, SchemaDocs.loadUrl(SchemaDocs.pathToUrl(patchFile), fetch))
       case Seq("process", "patch", _, "create", originalFile, _*) =>

@@ -1,0 +1,137 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** `process name` — synthesize missing `title`s over a schema document,
+  * mirroring the reference's JsonSchemaNamer
+  * (process/name/jsonschema.rs:70-189) and its BasicNamer name algebra
+  * (scope.rs:44-186):
+  *
+  *   - the root takes `baseName` when untitled (or always with `overwrite`);
+  *   - nested objects are named from the last enclosing Entity plus the
+  *     property/definition path, PascalCased;
+  *   - oneOf/anyOf members get an `Option{i+1}` suffix, allOf members
+  *     `Partial{i+1}`;
+  *   - ambiguous positions (direct oneOf/anyOf members) are skipped unless
+  *     `overwriteAmbiguous` (jsonschema.rs:160-163);
+  *   - simple-typed nodes (`type` present and not "object") are never named
+  *     (jsonschema.rs:166-177);
+  *   - existing titles are kept unless `overwrite`.
+  *
+  * Walks properties / definitions / $defs / items / oneOf / allOf / anyOf /
+  * not, like the reference (jsonschema.rs:88-131).
+  */
+final case class NamerOptions(
+    overwrite: Boolean = false,
+    overwriteAmbiguous: Boolean = false,
+    baseName: Option[String] = None)
+
+object Namer {
+
+  private sealed trait Part
+  private final case class Entity(name: String) extends Part
+  private final case class Property(name: String) extends Part
+  private final case class Definition(name: String) extends Part
+  private final case class Form(key: String) extends Part
+  private final case class Index(i: Int) extends Part
+
+  def nameSchema(root: JsonNode, options: NamerOptions): JsonNode = {
+    val copy = root.deepCopy[JsonNode]()
+    walk(copy, Nil, options)
+    copy
+  }
+
+  /** In-place naming walk; `scope` is outermost-first. */
+  private def walk(node: JsonNode, scope: List[Part], options: NamerOptions): Unit =
+    node match {
+      case o: ObjectNode =>
+        val title = proposeTitle(o, scope, options)
+        title.foreach(t => { o.put("title", t); () })
+        val inner = title.map(t => scope :+ Entity(t)).getOrElse(scope)
+
+        Option(o.get("properties")).filter(_.isObject).foreach { props =>
+          props.properties().asScala.foreach { e =>
+            walk(e.getValue, inner :+ Form("properties") :+ Property(e.getKey), options)
+          }
+        }
+        Seq("definitions", "$defs").foreach { key =>
+          Option(o.get(key)).filter(_.isObject).foreach { defs =>
+            defs.properties().asScala.foreach { e =>
+              walk(e.getValue, inner :+ Form(key) :+ Definition(e.getKey), options)
+            }
+          }
+        }
+        Seq("items", "oneOf", "allOf", "anyOf", "not").foreach { key =>
+          Option(o.get(key)).foreach(v => walk(v, inner :+ Form(key), options))
+        }
+      case a: ArrayNode =>
+        a.elements().asScala.zipWithIndex.foreach { case (v, i) =>
+          walk(v, scope :+ Index(i), options)
+        }
+      case _ =>
+    }
+
+  private def proposeTitle(o: ObjectNode, scope: List[Part],
+                           options: NamerOptions): Option[String] = {
+    val existing = Option(o.get("title")).filter(_.isTextual).map(_.asText())
+    if (scope.isEmpty) {
+      val t = if (existing.isEmpty || options.overwrite)
+        options.baseName.orElse(existing) else existing
+      return Some(t.getOrElse(sys.error("naming the root requires a base name")))
+    }
+    if (existing.isDefined && !options.overwrite) return existing
+    if (isAmbiguous(scope) && !options.overwriteAmbiguous) return None
+    // skip simple types: a declared non-object type is never named
+    val simpleTyped = Option(o.get("type")).exists(t => t.isTextual && t.asText() != "object")
+    if (simpleTyped) return None
+    simpleName(scope).orElse(existing)
+  }
+
+  /** scope.rs:327-337: a node directly under a oneOf/anyOf form (via its
+    * index) is ambiguous.
+    */
+  private def isAmbiguous(scope: List[Part]): Boolean =
+    scope.length >= 2 && (scope(scope.length - 2) match {
+      case Form(f) => f == "oneOf" || f == "anyOf"
+      case _ => false
+    })
+
+  /** BasicNamer.simple (scope.rs:50-52 + parts at :75-163). */
+  private[suite] def simpleName(scope: List[Part]): Option[String] = {
+    val formSuffix: Option[String] =
+      if (scope.length >= 2) (scope(scope.length - 2), scope.last) match {
+        case (Form("oneOf" | "anyOf"), Index(i)) => Some(s"Option${i + 1}")
+        case (Form("allOf"), Index(i)) => Some(s"Partial${i + 1}")
+        case _ => None
+      } else None
+    scope.reverse.find {
+      case _: Form | _: Index => false
+      case _ => true
+    } flatMap {
+      case Entity(name) =>
+        Some(build(split(name + formSuffix.getOrElse(""))))
+      case Property(last) =>
+        lastEntity(scope).map(e => build(split(e) ++ split(last)))
+      case Definition(last) =>
+        lastEntity(scope).map(e => build(split(e) ++ split(last)))
+      case _ => None
+    }
+  }
+
+  private def lastEntity(scope: List[Part]): Option[String] =
+    scope.reverse.collectFirst { case Entity(n) => n }
+
+  /** scope.rs:166-186: space before every uppercase/underscore, strip
+    * non-alphanumerics, split on spaces.
+    */
+  private def split(phrase: String): Seq[String] = {
+    val spaced = phrase.flatMap(c => if (c.isUpper || c == '_') s" $c" else s"$c")
+    spaced.filter(c => c.isLetterOrDigit || c.isWhitespace)
+      .split(' ').toSeq.filter(_.nonEmpty)
+  }
+
+  private def build(parts: Seq[String]): String =
+    parts.map(p => p.head.toUpper + p.tail).mkString("")
+}

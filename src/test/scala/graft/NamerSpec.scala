@@ -1,0 +1,69 @@
+package graft
+
+import graft.suite.{Namer, NamerOptions, SchemaDocs}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `process name` semantics mirrored from the reference's own tests
+  * (process/name/jsonschema.rs:195-300 test_one_of_ambiguous /
+  * test_one_of_ambiguous_false and the naming rules in scope.rs:75-163).
+  */
+class NamerSpec extends AnyFunSuite {
+  private def parse(s: String) = SchemaDocs.json.readTree(s)
+
+  test("oneOf members renamed with overwrite_ambiguous (jsonschema.rs test_one_of_ambiguous)") {
+    val in = parse(
+      """{"type":"object","title":"BasicName","oneOf":[
+        | {"title":"A","type":"object","required":["option1"],
+        |  "properties":{"option1":{"type":"string"}}},
+        | {"title":"B","type":"object","required":["option2"],
+        |  "properties":{"option2":{"type":"string"}}}]}""".stripMargin)
+    val out = Namer.nameSchema(in, NamerOptions(overwrite = true,
+      overwriteAmbiguous = true, baseName = Some("JustTesting")))
+    assert(out.at("/title").asText() === "JustTesting")
+    assert(out.at("/oneOf/0/title").asText() === "JustTestingOption1")
+    assert(out.at("/oneOf/1/title").asText() === "JustTestingOption2")
+  }
+
+  test("ambiguous members keep titles without overwrite_ambiguous (test_one_of_ambiguous_false)") {
+    val in = parse(
+      """{"type":"object","title":"BasicName","oneOf":[
+        | {"title":"A","type":"object"},{"title":"B","type":"object"}]}""".stripMargin)
+    val out = Namer.nameSchema(in, NamerOptions(overwrite = true,
+      overwriteAmbiguous = false, baseName = Some("JustTesting")))
+    assert(out.at("/title").asText() === "JustTesting")
+    assert(out.at("/oneOf/0/title").asText() === "A")
+    assert(out.at("/oneOf/1/title").asText() === "B")
+  }
+
+  test("nested object properties named Entity+Property PascalCase; simple types skipped") {
+    val in = parse(
+      """{"type":"object","title":"Person","properties":{
+        | "home_address":{"type":"object","properties":{"zip":{"type":"string"}}},
+        | "name":{"type":"string"}}}""".stripMargin)
+    val out = Namer.nameSchema(in, NamerOptions())
+    assert(out.at("/properties/home_address/title").asText() === "PersonHomeAddress")
+    assert(!out.at("/properties/name").has("title")) // simple type, never named
+  }
+
+  test("definitions named from entity scope; allOf members get Partial suffix") {
+    val in = parse(
+      """{"type":"object","title":"Root","$defs":{
+        |  "thing":{"type":"object"}},
+        | "allOf":[{"type":"object"},{"type":"object"}]}""".stripMargin)
+    val out = Namer.nameSchema(in, NamerOptions())
+    assert(out.at("/$defs/thing/title").asText() === "RootThing")
+    assert(out.at("/allOf/0/title").asText() === "RootPartial1")
+    assert(out.at("/allOf/1/title").asText() === "RootPartial2")
+  }
+
+  test("existing titles kept without overwrite; root requires a base name when untitled") {
+    val in = parse("""{"type":"object","title":"Keep","properties":{
+      | "x":{"type":"object","title":"Original"}}}""".stripMargin)
+    val out = Namer.nameSchema(in, NamerOptions())
+    assert(out.at("/title").asText() === "Keep")
+    assert(out.at("/properties/x/title").asText() === "Original")
+    intercept[RuntimeException] {
+      Namer.nameSchema(parse("""{"type":"object"}"""), NamerOptions())
+    }
+  }
+}

@@ -132,6 +132,29 @@ class OpsSpec extends SparkSpec {
     assert(preds.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
   }
 
+  test("connected components match driver-side union-find (transitive chains, multiple clusters)") {
+    // chain 1-2-3-4 (pairs never emitted 1~4), triangle 10-11-12, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L)
+    val roots = verts.map(v => v -> find(v)).toMap
+    val canon = roots.groupBy(_._2).flatMap { case (_, m) =>
+      val c = m.keys.min; m.keys.map(_ -> c)
+    }
+    assert(got === canon)
+    assert(got(4L) === 1L) // transitivity across the chain
+    assert(got(21L) === 20L)
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
