@@ -66,4 +66,46 @@ class PlanSpec extends SparkSpec {
     val p = plan(engine.rowViolations(spark, df).toDF())
     assert(p.contains("Filter [codegen id"), "prefilter not codegen'd:\n" + p.take(800))
   }
+
+  test("union/discriminator suite still evaluates in ONE aggregation scan") {
+    val suite = graft.suite.SuiteLoader.parse(
+      """{"type":"object",
+        | "properties":{"path":{"oneOf":[{"minLength":1,"maxLength":10},{"pattern":"^x"}]}},
+        | "oneOf":[{"$ref":"#/$defs/A"},{"$ref":"#/$defs/B"}],
+        | "discriminator":{"propertyName":"lang","mapping":{
+        |   "scala":"#/$defs/A","rust":"#/$defs/B"}},
+        | "$defs":{"A":{"required":["repo"]},"B":{"required":["path"]}}}""".stripMargin)
+    val engine = new ValidationEngine(suite, EngineConfig(numParts = 8))
+    val p = plan(engine.rowVerdicts(spark, df).toDF())
+    // formatted explain lists each node in the tree AND the details
+    // section — count the detail headers "(<id>) Scan parquet" only
+    val scans = p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Scan parquet.*"))
+    assert(scans === 1, s"expected one scan for all union rules, got $scans:\n${p.take(600)}")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("fused drift histogram is one scan per snapshot (Expand + HashAggregate)") {
+    val h = df.select(col("lang").cast("string").as("__g_lang"),
+        col("commit").cast("string").as("__g_commit"))
+      .groupingSets(Seq(Seq(col("__g_lang")), Seq(col("__g_commit"))),
+        col("__g_lang"), col("__g_commit"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    val p = plan(h)
+    assert(p.linesIterator.count(l => l.trim.matches("\\(\\d+\\) Scan parquet.*")) === 1)
+    assert(p.contains("Expand"))
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs.contains("content"), "drift histogram scan must not read content")
+  }
+
+  test("distributed patch projection prunes to the payload columns") {
+    import graft.ops.PatchOps
+    val m = org.apache.spark.sql.functions.from_json(col("content"),
+      org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType))
+    val q = df.select(col("repo"),
+      PatchOps.entriesCsv(PatchOps.applyFlat(m, Seq(PatchOps.Add("x", col("lang"))))))
+    val rs = plan(q).linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("repo") && rs.contains("lang") && rs.contains("content"))
+    assert(!rs.contains("commit") && !rs.contains("path"), s"over-read: $rs")
+  }
 }
