@@ -63,11 +63,17 @@ object Main {
     }
 
     // load + static-validate the declarative suite (fail fast on the driver,
-    // like validate_jsonschema — reference validate/mod.rs:30-42)
+    // like validate_jsonschema — reference validate/mod.rs:30-42).
+    // GRAFT_SUITE_PATH points at a user suite file (JSON or YAML, external
+    // $refs resolved) whose properties must match the synth table's columns.
     val suite = phase("load-suite") {
-      val errs = SuiteLoader.staticValidate(DefaultSuiteJson)
-      require(errs.isEmpty, s"suite failed static validation: ${errs.mkString("; ")}")
-      SuiteLoader.parse(DefaultSuiteJson)
+      sys.env.get("GRAFT_SUITE_PATH") match {
+        case Some(path) => SuiteLoader.loadPath(path)
+        case None =>
+          val errs = SuiteLoader.staticValidate(DefaultSuiteJson)
+          require(errs.isEmpty, s"suite failed static validation: ${errs.mkString("; ")}")
+          SuiteLoader.parse(DefaultSuiteJson)
+      }
     }
     println(s"[graft] ruleSetHash=${suite.ruleSetHash.take(16)} rules=${suite.rules.size}")
 

@@ -210,6 +210,38 @@ class SuiteDocsSpec extends AnyFunSuite {
     assert(en.members.exists { case MinValue(_, "n_chars", 10.0, false) => true; case _ => false })
   }
 
+  test("every reference json-schemas fixture loads through the full pipeline") {
+    // zero-egress stand-in for the fixtures' schemastore.org refs (the
+    // reference fetches them over http; the seam is the pluggable fetch)
+    val httpStub: URI => JsonNode = u =>
+      if (u.getScheme == "file") SchemaDocs.fileFetch(u)
+      else parse( // covers every pointer the fixtures dereference remotely
+        """{"type":"object",
+          | "properties":{
+          |  "@context":{"type":"string"},
+          |  "docker":{"type":"object"}},
+          | "definitions":{
+          |  "moduleType":{"type":"object"}}}""".stripMargin)
+    val dir = new java.io.File(s"$FixtureDir/json-schemas")
+    val files = dir.listFiles().map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(files.length === 23)
+    val cyclic = Set("07-with-infinite-ref.json")
+    files.foreach { f =>
+      if (cyclic(f)) {
+        // rule compilation requires full inlining; a truly cyclic schema
+        // must hit the reference's depth-50 assert, not hang or stack-smash
+        val e = intercept[Exception] { SuiteLoader.loadPath(s"$dir/$f", httpStub) }
+        assert(e.getMessage.contains("Infinite reference"), s"$f: ${e.getMessage}")
+      } else {
+        val suite = SuiteLoader.loadPath(s"$dir/$f", httpStub)
+        assert(suite.rules != null, f) // loads without throwing
+      }
+    }
+    // spot-check a real-world schema produced rules, not just an empty suite
+    val grafana = SuiteLoader.loadPath(s"$dir/10-grafana.json", httpStub)
+    assert(grafana.rules.nonEmpty)
+  }
+
   // ------------------------------------------------ min/max properties
 
   test("minProperties/maxProperties harvested (keyword list jsonschema/mod.rs:466-481)") {
