@@ -34,6 +34,19 @@ object StreamValidate {
       .select(col("v.rule").as("rule"), col("rowRef"), col("v.detail").as("detail"))
   }
 
+  /** Streaming uniqueness: drop duplicate keys arriving within the
+    * watermark horizon — the streaming face of the batch UniqueKey check
+    * (and of exact dedup in an ingest pipeline). Uses Spark's
+    * `dropDuplicatesWithinWatermark`, whose state store holds one entry per
+    * key only until the watermark passes it — bounded memory at firehose
+    * rates, unlike an unbounded global dropDuplicates.
+    */
+  def dedupStream(stream: DataFrame, keys: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Event-time-windowed verdict grid: (window, rule, evaluated, violations,
     * pass), watermarked for bounded state.
     */

@@ -39,6 +39,24 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark, bounded state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[FileEvent]
+    val q = StreamValidate.dedupStream(mem.toDF(), Seq("repo", "commit"), "ts", "10 seconds")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(
+      ev("a/r", "00000001", "scala", 1),
+      ev("a/r", "00000001", "scala", 2), // dup within watermark -> dropped
+      ev("b/r", "00000002", "rust", 3))
+    q.processAllAvailable()
+    assert(spark.table("dedup").count() === 2)
+    // same key again, still within the horizon -> still deduped
+    mem.addData(ev("a/r", "00000001", "scala", 5))
+    q.processAllAvailable()
+    assert(spark.table("dedup").count() === 2)
+    q.stop()
+  }
+
   test("windowed verdicts aggregate per rule behind a watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[FileEvent]
