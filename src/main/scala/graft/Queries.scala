@@ -313,6 +313,20 @@ object Queries {
         .select(col("s.*")).orderBy("rule")
     }),
 
+    // §2.7 array filters (filters.rs:164-256 filter_not / startswith /
+    // inarray / not_inarray) over a per-row word array, as higher-order
+    // Column functions — no UDFs
+    "q_array_filters" -> ((s, dir) => {
+      val words = split(trim(coalesce(col("text"), lit(""))), "\\s+")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(filter(words, w => w.startsWith("a"))).as("n_a_words"),
+        size(filter(words, w => w =!= "the")).as("n_not_the"),
+        array_contains(words, "the").as("has_the"),
+        (!array_contains(words, "zebra")).as("no_zebra"))
+        .orderBy("doc_id")
+    }),
+
     // §2.8 patch apply, distributed: a constant inline patch (replace /k,
     // add /et, remove nothing) compiled once into the scan projection and
     // applied to every row's payload map (process/patch.rs:66-79)
@@ -518,6 +532,15 @@ object Queries {
         |  CAST(sum(CASE WHEN NOT coalesce(props IS NULL OR n >= 2, FALSE)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM sz
         |) ORDER BY rule""".stripMargin,
+    "q_array_filters" ->
+      """WITH w AS (SELECT doc_id,
+        |  string_split_regex(trim(coalesce(text, '')), '\s+') AS ws FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_filter(ws, x -> x LIKE 'a%')) AS INT) AS n_a_words,
+        | CAST(len(list_filter(ws, x -> x <> 'the')) AS INT) AS n_not_the,
+        | list_contains(ws, 'the') AS has_the,
+        | NOT list_contains(ws, 'zebra') AS no_zebra
+        |FROM w ORDER BY doc_id""".stripMargin,
     "q_patch_inline" ->
       """SELECT event_id,
         | 'et=' || event_type || ',k=' ||

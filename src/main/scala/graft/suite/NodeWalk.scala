@@ -1,0 +1,65 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import scala.jdk.CollectionConverters._
+
+/** Document traversal + interpolation utilities mirrored from the
+  * reference's `tools` module.
+  */
+object NodeWalk {
+
+  /** `each_node` (tools.rs:9-145): walk a path pattern of `type:key`
+    * segments — `key` = `*` iterates every entry of an object (the matched
+    * key is appended to `parts`), any other key is a direct pointer step
+    * (silently absent-tolerant, like the reference's `pointer_mut`). The
+    * callback receives every matched node plus the wildcard-matched parts.
+    * The `type` tag (any/definition/property/…) is naming-scope metadata in
+    * the reference; traversal ignores it but the format is enforced.
+    */
+  def eachNode(root: JsonNode, path: String)(f: (JsonNode, Seq[String]) => Unit): Unit = {
+    val segments = path.stripPrefix("/").stripSuffix("/").split('/').toSeq
+    def step(node: JsonNode, idx: Int, parts: List[String]): Unit =
+      if (idx >= segments.length) f(node, parts.reverse)
+      else segments(idx).split(':') match {
+        case Array(_, "*") =>
+          node match {
+            case o: ObjectNode =>
+              o.properties().asScala.toSeq.foreach { e =>
+                step(e.getValue, idx + 1, e.getKey :: parts)
+              }
+            case other => sys.error(s"wildcard needs an object, got ${other.getNodeType}")
+          }
+        case Array(_, key) =>
+          val found = node.at(s"/$key")
+          if (!found.isMissingNode) step(found, idx + 1, parts)
+        case _ => sys.error(s"Incorrect path: ${segments(idx)}")
+      }
+    step(root, 0, Nil)
+  }
+
+  /** `fill_parameters` (tools.rs:199-234): interpolate `%a.b.c%` markers
+    * against a JSON data object by dotted pointer; only string/number
+    * values substitute, anything else (or a missing pointer) errors.
+    */
+  def fillParameters(phrase: String, data: JsonNode): String = {
+    val out = new StringBuilder
+    val current = new StringBuilder
+    var parameter = false
+    phrase.foreach { c =>
+      if (c == '%') {
+        parameter = !parameter
+        if (current.nonEmpty) {
+          val pointer = "/" + current.result().replace('.', '/')
+          val v = data.at(pointer)
+          require(!v.isMissingNode, s"cannot fill parameters: $pointer")
+          require(v.isTextual || v.isNumber, s"cannot fill parameters: $pointer")
+          out ++= (if (v.isTextual) v.asText() else v.numberValue().toString)
+          current.clear()
+        }
+      } else if (parameter) current += c
+      else out += c
+    }
+    out.result()
+  }
+}

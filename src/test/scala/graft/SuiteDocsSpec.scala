@@ -252,6 +252,35 @@ class SuiteDocsSpec extends AnyFunSuite {
     assert(suite.rules.contains(MaxProperties("maxProperties_props", "props", 3)))
   }
 
+  // ---------------------------------------------------------- node walking
+
+  test("each_node path-pattern traversal: wildcards + direct steps (tools.rs:9-145)") {
+    val doc = parse(
+      """{"components":{"schemas":{
+        |  "A":{"type":"object"},"B":{"type":"string"}},
+        | "parameters":{"P":{"in":"query"}}}}""".stripMargin)
+    val hits = scala.collection.mutable.ListBuffer[(String, Seq[String])]()
+    NodeWalk.eachNode(doc, "/any:components/any:schemas/definition:*") { (node, parts) =>
+      hits += node.path("type").asText() -> parts
+    }
+    assert(hits.toList === List("object" -> Seq("A"), "string" -> Seq("B")))
+    // absent direct step matches nothing, silently (pointer_mut semantics)
+    var n = 0
+    NodeWalk.eachNode(doc, "/any:nope/definition:*")((_, _) => n += 1)
+    assert(n === 0)
+    intercept[Exception] { NodeWalk.eachNode(doc, "/badsegment")((_, _) => ()) }
+  }
+
+  test("fill_parameters interpolation via dotted pointers (tools.rs:199-234)") {
+    val data = parse("""{"options":{"name":"svc","version":3},"x":{"y":{"z":"deep"}}}""")
+    assert(NodeWalk.fillParameters("file_%options.name%_v%options.version%.json", data)
+      === "file_svc_v3.json")
+    assert(NodeWalk.fillParameters("%x.y.z%", data) === "deep")
+    assert(NodeWalk.fillParameters("no markers", data) === "no markers")
+    intercept[Exception] { NodeWalk.fillParameters("%missing.path%", data) }
+    intercept[Exception] { NodeWalk.fillParameters("%x.y%", data) } // object, not scalar
+  }
+
   // ------------------------------------------------------------ JSON-Patch
 
   test("patch create/apply round-trip: apply(diff(a,b), a) == b (patch.rs:53-79)") {
