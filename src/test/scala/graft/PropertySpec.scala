@@ -32,6 +32,8 @@ class PropertySpec extends SparkSpec {
       v.forall(x => java.util.regex.Pattern.compile(re).matcher(x).find())
     case MinLength(_, _, n)  => v.forall(_.length >= n)
     case MaxLength(_, _, n)  => v.forall(_.length <= n)
+    case AnyOfRule(_, _, ms) => ms.exists(naive(_, v))
+    case AllOfRule(_, _, ms) => ms.forall(naive(_, v))
     case _ => sys.error("not covered here")
   }
 
@@ -43,6 +45,27 @@ class PropertySpec extends SparkSpec {
     Gen.choose(0, 10).map(MinLength("r", "v", _)),
     Gen.choose(0, 10).map(MaxLength("r", "v", _)),
     Gen.oneOf("scala", "").map(ConstEq("r", "v", _)))
+
+  /** Random nested unions/conjunctions over the leaf rules (depth ≤ 2). */
+  private val unionGen: Gen[RowRule] = {
+    val member = Gen.oneOf(
+      ruleGen,
+      Gen.listOfN(2, ruleGen).map(ms => AllOfRule("all", "v", ms)))
+    Gen.choose(2, 4).flatMap(n =>
+      Gen.listOfN(n, member).map(ms => AnyOfRule("any", "v", ms)))
+  }
+
+  test("compiled oneOf/allOf unions == naive evaluation (25 random nested cases)") {
+    for (i <- 1 to 25) {
+      val rule = sample(unionGen, 5000 + i)
+      val values = sample(Gen.listOfN(30, strGen), 6000 + i)
+      val df = values.map(Option(_)).toDF("v")
+      val got = df.select(RuleCompiler.predicate(rule).as("p"))
+        .collect().map(_.getBoolean(0)).toSeq
+      val want = values.map(v => naive(rule, Option(v)))
+      assert(got === want, s"case $i rule=$rule values=$values")
+    }
+  }
 
   test("compiled predicate == naive row-by-row evaluation (40 random cases)") {
     for (i <- 1 to 40) {
