@@ -25,28 +25,30 @@ object Uniqueness {
   /** Keys occurring more than once, with their multiplicity.
     *
     * Shuffle compaction: instead of shuffling the wide string tuple
-    * (repo ~100B + path + commit), only a 128-bit key hash travels — ~6×
+    * (repo ~100B + path + commit), only ONE 64-bit key hash travels — ~10×
     * fewer shuffle bytes, which is what the check is bound by (nearly every
     * key is unique, so map-side combine cannot shrink the shuffle). The
     * surviving duplicate hashes (a tiny set) are broadcast back against the
     * fact table and re-counted on the REAL key columns, which both recovers
-    * the key values and makes 128-bit hash collisions harmless (a colliding
-    * pair would simply be re-examined exactly, then filtered).
+    * the key values and makes hash collisions harmless: a colliding pair of
+    * distinct keys survives phase 2 as a false candidate, is re-counted
+    * exactly per real key, and drops out at `occurrences > 1` — so the
+    * 64-bit width only ever costs a few extra broadcast rows (birthday
+    * bound ≈ n²/2⁶⁵), never correctness.
     */
   def duplicateKeys(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
     val h1 = xxhash64(keyCols: _*)
-    val h2 = xxhash64((lit(42L) +: keyCols): _*)
-    val compact = df.select(h1.as("__h1"), h2.as("__h2"),
+    val compact = df.select(h1.as("__h1"),
       (spark_partition_id() % salts).as("__salt"))
     val dupHashes = compact
-      .groupBy(col("__salt"), col("__h1"), col("__h2"))
+      .groupBy(col("__salt"), col("__h1"))
       .agg(count(lit(1)).as("__partial"))
-      .groupBy(col("__h1"), col("__h2"))
+      .groupBy(col("__h1"))
       .agg(sum(col("__partial")).as("__occ"))
       .where(col("__occ") > 1)
-      .select("__h1", "__h2")
-    df.join(broadcast(dupHashes), h1 === col("__h1") && h2 === col("__h2"), "inner")
+      .select("__h1")
+    df.join(broadcast(dupHashes), h1 === col("__h1"), "inner")
       .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("occurrences"))
       .where(col("occurrences") > 1)
