@@ -87,6 +87,11 @@ object JsonPatch {
     val kind = o.path("op").asText()
     val path = o.path("path").asText()
     kind match {
+      // RFC 6902: an empty path addresses the whole document — add/replace
+      // swap in the value as the new root
+      case "add" | "replace" if path.isEmpty =>
+        require(o.get("value") != null, "add/replace op needs a value")
+        o.get("value").deepCopy[JsonNode]()
       case "add" => addAt(root, path, o.get("value"))
       case "remove" => removeAt(root, path)
       case "replace" =>

@@ -299,6 +299,33 @@ class SuiteDocsSpec extends AnyFunSuite {
     }
   }
 
+  test("patch round-trip holds on 60 random nested document pairs") {
+    val rnd = new scala.util.Random(42)
+    def randomNode(depth: Int): JsonNode = {
+      val m = SchemaDocs.json
+      if (depth >= 3 || rnd.nextInt(10) < 3) rnd.nextInt(4) match {
+        case 0 => m.readTree(rnd.nextInt(1000).toString)
+        case 1 => m.readTree(s""""s${rnd.nextInt(8)}"""")
+        case 2 => m.readTree(if (rnd.nextBoolean()) "true" else "false")
+        case _ => m.readTree("null")
+      } else if (rnd.nextBoolean()) {
+        val o = m.createObjectNode()
+        (0 until rnd.nextInt(4)).foreach(i => o.set[JsonNode](s"k${rnd.nextInt(5)}", randomNode(depth + 1)))
+        o
+      } else {
+        val a = m.createArrayNode()
+        (0 until rnd.nextInt(4)).foreach(_ => a.add(randomNode(depth + 1)))
+        a
+      }
+    }
+    (1 to 60).foreach { i =>
+      val a = randomNode(0); val b = randomNode(0)
+      val p = JsonPatch.diff(a, b)
+      assert(JsonPatch.apply(a, p) === b, s"case $i: a=$a b=$b patch=$p")
+      assert(JsonPatch.diff(a, a).size() === 0)
+    }
+  }
+
   test("inline add/remove/replace ops (patch.rs:43-49); test/copy/move extras") {
     val doc = parse("""{"x":{"y":[1,2]},"z":"keep"}""")
     val added = JsonPatch.inline(doc, "add", "/x/y/-", Some(parse("3")))
