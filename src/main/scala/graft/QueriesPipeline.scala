@@ -254,11 +254,13 @@ object QueriesPipeline {
        |GROUP BY v ORDER BY id""".stripMargin
   }
 
-  /** 32-bit simhash of a hash-list column, DuckDB SQL (mirrors simHash32). */
-  private def sqlSimhash(hl: String): String =
-    s"""CAST(list_sum(list_transform(generate_series(0, 31), b ->
+  /** simhash of a hash-list column, DuckDB SQL (mirrors
+    * TextAnalysis.simHashBits: independent per-bit affine parity).
+    */
+  private def sqlSimhash(hl: String, bits: Int = Dedup.SimHashBits): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, ${bits - 1}), b ->
        |  CASE WHEN list_sum(list_transform($hl, h ->
-       |    (CAST(floor(h / power(2, b)) AS BIGINT) % 2) * 2 - 1)) > 0
+       |    ((h * (b*2 + 3) + (b + 1) * 12345) % $P % 2) * 2 - 1)) > 0
        |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
 
   private val simhashOracle = {

@@ -167,29 +167,38 @@ object Dedup {
     result
   }
 
-  /** 32-bit SimHash per document. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** SimHash per document (SimHashBits wide by default). */
+  val SimHashBits = 48
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = SimHashBits): DataFrame =
     df.select(col(idCol).as("id"),
-      TextAnalysis.simHash32(TextAnalysis.tokenHashes(col(textCol))).as("simhash"))
+      TextAnalysis.simHashBits(TextAnalysis.tokenHashes(col(textCol)), bits).as("simhash"))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming, found
-    * by banding the 32-bit signature into 4 × 8-bit keys and equi-joining on
-    * (band, key) — never all-pairs. By pigeonhole, a pair with ≤ 3 differing
-    * bits has at least one of the 4 bands intact, so for maxHamming ≤ 3 the
-    * banded search is EXACT (identical to all-pairs); the oracle verifies
-    * that by computing the all-pairs answer.
+    * by banding the 48-bit signature into 4 × 12-bit keys and equi-joining
+    * on (band, key) — never all-pairs. By pigeonhole, a pair with ≤ 3
+    * differing bits has at least one of the 4 bands intact, so for
+    * maxHamming ≤ 3 the banded search is EXACT (identical to all-pairs); the
+    * oracle verifies that by computing the all-pairs answer. Band-key width
+    * is the scale lever: 12-bit keys give 4096 buckets per band, so expected
+    * candidate fan-in per document is n/4096 per band — the 8-bit (256
+    * bucket) variant this replaces went quadratic 16× sooner. Beyond ~10⁷
+    * docs, widen the signature (simHash(bits)) so band keys keep
+    * ~log₂(n) bits, or move to the rotation-table scheme (Manku et al.).
     */
   val SimHashBands = 4
+  private val BandWidth = SimHashBits / SimHashBands // 12 bits → 4096 buckets
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimHashBands,
       s"banded search is only exact for maxHamming < $SimHashBands bands")
-    // materialize signatures first: simHash32 is an interpreted higher-order
-    // lambda and must not be inlined into 4 band rows × 2 join sides
+    // materialize signatures first: simHashBits is an interpreted
+    // higher-order lambda and must not be inlined into 4 band rows × 2 sides
     val sigs = simHash(df, idCol, textCol).persist()
     val bandStructs = (0 until SimHashBands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey")))
+        shiftright(col("simhash"), b * BandWidth)
+          .bitwiseAND(lit((1L << BandWidth) - 1)).as("bkey")))
     val banded = sigs.select(col("id"), col("simhash"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

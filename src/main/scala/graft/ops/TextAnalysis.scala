@@ -78,15 +78,24 @@ object TextAnalysis {
     * bit b of the result is set iff the ±1 sum of token-hash bit b is > 0.
     * Exact integer arithmetic via doubles < 2^53 (hashes < 2^30), portable.
     */
-  def simHash32(tokenHashes: Column): Column =
+  /** SimHash of a token-hash array, `bits` wide. Each signature bit gets its
+    * own affine rehash of the token hash (`((h·(2b+3) + (b+1)·12345) mod P)
+    * mod 2`) rather than extracting raw bit b — the token hashes only carry
+    * ~30 bits of entropy (mod P ≈ 2³⁰), so raw-bit extraction degenerates
+    * above bit 29 and caps the signature width; independent per-bit parities
+    * stay unbiased at any width. Wider signatures matter at scale: band-key
+    * space (buckets per band in the near-dup search) grows with width.
+    * Arithmetic stays < 2⁶³ (h < P ≈ 1e9, multiplier ≤ 2·bits+3).
+    */
+  def simHashBits(tokenHashes: Column, bits: Int): Column =
     ColUtil.letBound(tokenHashes)(bound =>
       aggregate(
-        sequence(lit(0), lit(31)),
+        sequence(lit(0), lit(bits - 1)),
         lit(0L),
         (acc, b) => {
+          val bL = b.cast("long")
           val bitSum = aggregate(bound, lit(0L),
-            (a2, h) => a2 + (floor(h.cast("double") / pow(lit(2.0), b.cast("double")))
-              .cast("long") % 2L) * 2L - 1L)
+            (a2, h) => a2 + ((h * (bL * 2L + 3L) + (bL + 1L) * 12345L) % P % 2L) * 2L - 1L)
           acc + when(bitSum > 0, floor(pow(lit(2.0), b.cast("double"))).cast("long"))
             .otherwise(0L)
         }))
