@@ -302,9 +302,40 @@ object Queries {
         org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
       val withMap = e.withColumn("props_map",
         when(col("event_id") % 3 === 0,
-          map_concat(base, map(lit("et"), col("event_type")))).otherwise(base))
+          graft.ops.PatchOps.upsert(base, "et", col("event_type"))).otherwise(base))
       val rules = Seq(MinProperties("min_props", "props_map", 2),
         MaxProperties("max_props", "props_map", 1))
+      val aggs = rules.map(r => sum(when(!graft.rules.RuleCompiler.predicate(r), 1L)
+        .otherwise(0L)).as(r.name))
+      val wide = withMap.agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(rules.map(r =>
+        struct(lit(r.name).as("rule"), col(r.name).as("violations"))): _*)).as("s"))
+        .select(col("s.*")).orderBy("rule")
+    }),
+
+    // §2.3/§2.8 patternProperties + additionalProperties harvest end-to-end:
+    // the suite is PARSED from JSON Schema (patternproperties.rs:18-58,
+    // additionalproperties.rs:19-55), the harvested map rules evaluate over
+    // a widened props map, verdict counts are oracle-checked
+    "q_pattern_props" -> ((s, dir) => {
+      import graft.ops.PatchOps.upsert
+      val e = t(s, dir, "events")
+      val base = from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      val m0 = when(col("event_id") % 7 === 0, upsert(base, "k", lit("oops"))).otherwise(base)
+      val m1 = when(col("event_id") % 3 === 0, upsert(m0, "et",
+        when(col("event_id") % 2 === 0, col("event_type")).otherwise(lit("Bad Value!"))))
+        .otherwise(m0)
+      val m2 = when(col("event_id") % 11 === 0, upsert(m1, "extra", lit("1"))).otherwise(m1)
+      val withMap = e.withColumn("props_map", m2)
+      val suite = graft.suite.SuiteLoader.parse(
+        """{"type":"object","properties":{
+          |  "props_map":{"type":"object","additionalProperties":false,
+          |    "patternProperties":{
+          |      "^k":{"type":"string","pattern":"^[0-9]+$"},
+          |      "^et$":{"type":"string","pattern":"^[a-z]+$"}}}}}""".stripMargin)
+      val rules = suite.rowRules.sortBy(_.name)
+      require(rules.size == 3, s"expected 3 harvested map rules, got $rules")
       val aggs = rules.map(r => sum(when(!graft.rules.RuleCompiler.predicate(r), 1L)
         .otherwise(0L)).as(r.name))
       val wide = withMap.agg(aggs.head, aggs.tail: _*)
@@ -531,6 +562,34 @@ object Queries {
         | SELECT 'min_props' AS rule,
         |  CAST(sum(CASE WHEN NOT coalesce(props IS NULL OR n >= 2, FALSE)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM sz
+        |) ORDER BY rule""".stripMargin,
+    "q_pattern_props" ->
+      """WITH m AS (
+        |  SELECT event_id,
+        |    list_concat(list_concat(
+        |      [{'k': 'k', 'v': CASE WHEN event_id % 7 = 0 THEN 'oops'
+        |                            ELSE json_extract_string(props, '$.k') END}],
+        |      CASE WHEN event_id % 3 = 0 THEN
+        |        [{'k': 'et', 'v': CASE WHEN event_id % 2 = 0 THEN event_type
+        |                               ELSE 'Bad Value!' END}] ELSE [] END),
+        |      CASE WHEN event_id % 11 = 0 THEN [{'k': 'extra', 'v': '1'}] ELSE [] END) AS es
+        |  FROM events),
+        |v AS (
+        |  SELECT
+        |    len(list_filter(es, e -> regexp_matches(e.k, '^k')
+        |        AND NOT regexp_matches(e.v, '^[0-9]+$'))) > 0 AS v0,
+        |    len(list_filter(es, e -> regexp_matches(e.k, '^et$')
+        |        AND NOT regexp_matches(e.v, '^[a-z]+$'))) > 0 AS v1,
+        |    len(list_filter(es, e -> NOT (regexp_matches(e.k, '^k')
+        |        OR regexp_matches(e.k, '^et$')))) > 0 AS vc
+        |  FROM m)
+        |SELECT rule, violations FROM (
+        |  SELECT 'closedKeys_props_map' AS rule,
+        |    CAST(sum(CASE WHEN vc THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM v
+        |  UNION ALL SELECT 'patternProps_props_map_0',
+        |    CAST(sum(CASE WHEN v0 THEN 1 ELSE 0 END) AS BIGINT) FROM v
+        |  UNION ALL SELECT 'patternProps_props_map_1',
+        |    CAST(sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS BIGINT) FROM v
         |) ORDER BY rule""".stripMargin,
     "q_array_filters" ->
       """WITH w AS (SELECT doc_id,

@@ -80,7 +80,7 @@ object QueriesPipeline {
         "id_a", "id_b")
         .orderBy("id")),
 
-    // dedup: 32-bit SimHash per document (portable token hash)
+    // dedup: 48-bit SimHash per document (SimHashBits; portable token hash)
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text")
         .orderBy("id")),

@@ -107,7 +107,16 @@ object Drift {
     * continuous high-NDV column should be pre-discretized or use the
     * standalone [[ks]] two-pass path.
     */
-  def valueHistograms(df: DataFrame, columns: Seq[String]): Map[String, Seq[(Option[String], Long)]] = {
+  /** Thrown when the fused histogram would collect more driver rows than
+    * allowed — callers should route the offending rules through the
+    * two-pass [[ks]]/[[chiSquare]] path, whose binning stays distributed.
+    */
+  final case class HistogramTooLarge(rows: Long, maxRows: Int) extends RuntimeException(
+    s"fused drift histogram has > $maxRows driver rows (a continuous high-NDV " +
+      s"column?) — use the two-pass ks/chiSquare path instead")
+
+  def valueHistograms(df: DataFrame, columns: Seq[String],
+                      maxRows: Int = 100000): Map[String, Seq[(Option[String], Long)]] = {
     require(columns.nonEmpty)
     val n = columns.size
     val gcols = columns.map(c => col(c).cast("string").as(s"__g_$c"))
@@ -115,7 +124,9 @@ object Drift {
     val rows = df.select(gcols: _*)
       .groupingSets(sets, columns.map(c => col(s"__g_$c")): _*)
       .agg(count(lit(1)).as("__n"), grouping_id().as("__gid"))
+      .limit(maxRows + 1) // driver-safety: bound the collect before it happens
       .collect()
+    if (rows.length > maxRows) throw HistogramTooLarge(rows.length.toLong, maxRows)
     // grouping_id bit i (from the left, 0-based) is SET when column i is
     // NOT part of the grouping set; set k groups by column k only
     def expectedGid(i: Int): Long = ((1L << n) - 1) ^ (1L << (n - 1 - i))
@@ -134,6 +145,7 @@ object Drift {
     val keys = (curM.keySet ++ baseM.keySet).toSeq
     val to = curM.values.sum.toDouble
     val tb = baseM.values.sum.toDouble
+    require(tb > 0, "empty baseline histogram for chi-square (all-null or zero rows)")
     var stat = 0.0; var k = 0; var newCats = 0L
     keys.foreach { key =>
       val o = curM(key).toDouble
@@ -152,6 +164,8 @@ object Drift {
     def vals(h: Seq[(Option[String], Long)]) =
       h.collect { case (Some(s), c) => (s.toDouble, c) }
     val (cv, bv) = (vals(cur), vals(base))
+    require(cv.nonEmpty && bv.nonEmpty,
+      s"no numeric values for KS (current=${cv.size}, baseline=${bv.size} non-null rows)")
     val all = cv.map(_._1) ++ bv.map(_._1)
     val (lo, hi) = (all.min, all.max)
     val span = if (hi > lo) hi - lo else 1.0

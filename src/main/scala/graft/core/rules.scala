@@ -71,6 +71,26 @@ final case class UniqueItems(name: String, column: String) extends RowRule
 final case class MinProperties(name: String, column: String, n: Int) extends RowRule
 final case class MaxProperties(name: String, column: String, n: Int) extends RowRule
 
+/** patternProperties / schema-valued additionalProperties over a map-typed
+  * column (codegen/jsonschema/patternproperties.rs:9-64,
+  * additionalproperties.rs:10-55): entries whose key matches `keyPattern`
+  * (SEARCH semantics, like JSON Schema; None = every entry) must satisfy the
+  * value constraints — declared type (`valueType`: string/integer/number/
+  * boolean, checked by castability on the string-map payload) and optional
+  * `valuePattern` regex.
+  */
+final case class MapPatternValues(name: String, column: String,
+                                  keyPattern: Option[String], valueType: String,
+                                  valuePattern: Option[String] = None) extends RowRule
+
+/** Closed-object analog: `additionalProperties: false` alongside
+  * patternProperties — every key must match at least one declared pattern
+  * (the validation-plane reading of the reference's open/closed object
+  * distinction, additionalproperties.rs:21-27,40-44).
+  */
+final case class MapClosedKeys(name: String, column: String,
+                               patterns: Seq[String]) extends RowRule
+
 /** Per-row invariant: sha2(contentColumn, 256) == shaColumn. */
 final case class Sha256Invariant(name: String, column: String, shaColumn: String) extends RowRule
 

@@ -222,37 +222,67 @@ object Dedup {
     * dedup groups with a canonical keeper, transitively (a~b, b~c → one
     * cluster even when a~c was never emitted).
     *
-    * Iterative min-label propagation to a fixpoint: labels start as own id;
-    * each round every vertex takes the min of its and its neighbors'
-    * labels. Rounds needed = graph diameter — tiny for dup clusters (near
-    * cliques). Each round localCheckpoints to cut lineage (iterative join
-    * plans otherwise grow exponentially) and the convergence check is a
-    * LIMIT-1 existence probe, not a full count. At extreme scale with
-    * adversarial chain-shaped graphs, switch to the large-star/small-star
-    * alternation (same join primitives, O(log n) rounds).
+    * Two-phase large-star/small-star alternation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — public):
+    * each round is two grouped-min + join passes over the edge set, and the
+    * edge set contracts toward one star per component whose root is the
+    * component minimum. Rounds = O(log n) even on adversarial chain/path
+    * graphs (the old min-label propagation needed diameter rounds). Each
+    * round localCheckpoints to cut lineage (iterative join plans otherwise
+    * grow exponentially); convergence = edge-set fixpoint (count equal +
+    * LIMIT-1 except probe, both on materialized checkpoints).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+                          maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of large+small-star rounds it
+    * took — exposed so tests can assert the O(log n) bound.
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): (DataFrame, Int) = {
+    val allIds = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id")).localCheckpoint(true)
-    var converged = false
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var i = 0
     while (!converged && i < maxIter) {
-      val next = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("cluster"))
-        .unionByName(labels.select("id", "cluster"))
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.cluster") =!= col("o.cluster"))
-        .limit(1).isEmpty
-      labels = next
+      // large-star: connect every neighbor LARGER than u to the minimum of
+      // u's closed neighborhood m(u) = min(Γ(u) ∪ {u})
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: orient (larger → smaller), then connect every smaller
+      // neighbor AND u itself to the minimum of the oriented neighborhood
+      val oriented = ls.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).where(col("u") =!= col("v"))
+      val ssMin = oriented.groupBy("u").agg(min("v").as("m"))
+      val joined = oriented.join(ssMin, "u")
+      val next = joined.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        .distinct().localCheckpoint(true)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.except(edges).limit(1).isEmpty
+      edges = next
+      edgeCount = nextCount
       i += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")
-    labels
+    // fixpoint edges are star edges (node → component min); roots and
+    // isolated ids label themselves
+    val labels = allIds.join(edges, allIds("id") === edges("u"), "left_outer")
+      .select(col("id"), coalesce(col("v"), col("id")).as("cluster"))
+    (labels, i)
   }
 }

@@ -29,7 +29,10 @@ object PatchOps {
     case (acc, Remove(k))     => map_filter(acc, (key, _) => key =!= lit(k))
   }
 
-  private def upsert(m: Column, k: String, v: Column): Column =
+  /** Duplicate-key-safe map upsert: filters the key out before map_concat,
+    * so it never trips spark.sql.mapKeyDedupPolicy=EXCEPTION.
+    */
+  def upsert(m: Column, k: String, v: Column): Column =
     map_concat(map_filter(m, (key, _) => key =!= lit(k)), map(lit(k), v))
 
   /** Canonical sorted `k=v,k2=v2` rendering (deterministic cross-engine). */

@@ -54,6 +54,26 @@ object RuleCompiler {
       case UniqueItems(_, _)   => nullSafe(size(c) === size(array_distinct(c)))
       case MinProperties(_, _, n) => nullSafe(size(map_keys(c)) >= n)
       case MaxProperties(_, _, n) => nullSafe(size(map_keys(c)) <= n)
+      case MapPatternValues(_, _, kp, vt, vp) =>
+        // higher-order forall over map entries — interpreted per element,
+        // fine because payload maps are tiny per row (same reasoning as
+        // PatchOps.applyFlat); the row count stays codegen'd around it
+        val valueOk: Column => Column = v => {
+          val typeOk = vt match {
+            case "integer" => v.cast("long").isNotNull
+            case "number"  => v.cast("double").isNotNull
+            case "boolean" => lower(v).isin("true", "false")
+            case _         => lit(true) // string / unconstrained
+          }
+          vp.map(re => typeOk && v.rlike(re)).getOrElse(typeOk)
+        }
+        val entryOk: (Column, Column) => Column = (k, v) =>
+          kp.map(re => !k.rlike(re) || valueOk(v)).getOrElse(valueOk(v))
+        nullSafe(forall(map_entries(c), e =>
+          entryOk(e.getField("key"), e.getField("value"))))
+      case MapClosedKeys(_, _, patterns) =>
+        nullSafe(forall(map_keys(c),
+          k => patterns.map(k.rlike).reduce(_ || _)))
       case Sha256Invariant(_, _, shaCol) =>
         coalesce(
           (c.isNull && col(shaCol).isNull) || sha2(c, 256) === col(shaCol),
@@ -70,12 +90,18 @@ object RuleCompiler {
   /** Human-readable failure detail, analog of the reference logging each
     * `iter_errors` item with its value (validate/mod.rs:19-23).
     */
-  def detail(r: RowRule): Column = {
-    val shown = r match {
-      case s: Sha256Invariant => substring(coalesce(col(s.column).cast(StringType), lit("null")), 1, 40)
-      case _ => substring(coalesce(col(r.column).cast(StringType), lit("null")), 1, 80)
-    }
-    concat(lit(s"${kind(r)} failed on ${r.column}: value="), shown)
+  def detail(r: RowRule): Column = r match {
+    // Union rules may carry a synthetic column name (e.g. a root-level
+    // oneOf without a discriminator) — never dereference it; report via
+    // the first leaf member, which always names a real column.
+    case AnyOfRule(name, _, ms) => concat(lit(s"AnyOfRule $name (no variant matched): "), detail(ms.head))
+    case AllOfRule(name, _, ms) => concat(lit(s"AllOfRule $name: "), detail(ms.head))
+    case _ =>
+      val shown = r match {
+        case s: Sha256Invariant => substring(coalesce(col(s.column).cast(StringType), lit("null")), 1, 40)
+        case _ => substring(coalesce(col(r.column).cast(StringType), lit("null")), 1, 80)
+      }
+      concat(lit(s"${kind(r)} failed on ${r.column}: value="), shown)
   }
 
   private def kind(r: RowRule): String = r.getClass.getSimpleName
@@ -86,8 +112,12 @@ object RuleCompiler {
     // trees across rules are deduped by Catalyst CSE at codegen time; here we
     // just validate patterns once up front so a bad regex fails at compile
     // time, not mid-job on an executor.
-    rules.collect { case MatchesPattern(_, _, re) => re }.distinct
-      .foreach(java.util.regex.Pattern.compile(_))
+    rules.flatMap {
+      case MatchesPattern(_, _, re) => Seq(re)
+      case MapPatternValues(_, _, kp, _, vp) => kp.toSeq ++ vp.toSeq
+      case MapClosedKeys(_, _, ps) => ps
+      case _ => Nil
+    }.distinct.foreach(java.util.regex.Pattern.compile(_))
     rules.map(r => Compiled(r, predicate(r, formats), detail(r)))
   }
 

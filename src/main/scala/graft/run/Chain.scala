@@ -23,6 +23,7 @@ import java.nio.file.{Files, Paths}
   *   process dereference <path|-> [--skip-root-internal-references]
   *       [--no-create-internal-references] [--skip-references h1,h2]
   *   process merge-all-of <path|->
+  *   process merge-openapi <path|-> --with <file> [--retag T] [--add-version V]
   *   process name <path|-> [--overwrite] [--overwrite-ambiguous]
   *       [--base-name N]
   *   process patch <path|-> apply <patchFile> | inline <op> <ptr> [json]
@@ -133,6 +134,16 @@ object Chain {
         new Dereferencer(storage, opts).process(url, storage.resolve(url.toString))
       case Seq("process", "merge-all-of", _, _*) =>
         SuiteLoader.mergeAllOfPublic(body)
+      case Seq("process", "merge-openapi", _, flags @ _*) =>
+        // CLI shape: --with <file> [--retag T] [--add-version V]
+        // (cli process/mod.rs:62-82 MergeOpenapiOpts; semantics in
+        // process/merge_openapi.rs:24-147)
+        val withFile = flags.sliding(2).collectFirst { case Seq("--with", f) => f }
+          .getOrElse(sys.error("merge-openapi needs --with <file>"))
+        val merged = SchemaDocs.loadUrl(SchemaDocs.pathToUrl(withFile), fetch)
+        MergeOpenapi.process(body, merged, MergeOpenapi.Options(
+          retag = flags.sliding(2).collectFirst { case Seq("--retag", t) => t },
+          addVersion = flags.sliding(2).collectFirst { case Seq("--add-version", v) => v }))
       case Seq("process", "name", _, flags @ _*) =>
         Namer.nameSchema(body, NamerOptions(
           overwrite = flags.contains("--overwrite"),

@@ -29,7 +29,10 @@ final case class EngineConfig(
     numParts: Int = 64,
     salts: Int = 16,
     broadcastMaxRows: Long = 10000000L,
-    statsColumns: Seq[String] = Nil)
+    statsColumns: Seq[String] = Nil,
+    // driver-safety cap on the fused drift histogram collect; beyond it the
+    // engine falls back to the two-pass distributed ks/chiSquare per rule
+    driftHistMaxRows: Int = 100000)
 
 final case class RunResult(
     verdicts: Dataset[Verdict],
@@ -214,14 +217,25 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
           case ChiSquareDrift(_, c, _) => c
           case KsDrift(_, c, _, _) => c
         }.distinct
-        val curH = Drift.valueHistograms(df, cols) // blocks (tiny collect)
-        val baseH = Drift.valueHistograms(b, cols)
+        // Fused path first; if a continuous high-NDV column would blow the
+        // driver collect (Drift.HistogramTooLarge), fall back per rule to
+        // the two-pass ks/chiSquare whose binning stays distributed.
+        val fused =
+          try Some((Drift.valueHistograms(df, cols, cfg.driftHistMaxRows),
+            Drift.valueHistograms(b, cols, cfg.driftHistMaxRows)))
+          catch { case _: Drift.HistogramTooLarge => None }
         val verdicts = driftRules.map {
           case ChiSquareDrift(name, c, maxStat) =>
-            val r = Drift.chiSquareFromHist(curH(c), baseH(c))
+            val r = fused match {
+              case Some((curH, baseH)) => Drift.chiSquareFromHist(curH(c), baseH(c))
+              case None => Drift.chiSquare(df, b, c)
+            }
             driftVerdict(name, r.dof.toLong + 1, r.statistic <= maxStat)
           case KsDrift(name, c, bins, maxStat) =>
-            val r = Drift.ksFromHist(curH(c), baseH(c), bins)
+            val r = fused match {
+              case Some((curH, baseH)) => Drift.ksFromHist(curH(c), baseH(c), bins)
+              case None => Drift.ks(df, b, c, bins)
+            }
             driftVerdict(name, bins.toLong, r.statistic <= maxStat)
           case other => sys.error(s"not a drift rule: $other")
         }.reduce(_ unionByName _)

@@ -117,7 +117,9 @@ final class Dereferencer(storage: SchemaStorage,
       case po: ObjectNode =>
         siblings.properties().asScala.foreach { e => po.set(e.getKey, e.getValue); () }
         po
-      case other => if (siblings.isEmpty) other else siblings
+      // non-object resolution: reference assigns the resolved value
+      // unconditionally, dropping any sibling keys (dereference.rs:139-149)
+      case other => other
     }
   }
 

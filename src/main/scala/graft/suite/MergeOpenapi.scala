@@ -1,0 +1,117 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import scala.jdk.CollectionConverters._
+
+/** Document-level `process merge-openapi` — left-preferential merge of a
+  * second OpenAPI document into the first, mirroring the reference's
+  * `merge_openapi::Merger` (process/merge_openapi.rs:24-147):
+  *
+  *   - `components/<definition>/<name>`: inserted only when the root lacks
+  *     that name (existing keys win, :33-53); the root's `components` key is
+  *     created (`{}`) even when nothing merges (:30-32).
+  *   - `paths/<path>/<method>`: same precedence (:55-90); with `retag`, an
+  *     INSERTED method's `tags` is replaced by `[retag]` (:75-84) — existing
+  *     methods are never touched.
+  *   - `addVersion = Some(v)`: copies merged `/info/version` to the root's
+  *     `info.x-version-<v>` (:92-101).
+  *   - `retag` set → early return BEFORE tags handling, so no `tags` key is
+  *     created (:103-105, visible in test_paths_retag's expected JSON).
+  *   - tags: root `tags` array created (`[]`) and merged tags appended
+  *     union-by-`name` (:107-141).
+  *
+  * Non-object root is an error (reference returns Error::NotImplemented).
+  */
+object MergeOpenapi {
+
+  final case class Options(retag: Option[String] = None,
+                           addVersion: Option[String] = None)
+
+  def process(root: JsonNode, merged: JsonNode,
+              opts: Options = Options()): JsonNode = {
+    require(root.isObject, "merge-openapi: root document must be an object")
+    val openapi = root.deepCopy[ObjectNode]()
+    val json = SchemaDocs.json
+
+    def objEntry(parent: ObjectNode, key: String): ObjectNode = {
+      val existing = parent.get(key)
+      if (existing == null) {
+        val fresh = json.createObjectNode()
+        parent.set[JsonNode](key, fresh)
+        fresh
+      } else {
+        require(existing.isObject, s"merge-openapi: '$key' exists but is not an object")
+        existing.asInstanceOf[ObjectNode]
+      }
+    }
+
+    // components (merge_openapi.rs:30-53)
+    val components = objEntry(openapi, "components")
+    Option(merged.get("components")).filter(_.isObject).foreach { mc =>
+      mc.properties().asScala.foreach { defEntry =>
+        require(defEntry.getValue.isObject,
+          s"merge-openapi: components/${defEntry.getKey} is not an object")
+        val set = objEntry(components, defEntry.getKey)
+        defEntry.getValue.properties().asScala.foreach { e =>
+          if (!set.has(e.getKey)) { set.set[JsonNode](e.getKey, e.getValue.deepCopy[JsonNode]()); () }
+        }
+      }
+    }
+
+    // paths (merge_openapi.rs:55-90); retag replaces tags on INSERTED methods
+    val paths = objEntry(openapi, "paths")
+    Option(merged.get("paths")).filter(_.isObject).foreach { mp =>
+      mp.properties().asScala.foreach { pathEntry =>
+        require(pathEntry.getValue.isObject,
+          s"merge-openapi: paths/${pathEntry.getKey} is not an object")
+        val set = objEntry(paths, pathEntry.getKey)
+        pathEntry.getValue.properties().asScala.foreach { e =>
+          if (!set.has(e.getKey)) {
+            val node = e.getValue.deepCopy[JsonNode]()
+            opts.retag.foreach { tag =>
+              require(node.isObject, s"merge-openapi: method ${e.getKey} is not an object")
+              val tags = json.createArrayNode(); tags.add(tag)
+              node.asInstanceOf[ObjectNode].set[JsonNode]("tags", tags); ()
+            }
+            set.set[JsonNode](e.getKey, node); ()
+          }
+        }
+      }
+    }
+
+    // add_version (merge_openapi.rs:92-101) — runs even when retag is set
+    opts.addVersion.foreach { v =>
+      Option(merged.at("/info/version")).filterNot(_.isMissingNode).foreach { mv =>
+        objEntry(openapi, "info").set[JsonNode](s"x-version-$v", mv.deepCopy[JsonNode]()); ()
+      }
+    }
+
+    // retag → early return, tags key NOT created (merge_openapi.rs:103-105)
+    if (opts.retag.isDefined) return openapi
+
+    // tags: union by name, original order kept (merge_openapi.rs:107-141)
+    val tags: ArrayNode = {
+      val existing = openapi.get("tags")
+      if (existing == null) {
+        val fresh = json.createArrayNode()
+        openapi.set[JsonNode]("tags", fresh)
+        fresh
+      } else {
+        require(existing.isArray, "merge-openapi: 'tags' exists but is not an array")
+        existing.asInstanceOf[ArrayNode]
+      }
+    }
+    val names = tags.elements().asScala.collect {
+      case o: ObjectNode if o.path("name").isTextual => o.get("name").asText()
+    }.toSet
+    Option(merged.get("tags")).collect { case a: ArrayNode => a }.foreach { mtags =>
+      mtags.elements().asScala.foreach {
+        case o: ObjectNode if o.path("name").isTextual =>
+          if (!names.contains(o.get("name").asText())) { tags.add(o.deepCopy[JsonNode]()); () }
+        case _ => () // non-object / unnamed tags skipped (reference filter_map)
+      }
+    }
+    openapi
+  }
+}

@@ -157,6 +157,7 @@ object SuiteLoader {
       out += MinProperties(s"minProperties_$name", name, v.asInt()))
     Option(node.get("maxProperties")).foreach(v =>
       out += MaxProperties(s"maxProperties_$name", name, v.asInt()))
+    out ++= mapRules(name, node)
     // multi-variant oneOf/anyOf over THIS column: each variant is a keyword
     // bundle; value passes if any variant's conjunction holds. (The
     // two-variant-with-null and single-variant cases were already collapsed
@@ -174,6 +175,48 @@ object SuiteLoader {
         if (members.forall(_.isDefined))
           out += AnyOfRule(s"${key.toLowerCase}_$name", name, members.flatten)
       }
+    }
+    out.result()
+  }
+
+  /** patternProperties / additionalProperties harvest over a map-typed
+    * column. Mirrors the reference's extraction fallbacks:
+    *   - patternProperties with HOMOGENEOUS declared value types → one
+    *     [[MapPatternValues]] per pattern (map-of-T, patternproperties.rs:
+    *     18-58); MIXED types → the reference degrades the model to AnyType
+    *     with a warning (:44-48), so no value constraints are emitted;
+    *   - `additionalProperties: <schema>` → map values constrained for every
+    *     entry (MapType, additionalproperties.rs:28-39);
+    *   - `{}` / `true` / absent → open object, nothing to check
+    *     (additionalproperties.rs:21-27,40-44,48-53);
+    *   - `false` alongside patternProperties → [[MapClosedKeys]], the
+    *     validation-plane reading of a closed object.
+    */
+  private def mapRules(name: String, node: JsonNode): Seq[RowRule] = {
+    val out = Vector.newBuilder[RowRule]
+    val pats = Option(node.get("patternProperties")).filter(_.isObject)
+      .map(_.properties().asScala.toSeq.map(e => e.getKey -> e.getValue))
+      .getOrElse(Nil)
+    if (pats.nonEmpty) {
+      val types = pats.map { case (_, v) =>
+        Option(v.get("type")).map(_.asText()).getOrElse("string")
+      }
+      if (types.distinct.size == 1)
+        pats.zipWithIndex.foreach { case ((pat, vschema), i) =>
+          out += MapPatternValues(s"patternProps_${name}_$i", name, Some(pat),
+            types.head, Option(vschema.get("pattern")).map(_.asText()))
+        }
+      else
+        System.err.println(s"[graft-suite] $name: patternProperties is mixed — " +
+          "value constraints dropped (AnyType fallback, patternproperties.rs:44-48)")
+    }
+    Option(node.get("additionalProperties")).foreach { ap =>
+      if (ap.isObject && ap.size() > 0)
+        out += MapPatternValues(s"additionalProps_$name", name, None,
+          Option(ap.get("type")).map(_.asText()).getOrElse("string"),
+          Option(ap.get("pattern")).map(_.asText()))
+      else if (ap.isBoolean && !ap.asBoolean() && pats.nonEmpty)
+        out += MapClosedKeys(s"closedKeys_$name", name, pats.map(_._1))
     }
     out.result()
   }
@@ -210,6 +253,8 @@ object SuiteLoader {
     case x: LengthEqualsColumn => x.copy(name = s"${prefix}_${x.name}")
     case x: AnyOfRule => x.copy(name = s"${prefix}_${x.name}")
     case x: AllOfRule => x.copy(name = s"${prefix}_${x.name}")
+    case x: MapPatternValues => x.copy(name = s"${prefix}_${x.name}")
+    case x: MapClosedKeys => x.copy(name = s"${prefix}_${x.name}")
   }
 
   /** Rules for one union variant that is an object schema ACROSS columns
@@ -280,7 +325,11 @@ object SuiteLoader {
       case None =>
         val strategy = detectStrategy(variants).replace(':', '_')
         val members = variants.zipWithIndex.map { case (v, i) =>
-          conjunction(s"${name}_variant$i", name, objectVariantRules(s"${name}_variant$i", v))
+          // carry a REAL column (the variant's first member's), never the
+          // synthetic root name — detail()/rowViolations dereference it
+          val vrules = objectVariantRules(s"${name}_variant$i", v)
+          conjunction(s"${name}_variant$i",
+            vrules.headOption.map(_.column).getOrElse(name), vrules)
         }
         if (members.exists(_.isEmpty)) None
         else Some(AnyOfRule(s"${key.toLowerCase}_${name}_$strategy",

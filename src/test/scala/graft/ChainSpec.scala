@@ -56,6 +56,46 @@ class ChainSpec extends AnyFunSuite {
     intercept[Exception] { Chain.run(Seq(s"validate $bad")) }
   }
 
+  test("merge-openapi step: load A → dereference → merge B → output (merge_openapi.rs:24-147)") {
+    val dir = Files.createTempDirectory("graft-chain-merge")
+    val b = dir.resolve("b.json")
+    // overlaps fixture 02 on schemas.ResourceList (existing wins), on the
+    // path get (existing wins) and on tag SimpleApi (no dup); adds a new
+    // method, path, schema and tag
+    Files.write(b,
+      """{"tags":[{"name":"SimpleApi"},{"name":"Extra"}],
+        |"components":{"schemas":{
+        |  "ResourceList":{"marker":"FROM_B"},
+        |  "NewSchema":{"type":"string"}}},
+        |"paths":{
+        |  "/v2/resources/{id}":{"get":{"marker":"FROM_B"},"delete":{"operationId":"resourceDelete"}},
+        |  "/v2/other":{"post":{"operationId":"otherPost"}}}}""".stripMargin.getBytes("UTF-8"))
+    val out = dir.resolve("merged.json").toString
+    val r = Chain.run(Seq(
+      // the reference dereferences this fixture with root-internal refs
+      // skipped (dereference.rs test_parted_schema_with_reference)
+      s"process dereference $FixtureDir/openapi/02-parted-root.yaml --skip-root-internal-references",
+      s"process merge-openapi - --with $b",
+      s"output $out"))
+    val m = r.outputs(out)
+    // precedence: A's dereferenced get survives, B's marker does not
+    assert(m.at("/paths/~1v2~1resources~1{id}/get/operationId").asText() === "resourceGet")
+    assert(m.at("/paths/~1v2~1resources~1{id}/get/marker").isMissingNode)
+    // additions from B
+    assert(m.at("/paths/~1v2~1resources~1{id}/delete/operationId").asText() === "resourceDelete")
+    assert(m.at("/paths/~1v2~1other/post/operationId").asText() === "otherPost")
+    assert(m.at("/components/schemas/NewSchema/type").asText() === "string")
+    // schema precedence: A's dereferenced ResourceList wins over B's marker
+    assert(m.at("/components/schemas/ResourceList/marker").isMissingNode)
+    assert(m.at("/components/schemas/ResourceList/type").asText() === "object")
+    // tag union by name: SimpleApi once, Extra appended
+    val tagNames = {
+      import scala.jdk.CollectionConverters._
+      m.get("tags").elements().asScala.map(_.get("name").asText()).toSeq
+    }
+    assert(tagNames === Seq("SimpleApi", "Extra"))
+  }
+
   test("patch create step: body becomes the diff against the original (patch.rs:55-65)") {
     val dir = Files.createTempDirectory("graft-chain-pc")
     val orig = dir.resolve("orig.json"); val cur = dir.resolve("cur.json")

@@ -152,6 +152,27 @@ class EngineSpec extends SparkSpec {
     seq.cleanup(); conc.cleanup()
   }
 
+  test("drift histogram cap: high-NDV column falls back to two-pass, same verdicts") {
+    val base = Synth.baseline(spark, 2000, 100).withColumn("len", length(col("content")))
+    val dfLen = df.withColumn("len", length(col("content")))
+    // the raw cap throws a typed error instead of collecting unbounded rows
+    intercept[graft.checks.Drift.HistogramTooLarge] {
+      graft.checks.Drift.valueHistograms(dfLen, Seq("len"), maxRows = 5)
+    }
+    val driftSuite = RuleSuite(Seq(
+      ChiSquareDrift("drift_chi2", "lang", 1e9),
+      KsDrift("drift_ks", "len", 20, 1.0)))
+    def verdicts(cfgMax: Int) = {
+      val eng = new ValidationEngine(driftSuite,
+        EngineConfig(numParts = 8, driftHistMaxRows = cfgMax))
+      val r = eng.run(spark, dfLen, baseline = Some(base))
+      val out = r.verdicts.collect().map(v => (v.rule, v.evaluated, v.violations, v.pass))
+        .sorted.toSeq
+      r.cleanup(); out
+    }
+    assert(verdicts(5) === verdicts(100000)) // fallback path == fused path
+  }
+
   test("fused drift histograms reproduce the two-pass chi2/KS statistics exactly") {
     val base = Synth.baseline(spark, 2000, 100).withColumn("len", length(col("content")))
     val drifted = Synth.drifted(spark, 2000, 100).withColumn("len", length(col("content")))
@@ -165,6 +186,29 @@ class EngineSpec extends SparkSpec {
     val ksFused = graft.checks.Drift.ksFromHist(curH("len"), baseH("len"), 20)
     val ksClassic = Drift.ks(drifted, base, "len", 20)
     assert(math.abs(ksFused.statistic - ksClassic.statistic) < 1e-12)
+  }
+
+  test("root-level oneOf WITHOUT discriminator evaluates (no synthetic-column deref)") {
+    // regression: unionRule's non-discriminator branch used to stamp the
+    // synthetic name "root" as the AllOfRule column; detail() then built
+    // col("root") and rowViolations threw AnalysisException
+    val suite = graft.suite.SuiteLoader.parse(
+      """{"type":"object","properties":{},
+        | "oneOf":[
+        |   {"properties":{"a":{"type":"string","minLength":3}},"required":["a"]},
+        |   {"properties":{"b":{"type":"string","maxLength":2}},"required":["b"]}]}""".stripMargin)
+    val union = suite.rowRules.collectFirst { case r: AnyOfRule => r }.get
+    val data = Seq(
+      (1L, Option("abcd"), Option.empty[String]), // variant 0 holds
+      (2L, Option.empty[String], Option("xy")),   // variant 1 holds
+      (3L, Option.empty[String], Option("xyz")),  // b too long, a missing
+      (4L, Option("ab"), Option.empty[String])    // a too short, b missing
+    ).toDF("id", "a", "b")
+    val eng = new ValidationEngine(RuleSuite(Seq(union)),
+      EngineConfig(partitionKey = "id", rowRefCols = Seq("id"), numParts = 2))
+    val viol = eng.rowViolations(spark, data).collect() // must not throw
+    assert(viol.map(_.rule).distinct === Array(union.name))
+    assert(viol.length === 2)
   }
 
   test("static type check fails fast on wrong schema") {

@@ -1,0 +1,98 @@
+package graft
+
+import graft.suite.{MergeOpenapi, SchemaDocs}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Document-level merge-openapi — each case mirrors a reference unit test
+  * in process/merge_openapi.rs:159-461 (same inputs, same expected JSON).
+  */
+class MergeOpenapiSpec extends AnyFunSuite {
+
+  private def j(s: String) = SchemaDocs.json.readTree(s)
+
+  test("components: existing keys win, missing groups created (test_components)") {
+    val first = j("""{"components":{"schemas":{"test":{"type":"object"}}}}""")
+    val second = j(
+      """{"components":{
+        |  "schemas":{"test":{"type":"object1231231"},"test2":{"type":"object"}},
+        |  "responses":{"test2":{"type":"object"}}}}""".stripMargin)
+    val expected = j(
+      """{"components":{
+        |  "schemas":{"test":{"type":"object"},"test2":{"type":"object"}},
+        |  "responses":{"test2":{"type":"object"}}},
+        |"paths":{},"tags":[]}""".stripMargin)
+    assert(MergeOpenapi.process(first, second) === expected)
+  }
+
+  test("components merged into a root without any (test_components_missing)") {
+    val first = j("""{"openapi":"3.0.0"}""")
+    val second = j(
+      """{"components":{"schemas":{"test2":{"type":"object"}},
+        |"responses":{"test2":{"type":"object"}}}}""".stripMargin)
+    val expected = j(
+      """{"openapi":"3.0.0",
+        |"components":{"schemas":{"test2":{"type":"object"}},
+        |"responses":{"test2":{"type":"object"}}},
+        |"paths":{},"tags":[]}""".stripMargin)
+    assert(MergeOpenapi.process(first, second) === expected)
+  }
+
+  test("paths: existing methods win, new paths/methods inserted (test_paths)") {
+    val first = j("""{"paths":{"/resource":{"post":{"type":"object"}}}}""")
+    val second = j(
+      """{"paths":{
+        |  "/resource":{"post":{"type":"object2"},"put":{"type":"object"}},
+        |  "/resource/{id}":{"get":{"type":"object"}}}}""".stripMargin)
+    val expected = j(
+      """{"paths":{
+        |  "/resource":{"post":{"type":"object"},"put":{"type":"object"}},
+        |  "/resource/{id}":{"get":{"type":"object"}}},
+        |"components":{},"tags":[]}""".stripMargin)
+    assert(MergeOpenapi.process(first, second) === expected)
+  }
+
+  test("retag rewrites tags of INSERTED methods only, no tags key (test_paths_retag)") {
+    val first = j(
+      """{"paths":{"/resource":{"post":{"type":"object","tags":["main"]}}}}""")
+    val second = j(
+      """{"paths":{
+        |  "/resource":{"post":{"type":"object2","tags":["merged"]},
+        |               "put":{"type":"object","tags":["merged"]}},
+        |  "/resource/{id}":{"get":{"type":"object","tags":["merged"]}}}}""".stripMargin)
+    val expected = j(
+      """{"paths":{
+        |  "/resource":{"post":{"type":"object","tags":["main"]},
+        |               "put":{"type":"object","tags":["new"]}},
+        |  "/resource/{id}":{"get":{"type":"object","tags":["new"]}}},
+        |"components":{}}""".stripMargin)
+    val got = MergeOpenapi.process(first, second,
+      MergeOpenapi.Options(retag = Some("new")))
+    assert(got === expected)
+    assert(!got.has("tags"), "retag early-return must not create a tags key")
+  }
+
+  test("tags union by name, original order preserved (test_tags)") {
+    val first = j("""{"tags":[{"name":"tag1"},{"name":"tag3"}]}""")
+    val second = j("""{"tags":[{"name":"tag2"},{"name":"tag3"}]}""")
+    val expected = j(
+      """{"tags":[{"name":"tag1"},{"name":"tag3"},{"name":"tag2"}],
+        |"components":{},"paths":{}}""".stripMargin)
+    assert(MergeOpenapi.process(first, second) === expected)
+  }
+
+  test("add_version copies merged /info/version to x-version-<v> (test_add_version)") {
+    val first = j("""{"info":{"version":"0.0.1"}}""")
+    val second = j("""{"info":{"version":"0.0.8"}}""")
+    val expected = j(
+      """{"info":{"version":"0.0.1","x-version-test":"0.0.8"},
+        |"components":{},"paths":{},"tags":[]}""".stripMargin)
+    assert(MergeOpenapi.process(first, second,
+      MergeOpenapi.Options(addVersion = Some("test"))) === expected)
+  }
+
+  test("root must be an object (reference Error::NotImplemented)") {
+    intercept[IllegalArgumentException] {
+      MergeOpenapi.process(j("""[1,2]"""), j("""{}"""))
+    }
+  }
+}

@@ -155,6 +155,21 @@ class OpsSpec extends SparkSpec {
     assert(got(21L) === 20L)
   }
 
+  test("connected components: 10k-node path graph converges in O(log n) rounds") {
+    // adversarial chain 0-1-2-…-9999: diameter 9999, the shape that made
+    // min-label propagation take diameter rounds; large-star/small-star
+    // must finish in ≤ 2·log₂(n) alternation rounds with the same clusters
+    val n = 10000
+    val pairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    val (labels, rounds) =
+      graft.ops.Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+    val maxRounds = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= maxRounds, s"took $rounds rounds, bound $maxRounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === n)
+    assert(got.forall(_._2 == 0L), "one path component, canonical keeper 0")
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()

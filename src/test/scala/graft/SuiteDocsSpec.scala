@@ -151,6 +151,18 @@ class SuiteDocsSpec extends AnyFunSuite {
     assert(out.at("/properties/b/$ref").asText() === "#/properties/a")
   }
 
+  test("non-object resolution drops sibling keys — resolved value wins (dereference.rs:139-149)") {
+    val root = parse(
+      """{"properties":{
+        |  "a":{"$ref":"#/defs/names","description":"sibling to drop"}},
+        | "defs":{"names":["x","y"]}}""".stripMargin)
+    val base = SuiteLoader.InlineBase
+    val storage = SchemaStorage(base, root)
+    val out = new Dereferencer(storage).process(base, storage.resolve(base.toString))
+    val a = out.at("/properties/a")
+    assert(a.isArray && a.size() === 2, s"expected the resolved array, got $a")
+  }
+
   test("discriminator.mapping rewritten to internal pointers after inlining (dereference.rs:226-253)") {
     val url = SchemaDocs.pathToUrl(s"$FixtureDir/json-schemas/23-discriminator.json")
     val storage = SchemaStorage.load(url)

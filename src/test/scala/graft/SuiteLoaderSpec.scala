@@ -89,6 +89,51 @@ class SuiteLoaderSpec extends AnyFunSuite {
     assert(suite.rules.contains(MaxLength("maxLength_w", "w", 4))) // single-variant collapse
   }
 
+  test("patternProperties: homogeneous value types → per-pattern map rules (patternproperties.rs:18-58)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "m":{"type":"object",
+        |       "patternProperties":{
+        |         "^k":{"type":"string","pattern":"^[0-9]+$"},
+        |         "^et$":{"type":"string","pattern":"^[a-z]+$"}}}}}""".stripMargin)
+    assert(suite.rules.contains(
+      MapPatternValues("patternProps_m_0", "m", Some("^k"), "string", Some("^[0-9]+$"))))
+    assert(suite.rules.contains(
+      MapPatternValues("patternProps_m_1", "m", Some("^et$"), "string", Some("^[a-z]+$"))))
+  }
+
+  test("patternProperties: mixed value types → AnyType fallback, no rules (patternproperties.rs:44-48)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "m":{"type":"object",
+        |       "patternProperties":{
+        |         "^k":{"type":"integer"},
+        |         "^s":{"type":"string"}}}}}""".stripMargin)
+    assert(!suite.rules.exists { case _: MapPatternValues => true; case _ => false })
+  }
+
+  test("additionalProperties: schema → all-entries map rule; {}/true/absent → open (additionalproperties.rs:19-55)") {
+    val schemaAp = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "m":{"type":"object","additionalProperties":{"type":"integer"}}}}""".stripMargin)
+    assert(schemaAp.rules.contains(
+      MapPatternValues("additionalProps_m", "m", None, "integer", None)))
+    for (open <- Seq("""{}""", "true"))
+      assert(!SuiteLoader.parse(
+        s"""{"type":"object","properties":{
+           |  "m":{"type":"object","additionalProperties":$open}}}""".stripMargin)
+        .rules.exists { case _: MapPatternValues | _: MapClosedKeys => true; case _ => false },
+        s"additionalProperties:$open must stay unconstrained")
+  }
+
+  test("additionalProperties:false + patternProperties → closed key set") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "m":{"type":"object","additionalProperties":false,
+        |       "patternProperties":{"^k":{"type":"string"}}}}}""".stripMargin)
+    assert(suite.rules.contains(MapClosedKeys("closedKeys_m", "m", Seq("^k"))))
+  }
+
   test("x-checks vendor extension → table rules") {
     val suite = SuiteLoader.parse(
       """{"type":"object","properties":{},
