@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   *   turns near-dup search into an equi-join on (band, bandKey), which is
   *   the scale path (no all-pairs comparison; hot buckets are bounded by
   *   banding width).
-  * - SimHash: 32-bit signature; near-dups share band prefixes.
+  * - SimHash: 48-bit signature (SimHashBits); near-dups share band keys,
+  *   width-adaptive banding keeps fan-in O(n) as the corpus grows.
   *
   * Hashing is the portable polynomial hash from [[TextAnalysis]], so every
   * signature is reproducible outside Spark.
@@ -188,17 +189,43 @@ object Dedup {
     */
   val SimHashBands = 4
   private val BandWidth = SimHashBits / SimHashBands // 12 bits → 4096 buckets
-  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    require(maxHamming < SimHashBands,
-      s"banded search is only exact for maxHamming < $SimHashBands bands")
-    // materialize signatures first: simHashBits is an interpreted
-    // higher-order lambda and must not be inlined into 4 band rows × 2 sides
-    val sigs = simHash(df, idCol, textCol).persist()
-    val bandStructs = (0 until SimHashBands).map(b =>
+
+  /** Per-band (band, key) structs for a signature column — the shared
+    * banding arithmetic of [[simHashPairs]], exposed so fan-in can be
+    * measured without materializing candidate pairs.
+    */
+  private[graft] def bandStructsFor(simhash: Column, bands: Int,
+                                    bandWidth: Int): Seq[Column] =
+    (0 until bands).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * BandWidth)
-          .bitwiseAND(lit((1L << BandWidth) - 1)).as("bkey")))
+        shiftright(simhash, b * bandWidth)
+          .bitwiseAND(lit((1L << bandWidth) - 1)).as("bkey")))
+
+  /** Width-adaptive variant: bands = maxHamming + 1 (the pigeonhole
+    * minimum) and band width ≈ log₂(corpusSize), so each band keeps ~n
+    * buckets and expected per-bucket occupancy — hence total candidate
+    * fan-in Σ C(bucket,2) — stays O(n) as the corpus grows. Signature
+    * width follows as bands × width (≤ 63, one long). Pass the corpus size
+    * from plan statistics or a prior count — no extra job here.
+    */
+  def simHashPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
+                           corpusSize: Long, maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    val width = math.max(8, math.min(63 / bands,
+      math.ceil(math.log(math.max(corpusSize, 2).toDouble) / math.log(2.0)).toInt))
+    simHashPairs(df, idCol, textCol, maxHamming, bands, width)
+  }
+
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = SimHashBands,
+                   bandWidth: Int = BandWidth): DataFrame = {
+    require(maxHamming < bands,
+      s"banded search is only exact for maxHamming < $bands bands")
+    require(bands * bandWidth <= 63, s"signature ${bands}×${bandWidth} exceeds one long")
+    // materialize signatures first: simHashBits is an interpreted
+    // higher-order lambda and must not be inlined into band rows × 2 sides
+    val sigs = simHash(df, idCol, textCol, bits = bands * bandWidth).persist()
+    val bandStructs = bandStructsFor(col("simhash"), bands, bandWidth)
     val banded = sigs.select(col("id"), col("simhash"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))

@@ -27,7 +27,9 @@ import java.nio.file.{Files, Paths}
   *   process name <path|-> [--overwrite] [--overwrite-ambiguous]
   *       [--base-name N]
   *   process patch <path|-> apply <patchFile> | inline <op> <ptr> [json]
-  *   validate <path|->         (static rule-suite compile check)
+  *   validate openapi <path|-> [--continue-on-error]   (Draft4 meta-schema)
+  *   validate jsonschema <path|-> [--continue-on-error] (compile-only check)
+  *   validate <path|->         (legacy alias of jsonschema, strict)
   *   output <outFile>          (dump current schema, chain.rs:79-82)
   *
   * Per-phase wall-clock is logged like the reference (chain.rs:134-184).
@@ -59,6 +61,7 @@ object Chain {
 
   private def schemaArgOf(parts: Seq[String]): Option[String] = parts match {
     case Seq("process", _, ref, _*) => Some(ref)
+    case Seq("validate", sub, ref, _*) if sub == "openapi" || sub == "jsonschema" => Some(ref)
     case Seq("validate", ref, _*) => Some(ref)
     case Seq("output", _*) => None
     case other => sys.error(s"unknown chain command '${other.headOption.getOrElse("")}'")
@@ -156,6 +159,22 @@ object Chain {
       case Seq("process", "patch", _, "inline", op, ptr, rest @ _*) =>
         JsonPatch.inline(body, op, ptr,
           rest.headOption.map(SchemaDocs.json.readTree))
+      // `validate openapi` — Draft4 meta-schema validation of the document
+      // itself, every error logged like iter_errors (validate/mod.rs:14-24);
+      // --continue-on-error logs and proceeds (cli validate.rs:88-96)
+      case Seq("validate", "openapi", _, flags @ _*) =>
+        val errs = Draft4.validateOpenapi(body)
+        errs.foreach(e => System.err.println(s"[graft-chain] validation error: $e"))
+        if (errs.nonEmpty && !flags.contains("--continue-on-error"))
+          sys.error(s"validate openapi failed for $url: ${errs.size} error(s)")
+        body
+      // `validate jsonschema` — compile-only static check (validate/mod.rs:30-42)
+      case Seq("validate", "jsonschema", _, flags @ _*) =>
+        val errs = SuiteLoader.staticValidate(body.toString)
+        errs.foreach(e => System.err.println(s"[graft-chain] validation error: $e"))
+        if (errs.nonEmpty && !flags.contains("--continue-on-error"))
+          sys.error(s"validate jsonschema failed for $url: ${errs.mkString("; ")}")
+        body
       case Seq("validate", _, _*) =>
         val errs = SuiteLoader.staticValidate(body.toString)
         require(errs.isEmpty, s"validate failed for $url: ${errs.mkString("; ")}")

@@ -57,7 +57,8 @@ object Checkpoint {
     */
   def runResumable(spark: SparkSession, engine: ValidationEngine, df: DataFrame,
                    dir: String, snapshotId: String, batches: Int = 8,
-                   failAfterBatches: Option[Int] = None): RunReport = {
+                   failAfterBatches: Option[Int] = None,
+                   statsColumns: Seq[String] = Nil): RunReport = {
     val hash = engine.suiteHash
     val numParts = engine.config.numParts
     val done = completedParts(spark, dir, snapshotId, hash)
@@ -82,6 +83,24 @@ object Checkpoint {
         .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
         .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/verdicts")
       violDf.unpersist()
+      // mergeable stats sketches (SURVEY §4.3): per-part count/nulls/
+      // native-typed min/max plus a PERSISTABLE Datasketches HLL buffer
+      // (hll_sketch_agg) — batches written here union into whole-table
+      // stats on read (mergedStats), including approxDistinct, without
+      // ever rescanning completed batches
+      if (statsColumns.nonEmpty) {
+        val aggs = statsColumns.flatMap { c =>
+          Seq(count(col(c)).as(s"${c}__count"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+            min(col(c)).as(s"${c}__min"),
+            max(col(c)).as(s"${c}__max"),
+            hll_sketch_agg(col(c).cast("string")).as(s"${c}__hll"))
+        }
+        slice.groupBy(col(engine.PartCol).as("part")).agg(aggs.head, aggs.tail: _*)
+          .select(col("*") +: lineage: _*)
+          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+          .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/stats")
+      }
       val wallMs = (System.nanoTime() - t0) / 1000000L
       import spark.implicits._
       // manifest covers EVERY part of the batch — a hash-empty partition is
@@ -103,6 +122,33 @@ object Checkpoint {
       ran += 1
     }
     RunReport(ran, done.size, numParts)
+  }
+
+  /** Whole-table stats merged from the per-part sketches a resumable run
+    * persisted: counts/nulls sum, native-typed min/max fold, and HLL union
+    * (`hll_union_agg` → `hll_sketch_estimate`) for approxDistinct — the
+    * merge is exact for the additive fields and within-rsd for NDV, no
+    * matter how many separate (killed/resumed) runs wrote the batches.
+    */
+  def mergedStats(spark: SparkSession, dir: String, snapshotId: String,
+                  ruleSetHash: String, statsColumns: Seq[String]): DataFrame = {
+    val wide = spark.read.parquet(s"$dir/stats")
+      .where(col("snapshotId") === snapshotId && col("ruleSetHash") === ruleSetHash)
+    val aggs = statsColumns.flatMap { c =>
+      Seq(sum(col(s"${c}__count")).as(s"${c}__count"),
+        sum(col(s"${c}__nulls")).as(s"${c}__nulls"),
+        min(col(s"${c}__min")).cast("string").as(s"${c}__min"),
+        max(col(s"${c}__max")).cast("string").as(s"${c}__max"),
+        hll_sketch_estimate(hll_union_agg(col(s"${c}__hll"))).as(s"${c}__adist"))
+    }
+    val merged = wide.agg(aggs.head, aggs.tail: _*)
+    val structs = statsColumns.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__count").as("count"), col(s"${c}__nulls").as("nulls"),
+        col(s"${c}__min").as("min"), col(s"${c}__max").as("max"),
+        col(s"${c}__adist").as("approxDistinct"))
+    }
+    merged.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
   }
 
   /** All verdict rows across lineage keys (callers filter/aggregate). */

@@ -1,0 +1,223 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import scala.jdk.CollectionConverters._
+
+/** Driver-side JSON Schema Draft4 validator over Jackson trees — the analog
+  * of the reference compiling the bundled OpenAPI 3.0.x meta-schema with the
+  * `jsonschema` crate at Draft4 and logging EVERY error (validate/mod.rs:
+  * 7-28). Collects all errors (iter_errors semantics), each as
+  * `<instance-pointer>: <message>`.
+  *
+  * Draft4 specifics honored: `exclusiveMinimum`/`exclusiveMaximum` are
+  * BOOLEAN modifiers of minimum/maximum; `integer` excludes 1.0; `$ref`
+  * replaces sibling keywords; `format` is annotation-only (the crate's
+  * default). Only internal `#/...` refs are chased — the meta-schema is
+  * self-contained.
+  */
+final class Draft4Validator(schemaRoot: JsonNode) {
+
+  def validate(instance: JsonNode): Seq[String] = {
+    val errs = Vector.newBuilder[String]
+    walk(instance, schemaRoot, "", errs, depth = 0)
+    errs.result()
+  }
+
+  def isValid(instance: JsonNode): Boolean = validate(instance).isEmpty
+
+  private def resolveRef(ref: String): JsonNode = {
+    require(ref.startsWith("#"), s"only internal refs supported, got '$ref'")
+    val t = schemaRoot.at(ref.stripPrefix("#"))
+    require(!t.isMissingNode, s"dangling meta-schema ref '$ref'")
+    t
+  }
+
+  private def typeName(n: JsonNode): String =
+    if (n.isNull) "null"
+    else if (n.isBoolean) "boolean"
+    else if (n.isIntegralNumber) "integer"
+    else if (n.isNumber) "number"
+    else if (n.isTextual) "string"
+    else if (n.isArray) "array"
+    else "object"
+
+  private def typeMatches(n: JsonNode, t: String): Boolean = t match {
+    case "number" => n.isNumber
+    case "integer" => n.isIntegralNumber // Draft4: 1.0 is NOT an integer
+    case other => typeName(n) == other
+  }
+
+  private def walk(inst: JsonNode, schema0: JsonNode, ipath: String,
+                   errs: collection.mutable.Builder[String, Vector[String]],
+                   depth: Int): Unit = {
+    require(depth < 200, s"meta-schema recursion too deep at '$ipath'")
+    if (schema0.isBoolean) { // tolerated (true/false schemas)
+      if (!schema0.asBoolean()) errs += s"$ipath: false schema never matches"
+      return
+    }
+    if (!schema0.isObject) return
+    // Draft4: $ref replaces every sibling keyword
+    val refd = Option(schema0.get("$ref")).filter(_.isTextual)
+    val schema = refd.map(r => resolveRef(r.asText())).getOrElse(schema0)
+    if (refd.isDefined) { walk(inst, schema, ipath, errs, depth + 1); return }
+
+    def at(p: String) = if (p.isEmpty) "" else p
+    val here = if (ipath.isEmpty) "/" else ipath
+
+    Option(schema.get("type")).foreach { t =>
+      val wanted = if (t.isArray) t.elements().asScala.map(_.asText()).toSeq
+                   else Seq(t.asText())
+      if (!wanted.exists(typeMatches(inst, _)))
+        errs += s"$here: ${typeName(inst)} is not of type ${wanted.mkString("/")}"
+    }
+    Option(schema.get("enum")).filter(_.isArray).foreach { en =>
+      if (!en.elements().asScala.contains(inst))
+        errs += s"$here: value is not one of ${en.toString.take(80)}"
+    }
+
+    // ---- combinators (branch suberrors are not surfaced, like the crate)
+    Option(schema.get("allOf")).filter(_.isArray).foreach {
+      _.elements().asScala.foreach(s => walk(inst, s, ipath, errs, depth + 1))
+    }
+    Option(schema.get("anyOf")).filter(_.isArray).foreach { a =>
+      val branches = a.elements().asScala.toSeq
+      if (!branches.exists(s => quietlyValid(inst, s, depth + 1)))
+        errs += s"$here: value is not valid under any of the schemas (anyOf)"
+    }
+    Option(schema.get("oneOf")).filter(_.isArray).foreach { a =>
+      val n = a.elements().asScala.count(s => quietlyValid(inst, s, depth + 1))
+      if (n != 1)
+        errs += s"$here: value is valid under $n oneOf schemas, expected exactly 1"
+    }
+    Option(schema.get("not")).foreach { s =>
+      if (quietlyValid(inst, s, depth + 1))
+        errs += s"$here: value must not be valid under the 'not' schema"
+    }
+
+    // ---- strings
+    if (inst.isTextual) {
+      val len = inst.asText().codePointCount(0, inst.asText().length)
+      Option(schema.get("minLength")).foreach(v =>
+        if (len < v.asInt()) errs += s"$here: string shorter than minLength ${v.asInt()}")
+      Option(schema.get("maxLength")).foreach(v =>
+        if (len > v.asInt()) errs += s"$here: string longer than maxLength ${v.asInt()}")
+      Option(schema.get("pattern")).foreach { p =>
+        if (!java.util.regex.Pattern.compile(p.asText()).matcher(inst.asText()).find())
+          errs += s"$here: '${inst.asText().take(40)}' does not match pattern '${p.asText()}'"
+      }
+    }
+
+    // ---- numbers (Draft4 exclusive booleans)
+    if (inst.isNumber) {
+      val v = inst.decimalValue()
+      Option(schema.get("minimum")).foreach { m =>
+        val ex = Option(schema.get("exclusiveMinimum")).exists(_.asBoolean(false))
+        val c = v.compareTo(m.decimalValue())
+        if (if (ex) c <= 0 else c < 0)
+          errs += s"$here: $v is ${if (ex) "≤" else "<"} minimum ${m.decimalValue()}"
+      }
+      Option(schema.get("maximum")).foreach { m =>
+        val ex = Option(schema.get("exclusiveMaximum")).exists(_.asBoolean(false))
+        val c = v.compareTo(m.decimalValue())
+        if (if (ex) c >= 0 else c > 0)
+          errs += s"$here: $v is ${if (ex) "≥" else ">"} maximum ${m.decimalValue()}"
+      }
+      Option(schema.get("multipleOf")).foreach { m =>
+        val rem = v.remainder(m.decimalValue())
+        if (rem.compareTo(java.math.BigDecimal.ZERO) != 0)
+          errs += s"$here: $v is not a multiple of ${m.decimalValue()}"
+      }
+    }
+
+    // ---- arrays
+    if (inst.isArray) {
+      val n = inst.size()
+      Option(schema.get("minItems")).foreach(v =>
+        if (n < v.asInt()) errs += s"$here: array has fewer than minItems ${v.asInt()}")
+      Option(schema.get("maxItems")).foreach(v =>
+        if (n > v.asInt()) errs += s"$here: array has more than maxItems ${v.asInt()}")
+      Option(schema.get("uniqueItems")).filter(_.asBoolean(false)).foreach { _ =>
+        val seen = inst.elements().asScala.toSeq
+        if (seen.distinct.size != seen.size) errs += s"$here: array items are not unique"
+      }
+      Option(schema.get("items")).foreach {
+        case tuple if tuple.isArray =>
+          val schemas = tuple.elements().asScala.toSeq
+          inst.elements().asScala.zipWithIndex.foreach { case (el, i) =>
+            if (i < schemas.size) walk(el, schemas(i), s"${at(ipath)}/$i", errs, depth + 1)
+            else Option(schema.get("additionalItems")).foreach {
+              case b if b.isBoolean =>
+                if (!b.asBoolean()) errs += s"$here/$i: additional items not allowed"
+              case s => walk(el, s, s"${at(ipath)}/$i", errs, depth + 1)
+            }
+          }
+        case single =>
+          inst.elements().asScala.zipWithIndex.foreach { case (el, i) =>
+            walk(el, single, s"${at(ipath)}/$i", errs, depth + 1)
+          }
+      }
+    }
+
+    // ---- objects
+    if (inst.isObject) {
+      val keys = inst.properties().asScala.map(_.getKey).toSeq
+      Option(schema.get("required")).filter(_.isArray).foreach {
+        _.elements().asScala.foreach { r =>
+          if (!inst.has(r.asText()))
+            errs += s"$here: '${r.asText()}' is a required property"
+        }
+      }
+      Option(schema.get("minProperties")).foreach(v =>
+        if (keys.size < v.asInt()) errs += s"$here: fewer than minProperties ${v.asInt()}")
+      Option(schema.get("maxProperties")).foreach(v =>
+        if (keys.size > v.asInt()) errs += s"$here: more than maxProperties ${v.asInt()}")
+
+      val props = Option(schema.get("properties")).filter(_.isObject)
+      val patProps = Option(schema.get("patternProperties")).filter(_.isObject)
+        .map(_.properties().asScala.toSeq.map(e =>
+          java.util.regex.Pattern.compile(e.getKey) -> e.getValue))
+        .getOrElse(Nil)
+      val addl = Option(schema.get("additionalProperties"))
+
+      keys.foreach { k =>
+        val child = inst.get(k)
+        val cpath = s"${at(ipath)}/${k.replace("~", "~0").replace("/", "~1")}"
+        val inProps = props.exists(_.has(k))
+        if (inProps) walk(child, props.get.get(k), cpath, errs, depth + 1)
+        val matched = patProps.filter(_._1.matcher(k).find())
+        matched.foreach { case (_, s) => walk(child, s, cpath, errs, depth + 1) }
+        if (!inProps && matched.isEmpty) addl.foreach {
+          case b if b.isBoolean =>
+            if (!b.asBoolean())
+              errs += s"$here: additional property '$k' is not allowed"
+          case s => walk(child, s, cpath, errs, depth + 1)
+        }
+      }
+    }
+  }
+
+  private def quietlyValid(inst: JsonNode, schema: JsonNode, depth: Int): Boolean = {
+    val b = Vector.newBuilder[String]
+    walk(inst, schema, "", b, depth)
+    b.result().isEmpty
+  }
+}
+
+object Draft4 {
+
+  /** The bundled OpenAPI 3.0.x meta-schema (public JSON; same document the
+    * reference embeds via include_bytes!, validate/mod.rs:10-12). Loaded
+    * from the reference resources by default; override with
+    * GRAFT_OPENAPI_SCHEMA for deployments that vendor their own copy.
+    */
+  def openapiMetaSchemaPath: String = sys.env.getOrElse("GRAFT_OPENAPI_SCHEMA",
+    "/root/reference/crates/schematools/resources/openapi/schema-3.0.x.json")
+
+  private lazy val openapiValidator =
+    new Draft4Validator(SchemaDocs.loadUrl(SchemaDocs.pathToUrl(openapiMetaSchemaPath)))
+
+  /** `validate openapi` parity: every meta-schema violation, in instance
+    * order (validate/mod.rs:14-24 iter_errors loop).
+    */
+  def validateOpenapi(doc: JsonNode): Seq[String] = openapiValidator.validate(doc)
+}

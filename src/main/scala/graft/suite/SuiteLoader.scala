@@ -149,6 +149,12 @@ object SuiteLoader {
       out += MaxValue(s"maximum_$name", name, v.asDouble()))
     Option(node.get("exclusiveMaximum")).filter(_.isNumber).foreach(v =>
       out += MaxValue(s"exclusiveMaximum_$name", name, v.asDouble(), exclusive = true))
+    // tuple-form `items: [...]` is accepted but unconstrained — the
+    // reference degrades it to AnyType with a warning (items.rs:29-34)
+    Option(node.get("items")).filter(_.isArray).foreach { _ =>
+      System.err.println(s"[graft-suite] $name: tuples not supported — " +
+        "items:[...] degraded to AnyType (items.rs:29-34)")
+    }
     Option(node.get("minItems")).foreach(v => out += MinItems(s"minItems_$name", name, v.asInt()))
     Option(node.get("maxItems")).foreach(v => out += MaxItems(s"maxItems_$name", name, v.asInt()))
     Option(node.get("uniqueItems")).filter(_.asBoolean(false)).foreach(_ =>

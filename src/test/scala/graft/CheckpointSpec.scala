@@ -57,6 +57,33 @@ class CheckpointSpec extends SparkSpec {
     assert(m.select("ruleSetHash").distinct().head().getString(0) === engine.suiteHash)
   }
 
+  test("mergeable stats sketches: kill+resume merges to one-shot stats incl. approxDistinct") {
+    val dir = Files.createTempDirectory("graft_ckpt_stats").toString
+    val cols = Seq("repo", "lang", "commit")
+    intercept[RuntimeException] {
+      Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4,
+        failAfterBatches = Some(2), statsColumns = cols)
+    }
+    Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4,
+      statsColumns = cols)
+    val merged = Checkpoint.mergedStats(spark, dir, "snap1", engine.suiteHash, cols)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getLong(5))).toMap
+    cols.foreach { c =>
+      val (cnt, nulls, mn, mx, adist) = merged(c)
+      val one = df.agg(count(col(c)), sum(when(col(c).isNull, 1L).otherwise(0L)),
+        min(col(c)).cast("string"), max(col(c)).cast("string"),
+        count_distinct(col(c))).head()
+      assert(cnt === one.getLong(0), s"$c count")
+      assert(nulls === one.getLong(1), s"$c nulls")
+      assert(mn === one.getString(2), s"$c min")
+      assert(mx === one.getString(3), s"$c max")
+      val exact = one.getLong(4).toDouble
+      assert(math.abs(adist - exact) / exact <= 0.05,
+        s"$c approxDistinct $adist vs exact $exact beyond rsd")
+    }
+  }
+
   test("a different rule-set hash re-validates from scratch") {
     val dir = Files.createTempDirectory("graft_ckpt2").toString
     Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 2)

@@ -1,0 +1,73 @@
+package graft
+
+import graft.suite.{Draft4, Draft4Validator, SchemaDocs}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Draft4 meta-schema validation — `validate openapi` parity
+  * (validate/mod.rs:7-28 with the bundled schema-3.0.x.json).
+  */
+class Draft4Spec extends AnyFunSuite {
+
+  private def j(s: String) = SchemaDocs.json.readTree(s)
+
+  test("well-formed 3.0.x documents validate green") {
+    assert(Draft4.validateOpenapi(j(
+      """{"openapi":"3.0.3","info":{"title":"T","version":"1.0"},"paths":{}}""")) === Nil)
+    assert(Draft4.validateOpenapi(j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1.0"},
+        | "paths":{"/r":{"get":{"responses":{"200":{"description":"ok"}}}}},
+        | "components":{"schemas":{"A":{"type":"object",
+        |   "properties":{"v":{"type":"string","maxLength":9}}}}},
+        | "x-vendor":"allowed"}""".stripMargin)) === Nil)
+  }
+
+  test("malformed-but-plausible document yields the FULL error list (iter_errors)") {
+    val errs = Draft4.validateOpenapi(j(
+      """{"openapi":"3.1.0","info":{"title":"T"},"paths":{},"junk":1}"""))
+    assert(errs.exists(e => e.contains("/openapi") && e.contains("pattern")), errs)
+    assert(errs.exists(e => e.contains("version") && e.contains("required")), errs)
+    assert(errs.exists(e => e.contains("junk") && e.contains("not allowed")), errs)
+    assert(errs.size >= 3, s"expected the full list, got $errs")
+  }
+
+  test("nested contexts: bad operation/response shapes are reported at their pointer") {
+    val errs = Draft4.validateOpenapi(j(
+      """{"openapi":"3.0.3","info":{"title":"T","version":"1"},
+        | "paths":{"/r":{"get":{"responses":{"999":{"description":"?"},
+        |                                    "200":{}}}}}}""".stripMargin))
+    // 999 doesn't match Responses' ^[1-5](\d{2}|XX)$ patternProperties and
+    // additionalProperties is false; 200 (missing 'description') matches
+    // neither branch of oneOf[Reference, Response] — reported at its pointer
+    assert(errs.exists(e => e.contains("999")), errs)
+    assert(errs.exists(e => e.contains("/paths/~1r/get/responses/200")
+      && e.contains("oneOf")), errs)
+  }
+
+  test("Draft4 primitives: integer excludes 1.0, exclusive bounds are boolean modifiers") {
+    val v = new Draft4Validator(j("""{"type":"integer","minimum":1,"exclusiveMinimum":true}"""))
+    assert(v.validate(j("2")) === Nil)
+    assert(v.validate(j("1")).exists(_.contains("minimum")))
+    assert(v.validate(j("1.0")).exists(_.contains("not of type")))
+    val one = new Draft4Validator(j(
+      """{"oneOf":[{"type":"string"},{"type":"string","maxLength":3}]}"""))
+    assert(one.validate(j("\"ab\"")).exists(_.contains("valid under 2")))
+    assert(one.validate(j("\"abcdef\"")) === Nil)
+  }
+
+  test("chain `validate openapi`: strict fails, --continue-on-error proceeds (validate.rs:88-96)") {
+    val dir = Files.createTempDirectory("graft-d4")
+    val bad = dir.resolve("bad.json")
+    Files.write(bad,
+      """{"openapi":"9.9.9","info":{"title":"T","version":"1"},"paths":{}}""".getBytes("UTF-8"))
+    val ex = intercept[RuntimeException] {
+      graft.run.Chain.run(Seq(s"validate openapi $bad"))
+    }
+    assert(ex.getMessage.contains("validate openapi failed"))
+    // continue-on-error: logs and carries on; the later output step runs
+    val out = dir.resolve("out.json").toString
+    val r = graft.run.Chain.run(Seq(
+      s"validate openapi $bad --continue-on-error", s"output $out"))
+    assert(r.outputs.contains(out))
+  }
+}

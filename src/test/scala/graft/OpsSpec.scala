@@ -170,6 +170,44 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_._2 == 0L), "one path component, canonical keeper 0")
   }
 
+  test("adaptive simhash banding: candidate fan-in stays O(n) at 10^6 signatures") {
+    import graft.ops.Dedup
+    val n = 1000000L
+    // synthetic uniform signatures — the banding arithmetic under test is
+    // signature-agnostic; adaptive geometry for maxHamming=2 at n=10^6 is
+    // bands=3, width=min(63/3, ceil(log2 n))=20
+    val sigs = spark.range(n).select(
+      xxhash64(col("id")).bitwiseAND(lit((1L << 60) - 1)).as("simhash"))
+    def totalCandidates(bands: Int, width: Int): Long = {
+      val banded = sigs.select(explode(array(
+        Dedup.bandStructsFor(col("simhash"), bands, width): _*)).as("bb"))
+        .select(col("bb.band"), col("bb.bkey"))
+      banded.groupBy("band", "bkey").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2).cast("long")).head().getLong(0)
+    }
+    val adaptive = totalCandidates(3, 20)
+    val narrow = totalCandidates(3, 8) // fixed 8-bit keys: 256 buckets/band
+    info(s"fan-in at n=$n: adaptive(3x20)=$adaptive (${adaptive / n}x n), " +
+      s"narrow(3x8)=$narrow (${narrow / n}x n)")
+    assert(adaptive <= 5 * n, s"adaptive fan-in $adaptive not O(n)")
+    assert(narrow > 100 * adaptive, "narrow banding should be catastrophically worse")
+  }
+
+  test("adaptive simhash pairs equal the all-pairs answer on the same signatures") {
+    import graft.ops.Dedup
+    val d50 = docs.where(col("doc_id") < 50)
+    val banded = Dedup.simHashPairsAdaptive(d50, "doc_id", "text", corpusSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // same geometry as adaptive at n=50: bands=4, width=max(8, min(15, 6))=8
+    val sigs = Dedup.simHash(d50, "doc_id", "text", bits = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h.toLong)).toSet
+    assert(banded === all)
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()

@@ -134,6 +134,16 @@ class SuiteLoaderSpec extends AnyFunSuite {
     assert(suite.rules.contains(MapClosedKeys("closedKeys_m", "m", Seq("^k"))))
   }
 
+  test("tuple items:[...] accepted, warned, unconstrained (items.rs:29-34)") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        |  "t":{"type":"array","minItems":1,
+        |       "items":[{"type":"string"},{"type":"integer"}]}}}""".stripMargin)
+    // sibling array keywords still harvested; tuple members yield nothing
+    assert(suite.rules.contains(MinItems("minItems_t", "t", 1)))
+    assert(!suite.rules.exists(r => r.name.contains("items_t_")))
+  }
+
   test("x-checks vendor extension → table rules") {
     val suite = SuiteLoader.parse(
       """{"type":"object","properties":{},
