@@ -143,6 +143,12 @@ object Bench {
     val (sec4N, stages4N) = best(levels.last)
     val (rateN, rate4N) = (benchRows.toDouble / secN, benchRows.toDouble / sec4N)
     val efficiency = (rate4N / rateN) / (levels.last.toDouble / levels.head)
+    // per-round efficiency band: round i's N sample paired with round i's 4N
+    // sample (they ran back-to-back, same host weather) — the band, not one
+    // sample, is the honest scaling claim on a noisy shared box
+    val ratio = levels.last.toDouble / levels.head
+    val effBand = samples(levels.head).map(_._1).zip(samples(levels.last).map(_._1))
+      .map { case (sn, s4) => (sn / s4) / ratio }.sorted
 
     def stagesJson(st: Map[String, Double]): String =
       st.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString("{", ",", "}")
@@ -154,6 +160,9 @@ object Bench {
       s""""scaling":{"n_cores":${levels.head},"sec_n":${f"$secN%.2f"},"rate_n":${f"$rateN%.0f"},""" +
       s""""four_n_cores":${levels.last},"sec_4n":${f"$sec4N%.2f"},"rate_4n":${f"$rate4N%.0f"},""" +
       s""""efficiency":${f"$efficiency%.3f"},""" +
+      s""""efficiency_band":[${effBand.map(e => f"$e%.3f").mkString(",")}],""" +
+      s""""samples_n":[${samples(levels.head).map(s => f"${s._1}%.2f").mkString(",")}],""" +
+      s""""samples_4n":[${samples(levels.last).map(s => f"${s._1}%.2f").mkString(",")}],""" +
       s""""stages_n":${stagesJson(stagesN)},"stages_4n":${stagesJson(stages4N)}}}""")
   }
 }

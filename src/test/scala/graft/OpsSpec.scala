@@ -164,6 +164,7 @@ class OpsSpec extends SparkSpec {
     val (labels, rounds) =
       graft.ops.Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
     val maxRounds = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    info(s"converged in $rounds large+small-star rounds (bound $maxRounds)")
     assert(rounds <= maxRounds, s"took $rounds rounds, bound $maxRounds")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length === n)
