@@ -57,6 +57,64 @@ object Queries {
       "NOT coalesce((text IS NULL AND n_chars IS NULL) OR length(text) = n_chars, FALSE)"
   )
 
+  /** q_operation_id vocabulary: moduli 5/11/7/6 are pairwise coprime so
+    * every (method, resource, shape) combination occurs; the words exercise
+    * the irregular singular/plural rule families (word.rs:13-120).
+    */
+  private val OpidMethods = Seq("get", "post", "patch", "put", "delete")
+  private val OpidRes1 = Seq("users", "user-groups", "buses", "aliases", "quizzes",
+    "indices", "wolves", "bus", "matrix", "party", "knife")
+  private val OpidRes2 = Seq("groups", "keys", "movies", "settings", "parties",
+    "knives", "heroes")
+
+  /** DuckDB replica of [[graft.ops.Naming.operationIdCol]] over the same
+    * synthesized (method, path): the singular/plural/camel CASE chains are
+    * GENERATED from the same rule constants the Column implementation uses.
+    * Identifier counts per shape: 0→0, 1→1, 2→1, 3→2, 4→0, 5→1, so res1 is
+    * singularized for shapes {1,2,3,5} and res2 only for shape 3
+    * (endpoint.rs:86-103).
+    */
+  private def opidOracle: String = {
+    import graft.ops.Naming._
+    def sqlArr(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("[", ",", "]")
+    def methodProc(c: String) =
+      s"CASE WHEN method='post' THEN ${singularizeSql(c)} WHEN method='get' THEN $c " +
+        s"ELSE ${pluralizeSql(c)} END"
+    s"""WITH inp AS (
+       | SELECT p_partkey, ${sqlArr(OpidMethods)}[CAST(p_partkey % 5 AS INT) + 1] AS method,
+       |   ${sqlArr(OpidRes1)}[CAST(p_partkey % 11 AS INT) + 1] AS res1,
+       |   ${sqlArr(OpidRes2)}[CAST(p_partkey % 7 AS INT) + 1] AS res2,
+       |   CAST(p_partkey % 6 AS INT) AS shape
+       | FROM part),
+       |built AS (
+       | SELECT *, CASE shape
+       |   WHEN 0 THEN '/' || res1
+       |   WHEN 1 THEN '/' || res1 || '/{id}'
+       |   WHEN 2 THEN '/' || res1 || '/{id}/' || res2
+       |   WHEN 3 THEN '/' || res1 || '/{id}/' || res2 || '/{sub}'
+       |   WHEN 4 THEN 'v2/' || res1
+       |   ELSE 'v1/' || res1 || '/{id}/' || res2 END AS path
+       | FROM inp),
+       |cam AS (
+       | SELECT *, ${camelSql("res1")} AS c1, ${camelSql("res2")} AS c2,
+       |   CASE WHEN method='get' THEN (CASE WHEN shape IN (1,3) THEN 'get' ELSE 'list' END)
+       |        WHEN method='post' THEN 'create' WHEN method='patch' THEN 'update'
+       |        ELSE method END AS verb,
+       |   CASE WHEN shape=4 THEN 'v2' WHEN shape=5 THEN 'v1' ELSE NULL END AS ver
+       | FROM built),
+       |proc AS (
+       | SELECT *,
+       |   CASE WHEN shape IN (1,2,3,5) THEN ${singularizeSql("c1")} ELSE ${methodProc("c1")} END AS p1,
+       |   CASE WHEN shape = 3 THEN ${singularizeSql("c2")}
+       |        WHEN shape IN (2,5) THEN ${methodProc("c2")} ELSE NULL END AS p2
+       | FROM cam)
+       |SELECT p_partkey, method, path,
+       | coalesce(ver, '') ||
+       | (CASE WHEN ver IS NULL THEN verb ELSE ${ucfirstSql("verb")} END) ||
+       | ${ucfirstSql("p1")} || coalesce(${ucfirstSql("p2")}, '') AS operation_id
+       |FROM proc ORDER BY p_partkey""".stripMargin
+  }
+
   // ---------------------------------------------------------------- queries
 
   val all: Map[String, Q] = Map(
@@ -223,6 +281,30 @@ object Queries {
         regexp_replace(col("p_name"), "\\{[A-Za-z0-9-]+\\}", "X").as("path_parts"),
         when(col("p_brand").rlike("^[0-9]"), concat(lit("n_"), col("p_brand")))
           .otherwise(col("p_brand")).as("when_numeric"))
+        .orderBy("p_partkey")
+    }),
+
+    // §2.7 pluralize/singularize/operationId naming (process/name/word.rs:13-120,
+    // endpoint.rs:22-120) as distributed Column expressions: (method, path)
+    // pairs synthesized from p_partkey over a vocabulary exercising the
+    // irregular rule families, operation_id computed fully on executors
+    "q_operation_id" -> ((s, dir) => {
+      import graft.ops.Naming
+      val pk = col("p_partkey")
+      val method = element_at(array(OpidMethods.map(lit): _*), (pk % 5 + 1).cast("int"))
+      val res1 = element_at(array(OpidRes1.map(lit): _*), (pk % 11 + 1).cast("int"))
+      val res2 = element_at(array(OpidRes2.map(lit): _*), (pk % 7 + 1).cast("int"))
+      val shape = (pk % 6).cast("int")
+      val path = when(shape === 0, concat(lit("/"), res1))
+        .when(shape === 1, concat(lit("/"), res1, lit("/{id}")))
+        .when(shape === 2, concat(lit("/"), res1, lit("/{id}/"), res2))
+        .when(shape === 3, concat(lit("/"), res1, lit("/{id}/"), res2, lit("/{sub}")))
+        .when(shape === 4, concat(lit("v2/"), res1))
+        .otherwise(concat(lit("v1/"), res1, lit("/{id}/"), res2))
+      t(s, dir, "part")
+        .select(pk, method.as("method"), path.as("path"))
+        .select(col("p_partkey"), col("method"), col("path"),
+          Naming.operationIdCol(col("method"), col("path")).as("operation_id"))
         .orderBy("p_partkey")
     }),
 
@@ -507,6 +589,7 @@ object Queries {
         | regexp_replace(p_name, '\{[A-Za-z0-9-]+\}', 'X', 'g') AS path_parts,
         | CASE WHEN regexp_matches(p_brand, '^[0-9]') THEN 'n_' || p_brand ELSE p_brand END AS when_numeric
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_operation_id" -> opidOracle,
     "q_json_access" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
         | count(*) AS n

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Endpoint / resource naming: schema-tools' pluralize / singularize word
+  * rules and operationId synthesis re-expressed as pure Catalyst column
+  * expressions (no UDFs) so they run distributed over a (method, path)
+  * column pair.
+  *
+  * Reference semantics:
+  *  - singular/plural regex replacement lists (first matching rule wins,
+  *    `replace_all` applied): `process/name/word.rs:13-120`.
+  *  - operationId synthesis (trim `/`+`_`, `v[0-9]+` version hoisting,
+  *    `{id}` identifier split, GET→list/get by `}` suffix, POST→create,
+  *    PATCH→update, positional singularize/pluralize, camelCase join):
+  *    `process/name/endpoint.rs:22-120`.
+  *
+  * The same rule constants generate the DuckDB oracle SQL (CASE chains) so
+  * the driver's correctness gate checks the exact same semantics end to end.
+  *
+  * camelCase note: the reference uses cruet's `to_camel_case`, which also
+  * splits on case boundaries. Spark/DuckDB expressions split on `[-_ ]`
+  * separators and re-case first characters — equivalent for every separator
+  * vocabulary the reference's own endpoint tests use (words arrive
+  * lowercase-with-dashes; already-camel parts keep their interior case).
+  */
+object Naming {
+
+  /** word.rs SINGULAR_LIST (first match wins; $1-style replacements). */
+  val SingularRules: Seq[(String, String)] = Seq(
+    "(quiz)zes$" -> "$1",
+    "(matr)ices$" -> "$1ix",
+    "(vert|ind)ices$" -> "$1ex",
+    "^(ox)en$" -> "$1",
+    "(alias)es$" -> "$1",
+    "(octop|vir)i$" -> "$1us",
+    "(cris|ax|test)es$" -> "$1is",
+    "(shoe)s$" -> "$1",
+    "(o)es$" -> "$1",
+    "(bus)es$" -> "$1",
+    "([m|l])ice$" -> "$1ouse",
+    "(x|ch|ss|sh)es$" -> "$1",
+    "(m)ovies$" -> "$1ovie",
+    "(s)eries$" -> "$1eries",
+    "([^aeiouy]|qu)ies$" -> "$1y",
+    "([lr])ves$" -> "$1f",
+    "(tive)s$" -> "$1",
+    "(hive)s$" -> "$1",
+    "(li|wi|kni)ves$" -> "$1fe",
+    "(shea|loa|lea|thie)ves$" -> "$1f",
+    "(^analy)ses$" -> "$1sis",
+    "((a)naly|(b)a|(d)iagno|(p)arenthe|(p)rogno|(s)ynop|(t)he)ses$" -> "$1$2sis",
+    "([ti])a$" -> "$1um",
+    "(n)ews$" -> "$1ews",
+    "(h|bl)ouses$" -> "$1ouse",
+    "(corpse)s$" -> "$1",
+    "(us)es$" -> "$1",
+    "s$" -> ""
+  )
+
+  /** word.rs PLURAL_LIST. */
+  val PluralRules: Seq[(String, String)] = Seq(
+    "(quiz)$" -> "$1zes",
+    "^(ox)$" -> "$1en",
+    "([m|l])ouse$" -> "$1ice",
+    "(matr|vert|ind)ix|ex$" -> "$1ices",
+    "(x|ch|ss|sh)$" -> "$1es",
+    "([^aeiouy]|qu)y$" -> "$1ies",
+    "(hive)$" -> "$1s",
+    "(?:([^f])fe|([lr])f)$" -> "$1$2ves",
+    "(shea|lea|loa|thie)f$" -> "$1ves",
+    "sis$" -> "ses",
+    "([ti])um$" -> "$1a",
+    "(tomat|potat|ech|her|vet)o$" -> "$1oes",
+    "(bu)s$" -> "$1ses",
+    "(alias)$" -> "$1es",
+    "(octop)us$" -> "$1i",
+    "(ax|test)is$" -> "$1es",
+    "(us)$" -> "$1es",
+    "s$" -> "s",
+    "$" -> "s"
+  )
+
+  // ------------------------------------------------------------- Columns
+
+  /** First-match-wins rule chain: when(matches p1) replace-all p1 else
+    * when(matches p2) ... else the word unchanged — exactly word.rs's loop.
+    */
+  private def ruleChain(rules: Seq[(String, String)])(c: Column): Column =
+    rules.foldRight(c) { case ((pat, rep), fallthrough) =>
+      when(c.rlike(pat), regexp_replace(c, pat, rep)).otherwise(fallthrough)
+    }
+
+  def singularizeCol(c: Column): Column = ruleChain(SingularRules)(c)
+  def pluralizeCol(c: Column): Column = ruleChain(PluralRules)(c)
+
+  private def lcfirst(c: Column): Column =
+    concat(lower(substring(c, 1, 1)), c.substr(lit(2), length(c)))
+  private def ucfirst(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), c.substr(lit(2), length(c)))
+
+  /** to_camel_case of one path segment: split on -/_/space, uppercase each
+    * word head, then lowercase the very first character.
+    */
+  def camelCol(c: Column): Column =
+    lcfirst(array_join(transform(split(c, "[-_ ]+"), x => ucfirst(x)), ""))
+
+  /** endpoint.rs:22-120 `Endpoint::new` + `get_operation_id`.
+    *
+    * @param reverse the `resource_method_version` flag: false →
+    *   [version?, verb, resources...]; true → [resources..., verb, version?].
+    */
+  def operationIdCol(method: Column, path: Column, reverse: Boolean = false): Column = {
+    // trim_matches('/') then trim_matches('_') (endpoint.rs:23-26)
+    val trimmed = regexp_replace(regexp_replace(path, "^/+|/+$", ""), "^_+|_+$", "")
+    val parts = split(trimmed, "/")
+    val first = element_at(parts, 1)
+    val hasVersion = coalesce(first.rlike("^v[0-9]+$"), lit(false))
+    val body = when(hasVersion, slice(parts, lit(2), size(parts) - 1)).otherwise(parts)
+    val resources = filter(body, x => !x.startsWith("{"))
+    val identifiers = filter(body, x => x.startsWith("{"))
+    val nIds = size(identifiers)
+    // GET → list unless the ORIGINAL path ends with '}' (endpoint.rs:70-81)
+    val verb = when(method === "get", when(path.endsWith("}"), lit("get")).otherwise(lit("list")))
+      .when(method === "post", lit("create"))
+      .when(method === "patch", lit("update"))
+      .otherwise(method)
+    // resource i with a following identifier → singularize; otherwise
+    // POST → singularize, GET → unchanged, else pluralize (endpoint.rs:86-103)
+    val processed = transform(resources, (x, i) => {
+      val cam = camelCol(x)
+      when(i < nIds, singularizeCol(cam))
+        .otherwise(when(method === "post", singularizeCol(cam))
+          .when(method === "get", cam)
+          .otherwise(pluralizeCol(cam)))
+    })
+    val prefix = when(hasVersion, array(first, verb)).otherwise(array(verb))
+    val allParts =
+      if (!reverse) concat(prefix, processed)
+      else concat(processed, org.apache.spark.sql.functions.reverse(prefix))
+    // join(" ").to_camel_case (endpoint.rs:113-119): ucfirst every part,
+    // concat, lcfirst the whole — interior camelCase of parts is preserved
+    lcfirst(array_join(transform(allParts, x => ucfirst(x)), ""))
+  }
+
+  // ----------------------------------------------- DuckDB oracle generators
+
+  private def duckRep(rep: String): String = rep.replace("$", "\\")
+
+  /** The same first-match-wins chain as [[ruleChain]], as a DuckDB CASE
+    * expression over a (cheap — use a column name) SQL expression.
+    */
+  def ruleChainSql(rules: Seq[(String, String)], expr: String): String =
+    rules.foldRight(expr) { case ((pat, rep), fallthrough) =>
+      s"CASE WHEN regexp_matches($expr, '$pat') " +
+        s"THEN regexp_replace($expr, '$pat', '${duckRep(rep)}', 'g') ELSE $fallthrough END"
+    }
+
+  def singularizeSql(expr: String): String = ruleChainSql(SingularRules, expr)
+  def pluralizeSql(expr: String): String = ruleChainSql(PluralRules, expr)
+
+  def ucfirstSql(expr: String): String =
+    s"(upper(substr($expr, 1, 1)) || substr($expr, 2))"
+  def lcfirstSql(expr: String): String =
+    s"(lower(substr($expr, 1, 1)) || substr($expr, 2))"
+
+  /** to_camel_case of one segment (split on '-' — the oracle vocabulary's
+    * only separator): ucfirst each word, join, lcfirst the whole.
+    */
+  def camelSql(expr: String): String =
+    lcfirstSql(s"array_to_string(list_transform(str_split($expr, '-'), " +
+      s"p -> upper(substr(p, 1, 1)) || substr(p, 2)), '')")
+}

@@ -1,0 +1,103 @@
+package graft
+
+import graft.ops.Naming
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's naming test tables:
+  *  - pluralize/singularize cases from `process/name/word.rs:104-127`
+  *  - the 14 operationId cases + 2 non-restful + 2 reverse cases from
+  *    `process/name/endpoint.rs:122-169`
+  * all evaluated through the Column expressions (collected off a one-row
+  * DataFrame so the exact distributed code path runs).
+  */
+class NamingSpec extends SparkSpec {
+
+  private def eval(c: org.apache.spark.sql.Column): String = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).getString(0)
+  }
+
+  test("pluralize matches word.rs cases") {
+    val cases = Seq(
+      "user" -> "users",
+      "user-group" -> "user-groups",
+      "bus" -> "buses",
+      "alias" -> "aliases")
+    cases.foreach { case (in, want) =>
+      assert(eval(Naming.pluralizeCol(lit(in))) === want, s"pluralize($in)")
+    }
+  }
+
+  test("singularize matches word.rs cases") {
+    val cases = Seq(
+      "users" -> "user",
+      "user-groups" -> "user-group",
+      "buses" -> "bus",
+      "aliases" -> "alias",
+      "fixes" -> "fix")
+    cases.foreach { case (in, want) =>
+      assert(eval(Naming.singularizeCol(lit(in))) === want, s"singularize($in)")
+    }
+  }
+
+  test("operationId matches endpoint.rs cases") {
+    val cases = Seq(
+      ("get", "users/{id}", "getUser"),
+      ("post", "users/{id}/groups", "createUserGroup"),
+      ("get", "users/{id}/groups", "listUserGroups"),
+      ("patch", "users/{id}/groups", "updateUserGroups"),
+      ("patch", "users/{id}/groups/{id}", "updateUserGroup"),
+      ("get", "users/{id}/groups/{id}", "getUserGroup"),
+      ("get", "users", "listUsers"),
+      ("get", "v2/users", "v2ListUsers"),
+      ("get", "v2/users/{id}", "v2GetUser"),
+      ("get", "v1/users/{id}/status", "v1ListUserStatus"),
+      ("get", "user-groups/{id}", "getUserGroup"),
+      ("get", "v1/users/{id}/statuses", "v1ListUserStatuses"),
+      // non-restful endpoints (version not in first segment stays a resource)
+      ("get", "/api/xyz/v1/namespaces", "listApiXyzV1Namespaces"),
+      ("get", "/api/xyz/v1/namespaces/{namespaceId}", "getApiXyzV1Namespaces"))
+    cases.foreach { case (m, p, want) =>
+      assert(eval(Naming.operationIdCol(lit(m), lit(p))) === want, s"$m $p")
+    }
+  }
+
+  test("operationId reverse (resource_method_version) matches endpoint.rs") {
+    val cases = Seq(
+      ("get", "user-groups/{id}", "userGroupGet"),
+      ("get", "v1/users/{id}/statuses", "userStatusesListV1"))
+    cases.foreach { case (m, p, want) =>
+      assert(eval(Naming.operationIdCol(lit(m), lit(p), reverse = true)) === want, s"$m $p")
+    }
+  }
+
+  test("pluralize rule list exercises the irregular families") {
+    val cases = Seq(
+      "matrix" -> "matrices",
+      "party" -> "parties",
+      "knife" -> "knives",
+      "axis" -> "axes",
+      "quiz" -> "quizzes",
+      "box" -> "boxes",
+      "users" -> "users") // already-plural is a fixpoint via "s$" -> "s"
+    cases.foreach { case (in, want) =>
+      assert(eval(Naming.pluralizeCol(lit(in))) === want, s"pluralize($in)")
+    }
+  }
+
+  test("singularize rule list exercises the irregular families") {
+    val cases = Seq(
+      "quizzes" -> "quiz",
+      "indices" -> "index",
+      "wolves" -> "wolf",
+      "statuses" -> "status",
+      "knives" -> "knife",
+      "heroes" -> "hero",
+      "movies" -> "movie",
+      "parties" -> "party",
+      "matrix" -> "matrix") // no rule matches -> unchanged
+    cases.foreach { case (in, want) =>
+      assert(eval(Naming.singularizeCol(lit(in))) === want, s"singularize($in)")
+    }
+  }
+}
