@@ -112,6 +112,13 @@ object QueriesPipeline {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 5)),
 
+    // similarity: IVF-Flat ANN — deterministic id-mod seed + one Lloyd
+    // round, probe the 3 nearest of 8 inverted lists only (the 100 TB scale
+    // path: cluster = partition key, a query touches nprobe partitions)
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryVec(s, dir), topK = 5, k = 8, nprobe = 3)),
+
     // text analysis: language-ID heuristic with auditable marker scores
     "q_langid" -> ((s, dir) => {
       val sc = TextAnalysis.langScores(col("text"))
@@ -337,6 +344,29 @@ object QueriesPipeline {
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  /** IVF oracle: the full quantizer replayed in SQL — id-mod seed, rounded
+    * per-dimension means, cosine argmax reassignment (ties → lowest c), then
+    * nprobe nearest lists brute-forced. Bit-exact because both engines fold
+    * dot products left-to-right over identical (rounded) centroid doubles.
+    */
+  private val annIvfOracle = {
+    val K = 8; val nprobe = 3
+    s"""WITH a0 AS (SELECT vec_id, embedding, CAST(vec_id % $K AS INT) AS c FROM embeddings),
+       | cent0 AS (SELECT c, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+       |   FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY c, i),
+       | cent AS (SELECT c, list(m ORDER BY i) AS cv FROM cent0 GROUP BY c),
+       | scored AS (SELECT a0.vec_id, a0.embedding, cent.c,
+       |   row_number() OVER (PARTITION BY a0.vec_id
+       |     ORDER BY ${sqlCos("a0.embedding", "cent.cv", 64)} DESC, cent.c) AS rn
+       |  FROM a0 CROSS JOIN cent),
+       | asg AS (SELECT vec_id, embedding, c AS cluster FROM scored WHERE rn = 1),
+       | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       | probed AS (SELECT c FROM cent, q ORDER BY ${sqlCos("cv", "qv", 64)} DESC, c LIMIT $nprobe)
+       |SELECT vec_id, round(${sqlCos("embedding", "qv", 64)}, 5) AS cos
+       |FROM asg JOIN probed ON asg.cluster = probed.c CROSS JOIN q
+       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+  }
+
   private val langidOracle = {
     val scores = TextAnalysis.LangMarkers.map { case (l, re) =>
       s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS score_$l"
@@ -392,6 +422,7 @@ object QueriesPipeline {
     "q_embed_neardup" -> embedNeardupOracle,
     "q_ann_topk" -> annTopkOracle,
     "q_ann_lsh" -> annLshOracle,
+    "q_ann_ivf" -> annIvfOracle,
     "q_langid" -> langidOracle,
     "q_quality" -> qualityOracle,
     "q_token_counts" -> tokenCountsOracle,

@@ -70,6 +70,70 @@ object Similarity {
     bruteForceTopK(bucketed.where(col("bucket") === qBucket), idCol, vecCol, query, k)
   }
 
+  /** IVF-Flat coarse quantizer: deterministic id-mod seeding, `rounds`
+    * Lloyd reassignments with per-dimension centroid means rounded to 6
+    * decimals (so an independent engine reproduces the quantizer exactly),
+    * assignment = argmax cosine to the K centroids (ties → lowest centroid
+    * id). Returns (assignments [id, v, cluster], centroids [cluster,
+    * centroid]) where centroids are the ones the final assignment used —
+    * the probe must rank THOSE.
+    *
+    * At 100 TB: centroids train on a sample, the assignment join broadcasts
+    * K tiny rows, and `cluster` becomes the table partition key so a query
+    * scans only the probed partitions instead of the corpus.
+    */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               rounds: Int = 1): (DataFrame, DataFrame) = {
+    require(rounds >= 1, "ivfIndex needs at least one Lloyd round")
+    val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    var assign = base.withColumn("cluster", pmod(col("id"), lit(k)).cast("int"))
+    var centroids: DataFrame = null
+    (0 until rounds).foreach { _ =>
+      centroids = assign
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+      // K×dim doubles — a dimension-sized collect (same class as a query
+      // vector); reassignment then runs as a zero-shuffle codegen'd per-row
+      // expression instead of an n×K argmin join+shuffle
+      val cents: Seq[(Int, Seq[Double])] = centroids.collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+      val cosArr = ColUtil.letBound(norm(col("v")))(nv =>
+        array(cents.map { case (_, cv) =>
+          // centroid norm folds left-to-right on the driver — the same
+          // double the distributed fold (and the oracle's list_reduce) yields
+          val nc = math.sqrt(cv.map(x => x * x).sum)
+          dot(col("v"), array(cv.map(lit): _*)) / (nv * lit(nc))
+        }: _*))
+      val ids = array(cents.map(c => lit(c._1)): _*)
+      // array_position returns the FIRST index holding the max → ties break
+      // to the lowest cluster id, matching the oracle's (cos DESC, c) order
+      assign = base.withColumn("cluster",
+        element_at(ids, array_position(cosArr, array_max(cosArr)).cast("int")))
+    }
+    (assign, centroids)
+  }
+
+  /** IVF ANN: rank the K centroids against the query, scan only the
+    * `nprobe` nearest inverted lists, exact cosine top-k within them.
+    * `nprobe = k` degrades to the exact brute-force answer.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
+              topK: Int, k: Int, nprobe: Int): DataFrame = {
+    val (assign, centroids) = ivfIndex(df, idCol, vecCol, k)
+    val q = array(query.map(lit): _*)
+    // K rows — the one legitimate driver-side collect (dimension-sized)
+    val probed = centroids
+      .select(col("cluster"), cosine(col("centroid"), q).as("qcos"))
+      .orderBy(col("qcos").desc, col("cluster")).limit(nprobe)
+      .select("cluster").collect().map(_.getInt(0)).toSeq
+    assign.where(col("cluster").isin(probed: _*))
+      .select(col("id").as(idCol), round(cosine(col("v"), q), 5).as("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(topK)
+  }
+
   /** Near-duplicate pairs by cosine within composite (blockCol, lshBucket)
     * blocks. Blocking on a label alone leaves one hot label O(n²); composing
     * it with the sign-hash bucket bounds every block: candidates must agree

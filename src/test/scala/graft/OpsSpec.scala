@@ -209,6 +209,33 @@ class OpsSpec extends SparkSpec {
     assert(banded === all)
   }
 
+  test("ivf: probing every list reproduces the exact brute-force top-k") {
+    val q = emb.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val allProbe = Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+      topK = 10, k = 8, nprobe = 8).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(allProbe === exact)
+  }
+
+  test("ivf: assignments are the cosine-argmax over the returned centroids") {
+    val (assign, centroids) = Similarity.ivfIndex(emb.limit(200), "vec_id", "embedding", k = 4)
+    val cents = centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assign.collect().foreach { r =>
+      val v = r.getSeq[Double](1).toArray
+      val got = r.getInt(2)
+      val want = cents.toSeq.map { case (c, cv) => (c, cos(v, cv)) }
+        .minBy { case (c, s) => (-s, c) }._1
+      assert(got === want, s"id ${r.getLong(0)}")
+    }
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
