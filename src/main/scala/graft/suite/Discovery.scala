@@ -1,0 +1,56 @@
+package graft.suite
+
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Template / static-asset discovery over registry directories — the
+  * driver-side configuration walk of the reference (`discovery.rs:21-83`):
+  * specs are `registry::path`, `registry::.` or a bare `/path`; each
+  * resolved directory is walked recursively, `.git*` entries are skipped,
+  * relative paths ending in `.j2` load as templates (content), everything
+  * else registers as a static file (path); a later spec overrides an
+  * earlier one at the same relative path (last dir wins).
+  *
+  * The git-checkout registry source (`discovery.rs:110-199`) has no analog
+  * here (no VCS in the engine's plane); its lineage role is covered by the
+  * rule-set hash carried in the checkpoint manifest (run.Checkpoint).
+  */
+final case class Discovered(templates: Map[String, String], files: Map[String, Path])
+
+final class Discovery {
+  private val registries = mutable.LinkedHashMap[String, Path]()
+
+  def register(name: String, path: Path): Unit = { registries(name) = path; () }
+
+  def resolve(tpls: Seq[String]): Discovered = {
+    val templates = mutable.LinkedHashMap[String, String]()
+    val files = mutable.LinkedHashMap[String, Path]()
+    tpls.foreach { spec =>
+      val root: Path = spec.split("::", -1) match {
+        case Array(registry, rel) =>
+          val r = registries.getOrElse(registry,
+            throw new IllegalArgumentException(s"no registry named '$registry'"))
+          r.resolve(rel).normalize()
+        case Array(bare) => Paths.get(bare)
+        case _ => throw new IllegalArgumentException(s"unsupported template spec '$spec'")
+      }
+      val walk = Files.walk(root)
+      try {
+        walk.iterator().asScala
+          .filter(p => Files.isRegularFile(p) || Files.isSymbolicLink(p))
+          .foreach { entry =>
+            val relative = root.relativize(entry).toString
+            if (!relative.startsWith(".git")) {
+              val target =
+                if (Files.isSymbolicLink(entry)) Files.readSymbolicLink(entry) else entry
+              if (relative.endsWith(".j2"))
+                templates(relative) = new String(Files.readAllBytes(target), "UTF-8")
+              else files(relative) = target
+            }
+          }
+      } finally walk.close()
+    }
+    Discovered(templates.toMap, files.toMap)
+  }
+}

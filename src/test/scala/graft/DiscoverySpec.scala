@@ -1,0 +1,56 @@
+package graft
+
+import graft.suite.Discovery
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors discovery.rs resolve semantics: spec formats, recursive walk,
+  * `.j2` → template content vs static file path, `.git` skip, and
+  * last-dir-wins override across specs.
+  */
+class DiscoverySpec extends AnyFunSuite {
+
+  private def mkTree(): (java.nio.file.Path, java.nio.file.Path) = {
+    val base = Files.createTempDirectory("disc-base")
+    val over = Files.createTempDirectory("disc-over")
+    Files.createDirectories(base.resolve("models"))
+    Files.write(base.resolve("models/item.j2"), "base-item".getBytes)
+    Files.write(base.resolve("models/static.txt"), "base-static".getBytes)
+    Files.write(base.resolve("top.j2"), "base-top".getBytes)
+    Files.createDirectories(base.resolve(".git"))
+    Files.write(base.resolve(".git/config"), "secret".getBytes)
+    Files.createDirectories(over.resolve("models"))
+    Files.write(over.resolve("models/item.j2"), "override-item".getBytes)
+    (base, over)
+  }
+
+  test("registry::. walks recursively, splits templates from files, skips .git") {
+    val (base, _) = mkTree()
+    val d = new Discovery
+    d.register("r", base)
+    val got = d.resolve(Seq("r::."))
+    assert(got.templates === Map("models/item.j2" -> "base-item", "top.j2" -> "base-top"))
+    assert(got.files.keySet === Set("models/static.txt"))
+    assert(!got.files.keySet.exists(_.startsWith(".git")))
+  }
+
+  test("later spec wins at the same relative path; bare paths resolve too") {
+    val (base, over) = mkTree()
+    val d = new Discovery
+    d.register("r", base)
+    val got = d.resolve(Seq("r::.", over.toString))
+    assert(got.templates("models/item.j2") === "override-item")
+    assert(got.templates("top.j2") === "base-top")
+  }
+
+  test("registry::subpath narrows the walk; unknown registry fails") {
+    val (base, _) = mkTree()
+    val d = new Discovery
+    d.register("r", base)
+    val got = d.resolve(Seq("r::models"))
+    assert(got.templates === Map("item.j2" -> "base-item"))
+    assert(got.files.keySet === Set("static.txt"))
+    val e = intercept[IllegalArgumentException](d.resolve(Seq("nope::.")))
+    assert(e.getMessage.contains("nope"))
+  }
+}
