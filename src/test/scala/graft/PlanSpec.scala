@@ -97,6 +97,16 @@ class PlanSpec extends SparkSpec {
     assert(!rs.contains("content"), "drift histogram scan must not read content")
   }
 
+  test("ivf assignment is a zero-shuffle codegen'd projection") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assign, _) = Similarity.ivfIndex(emb, "vec_id", "embedding", k = 4)
+    // centroids were collected during index build; the assignment itself
+    // must be scan + project only — the n×K argmin join would show Exchange
+    val p = plan(assign)
+    assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
+  }
+
   test("distributed patch projection prunes to the payload columns") {
     import graft.ops.PatchOps
     val m = org.apache.spark.sql.functions.from_json(col("content"),
