@@ -284,10 +284,11 @@ object Dedup {
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val lsMin = sym.groupBy("u").agg(min("v").as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // no distinct here: small-star's grouped min and the final distinct
+      // absorb duplicate (v, m) edges — dropping it saves a shuffle per round
       val ls = sym.join(lsMin, "u")
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
       // small-star: orient (larger → smaller), then connect every smaller
       // neighbor AND u itself to the minimum of the oriented neighborhood
       val oriented = ls.select(greatest(col("u"), col("v")).as("u"),

@@ -83,11 +83,18 @@ object Similarity {
     * scans only the probed partitions instead of the corpus.
     */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
-               rounds: Int = 1): (DataFrame, DataFrame) = {
+               rounds: Int = 1): (DataFrame, DataFrame) =
+    ivfIndexWithCents(df, idCol, vecCol, k, rounds) match {
+      case (assign, centroids, _) => (assign, centroids)
+    }
+
+  private def ivfIndexWithCents(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                                rounds: Int): (DataFrame, DataFrame, Seq[(Int, Seq[Double])]) = {
     require(rounds >= 1, "ivfIndex needs at least one Lloyd round")
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     var assign = base.withColumn("cluster", pmod(col("id"), lit(k)).cast("int"))
     var centroids: DataFrame = null
+    var lastCents: Seq[(Int, Seq[Double])] = Nil
     (0 until rounds).foreach { _ =>
       centroids = assign
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -100,6 +107,7 @@ object Similarity {
       // expression instead of an n×K argmin join+shuffle
       val cents: Seq[(Int, Seq[Double])] = centroids.collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
+      lastCents = cents
       val cosArr = ColUtil.letBound(norm(col("v")))(nv =>
         array(cents.map { case (_, cv) =>
           // centroid norm folds left-to-right on the driver — the same
@@ -113,7 +121,7 @@ object Similarity {
       assign = base.withColumn("cluster",
         element_at(ids, array_position(cosArr, array_max(cosArr)).cast("int")))
     }
-    (assign, centroids)
+    (assign, centroids, lastCents)
   }
 
   /** IVF ANN: rank the K centroids against the query, scan only the
@@ -122,13 +130,17 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
               topK: Int, k: Int, nprobe: Int): DataFrame = {
-    val (assign, centroids) = ivfIndex(df, idCol, vecCol, k)
+    val (assign, _, cents) = ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1)
     val q = array(query.map(lit): _*)
-    // K rows — the one legitimate driver-side collect (dimension-sized)
-    val probed = centroids
-      .select(col("cluster"), cosine(col("centroid"), q).as("qcos"))
-      .orderBy(col("qcos").desc, col("cluster")).limit(nprobe)
-      .select("cluster").collect().map(_.getInt(0)).toSeq
+    // probe ranking is driver math over the already-collected centroids —
+    // left-to-right folds, so the doubles (and hence the probed set) match
+    // the distributed/oracle arithmetic exactly; no extra Spark job
+    def ddot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val probed = cents
+      .map { case (c, cv) =>
+        (c, ddot(cv, query) / (math.sqrt(ddot(cv, cv)) * math.sqrt(ddot(query, query)))) }
+      .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
     assign.where(col("cluster").isin(probed: _*))
       .select(col("id").as(idCol), round(cosine(col("v"), q), 5).as("cos"))
       .orderBy(col("cos").desc, col(idCol)).limit(topK)
