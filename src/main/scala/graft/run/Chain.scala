@@ -27,6 +27,8 @@ import java.nio.file.{Files, Paths}
   *   process name <path|-> [--overwrite] [--overwrite-ambiguous]
   *       [--base-name N]
   *   process patch <path|-> apply <patchFile> | inline <op> <ptr> [json]
+  *   bump openapi <path|-> --original <file>   (x-version subversion diffs
+  *       drive the root info.version bump, process/bump_openapi.rs:47-108)
   *   validate openapi <path|-> [--continue-on-error]   (Draft4 meta-schema)
   *   validate jsonschema <path|-> [--continue-on-error] (compile-only check)
   *   validate <path|->         (legacy alias of jsonschema, strict)
@@ -62,6 +64,7 @@ object Chain {
   private def schemaArgOf(parts: Seq[String]): Option[String] = parts match {
     case Seq("process", _, ref, _*) => Some(ref)
     case Seq("validate", sub, ref, _*) if sub == "openapi" || sub == "jsonschema" => Some(ref)
+    case Seq("bump", "openapi", ref, _*) => Some(ref)
     case Seq("validate", ref, _*) => Some(ref)
     case Seq("output", _*) => None
     case other => sys.error(s"unknown chain command '${other.headOption.getOrElse("")}'")
@@ -159,6 +162,43 @@ object Chain {
       case Seq("process", "patch", _, "inline", op, ptr, rest @ _*) =>
         JsonPatch.inline(body, op, ptr,
           rest.headOption.map(SchemaDocs.json.readTree))
+      // `bump openapi --original <file>` — compare every `x-version-*`
+      // subversion of the ORIGINAL info block against the recent document;
+      // any strictly-increased component sets its bump flag, and major >
+      // minor > patch decides how the ORIGINAL root version is bumped into
+      // the recent document (process/bump_openapi.rs:47-108)
+      case Seq("bump", "openapi", _, flags @ _*) =>
+        import com.fasterxml.jackson.databind.node.ObjectNode
+        import scala.jdk.CollectionConverters._
+        val originalFile = flags.sliding(2).collectFirst { case Seq("--original", f) => f }
+          .getOrElse(sys.error("bump openapi needs --original <file>"))
+        val original = SchemaDocs.loadUrl(SchemaDocs.pathToUrl(originalFile), fetch)
+        def info(doc: JsonNode, which: String): ObjectNode = doc.get("info") match {
+          case o: ObjectNode => o
+          case _ => sys.error(s"$which document has no info object")
+        }
+        val oInfo = info(original, "original")
+        val rInfo = info(body, "recent")
+        def ver(i: JsonNode, field: String, which: String): Semver = {
+          val v = i.get(field)
+          require(v != null && v.isTextual, s"$which info.$field missing or not a string")
+          Semver.parse(v.asText)
+        }
+        var (bMaj, bMin, bPat) = (false, false, false)
+        oInfo.fieldNames().asScala.filter(_.startsWith("x-version-")).foreach { prop =>
+          val ov = ver(oInfo, prop, "original"); val rv = ver(rInfo, prop, "recent")
+          if (ov.major < rv.major) bMaj = true
+          if (ov.minor < rv.minor) bMin = true
+          if (ov.patch < rv.patch) bPat = true
+        }
+        val rootVer = ver(oInfo, "version", "original")
+        val bumped =
+          if (bMaj) rootVer.bumpMajor
+          else if (bMin) rootVer.bumpMinor
+          else if (bPat) rootVer.bumpPatch
+          else rootVer
+        rInfo.put("version", bumped.toString)
+        body
       // `validate openapi` — Draft4 meta-schema validation of the document
       // itself, every error logged like iter_errors (validate/mod.rs:14-24);
       // --continue-on-error logs and proceeds (cli validate.rs:88-96)

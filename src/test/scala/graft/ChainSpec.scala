@@ -109,4 +109,24 @@ class ChainSpec extends AnyFunSuite {
       SchemaDocs.json.readTree("""{"a":1}"""), patch)
     assert(roundTrip === SchemaDocs.json.readTree("""{"a":2,"b":3}"""))
   }
+
+  test("bump openapi step: x-version diffs drive the root bump (bump_openapi.rs:149-260)") {
+    val dir = Files.createTempDirectory("graft-chain-bump")
+    def doc(version: String, s2: String): String =
+      s"""{"info":{"version":"$version","x-version-service1":"0.0.1","x-version-service2":"$s2"}}"""
+    val original = dir.resolve("orig.json")
+    Files.write(original, doc("0.0.8", "0.5.0").getBytes("UTF-8"))
+    var n = 0
+    def bumped(recentS2: String): String = {
+      n += 1
+      val recent = dir.resolve(s"recent$n.json")
+      Files.write(recent, doc("0.0.8", recentS2).getBytes("UTF-8"))
+      val r = Chain.run(Seq(s"bump openapi $recent --original $original"))
+      r.schemas.head._2.at("/info/version").asText()
+    }
+    assert(bumped("1.0.0") === "1.0.0") // major wins (test_xversion_bump_major)
+    assert(bumped("0.6.0") === "0.1.0") // minor (test_xversion_bump_minor)
+    assert(bumped("0.5.1") === "0.0.9") // patch (test_xversion_bump_patch)
+    assert(bumped("0.5.0") === "0.0.8") // nothing increased -> unchanged
+  }
 }
