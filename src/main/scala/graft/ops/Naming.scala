@@ -139,9 +139,15 @@ object Naming {
     val allParts =
       if (!reverse) concat(prefix, processed)
       else concat(processed, org.apache.spark.sql.functions.reverse(prefix))
-    // join(" ").to_camel_case (endpoint.rs:113-119): ucfirst every part,
-    // concat, lcfirst the whole — interior camelCase of parts is preserved
-    lcfirst(array_join(transform(allParts, x => ucfirst(x)), ""))
+    // Endpoint::new rejects unknown methods and empty paths with
+    // EndpointValidation (endpoint.rs:28-30); the per-row analog is null
+    val validMethod =
+      method.rlike("^(get|head|post|put|delete|connect|options|trace|patch)$")
+    when(validMethod && trimmed =!= "",
+      // join(" ").to_camel_case (endpoint.rs:113-119): ucfirst every part,
+      // concat, lcfirst the whole — interior camelCase of parts is preserved
+      lcfirst(array_join(transform(allParts, x => ucfirst(x)), "")))
+      .otherwise(lit(null).cast("string"))
   }
 
   // ----------------------------------------------- DuckDB oracle generators

@@ -62,6 +62,15 @@ class NamingSpec extends SparkSpec {
     }
   }
 
+  test("operationId: invalid method or empty path -> null (EndpointValidation analog)") {
+    import spark.implicits._
+    val rows = Seq(("brew", "users"), ("get", ""), ("get", "///"), ("get", "users"))
+      .toDF("m", "p")
+      .select(Naming.operationIdCol(col("m"), col("p")).as("r"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(rows.toSeq === Seq(None, None, None, Some("listUsers")))
+  }
+
   test("operationId reverse (resource_method_version) matches endpoint.rs") {
     val cases = Seq(
       ("get", "user-groups/{id}", "userGroupGet"),
