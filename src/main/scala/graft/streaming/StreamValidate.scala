@@ -47,6 +47,54 @@ object StreamValidate {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Sentinel standing in for the null category so the baseline join keys
+    * on it (SQL joins never match null = null; the batch histogram keys on
+    * Option and matches None = None).
+    */
+  private val NullKey = "\u0000"
+
+  /** Streaming chi-square drift: per event-time window, the chi² statistic
+    * of the window's value histogram against a STATIC baseline histogram
+    * (broadcast) — the streaming face of the batch ChiSquareDrift check.
+    *
+    * Uses the algebraic expansion
+    *   stat = Σ_{v: b_v>0} (o_v − e_v)²/e_v = (tb/to)·Σ o²/b − 2·Σ o + to
+    * (sums over baseline-supported values present in the window; absent
+    * values contribute only through `to`), which turns the full-histogram
+    * pass into two windowed sums: one (window, value) count aggregation, a
+    * broadcast join against the baseline, and one (window) roll-up — a
+    * chained stateful aggregation with bounded, watermark-evicted state and
+    * NO per-window driver collect. dof = |{v : b_v>0}| − 1 is a baseline
+    * constant; new_categories counts window values outside the baseline's
+    * support (same accounting as Drift.chiSquareFromHist).
+    */
+  def chiSquareDriftStream(stream: DataFrame, column: String, tsCol: String,
+                           windowDuration: String, watermark: String,
+                           baseline: Seq[(Option[String], Long)]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val supported = baseline.filter(_._2 > 0)
+    val tb = supported.map(_._2).sum.toDouble
+    require(tb > 0, "empty baseline histogram for streaming chi-square")
+    val baseDf = supported.map { case (v, c) => (v.getOrElse(NullKey), c) }.toDF("value", "b")
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), coalesce(col(column), lit(NullKey)).as("value"))
+      .agg(count(lit(1)).as("o"))
+      .join(broadcast(baseDf), Seq("value"), "left_outer")
+      .groupBy(window(window_time(col("window")), windowDuration).as("window"))
+      .agg(
+        sum(when(col("b").isNotNull, pow(col("o"), 2) / col("b"))).as("s1"),
+        sum(when(col("b").isNotNull, col("o")).otherwise(lit(0L))).as("s2"),
+        sum(col("o")).as("to"),
+        sum(when(col("b").isNull, 1L).otherwise(0L)).as("new_categories"))
+      .select(col("window"),
+        (lit(tb) / col("to") * coalesce(col("s1"), lit(0.0))
+          - lit(2.0) * col("s2") + col("to")).as("chi2"),
+        lit(supported.size - 1).cast("long").as("dof"),
+        col("new_categories"), col("to").as("evaluated"))
+  }
+
   /** Event-time-windowed verdict grid: (window, rule, evaluated, violations,
     * pass), watermarked for bounded state.
     */
