@@ -221,7 +221,11 @@ object Chain {
         body
       case Seq("output", outFile, _*) =>
         outputs(outFile) = body
-        Files.write(Paths.get(outFile), body.toPrettyString.getBytes("UTF-8"))
+        // Output::show format selection (cli commands/mod.rs:86-114): YAML
+        // for .yaml/.yml targets, pretty JSON otherwise
+        val asYaml = outFile.endsWith(".yaml") || outFile.endsWith(".yml")
+        Files.write(Paths.get(outFile),
+          SchemaDocs.writeString(body, asYaml).getBytes("UTF-8"))
         body
       case other => sys.error(s"unknown chain command '${other.mkString(" ")}'")
     }

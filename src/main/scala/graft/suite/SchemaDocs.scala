@@ -29,6 +29,13 @@ object SchemaDocs {
   private[graft] val json = new ObjectMapper()
   private val yaml = new ObjectMapper(new YAMLFactory())
 
+  /** Serialize a document the way Output::show does (cli commands/mod.rs:
+    * 86-114): YAML when asked for, pretty JSON otherwise.
+    */
+  def writeString(node: JsonNode, asYaml: Boolean): String =
+    if (asYaml) yaml.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+    else node.toPrettyString
+
   /** One spelling per URL: `file:///x` and `file:/x` are the same resource
     * but differ under URI.equals (empty vs null authority) — storage keys
     * and ref rewrites must agree on one form or lookups silently miss.

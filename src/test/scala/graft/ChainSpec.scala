@@ -110,6 +110,19 @@ class ChainSpec extends AnyFunSuite {
     assert(roundTrip === SchemaDocs.json.readTree("""{"a":2,"b":3}"""))
   }
 
+  test("output step writes YAML for .yaml targets and it round-trips") {
+    val dir = Files.createTempDirectory("graft-chain-yaml")
+    val in = dir.resolve("in.json")
+    Files.write(in, """{"a":{"b":[1,2]},"c":"x"}""".getBytes("UTF-8"))
+    val out = dir.resolve("out.yaml").toString
+    Chain.run(Seq(s"process merge-all-of $in", s"output $out"))
+    val text = new String(Files.readAllBytes(Paths.get(out)), "UTF-8")
+    assert(!text.trim.startsWith("{"), s"not yaml:\n$text")
+    // loading it back through the YAML-aware loader yields the same document
+    val reread = SchemaDocs.loadUrl(SchemaDocs.pathToUrl(out))
+    assert(reread === SchemaDocs.json.readTree("""{"a":{"b":[1,2]},"c":"x"}"""))
+  }
+
   test("bump openapi step: x-version diffs drive the root bump (bump_openapi.rs:149-260)") {
     val dir = Files.createTempDirectory("graft-chain-bump")
     def doc(version: String, s2: String): String =
