@@ -51,6 +51,19 @@ class ConditionFilterSpec extends SparkSpec {
   }
 }
 
+/** The driver's correctness gate hashes `SparkEntry.queries` against
+  * `SparkEntry.oracleSql` — a key present on one side only silently weakens
+  * (or errors) the round's gate, so the sets must match exactly.
+  */
+class EntryContractSpec extends AnyFunSuite {
+  test("every driver query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without query: ${(o -- q).toSeq.sorted}")
+  }
+}
+
 class SemverSpec extends AnyFunSuite {
   import Semver._
 
