@@ -95,6 +95,61 @@ object StreamValidate {
         col("new_categories"), col("to").as("evaluated"))
   }
 
+  /** Streaming KS drift: per event-time window, the binned-CDF
+    * Kolmogorov–Smirnov distance of a numeric column against a STATIC
+    * baseline histogram — the streaming face of the batch KsDrift check.
+    *
+    * Bin bounds come from the BASELINE's support (values outside clamp into
+    * the edge bins) — the one divergence from the batch check, which bins
+    * over the combined min/max; a stream cannot know a window's bounds
+    * before binning it. When window values stay inside the baseline's range
+    * the two are identical (the test asserts exactly that). The per-window
+    * CDF comparison folds over a bins-sized array against the baseline's
+    * literal CDF — one windowed count aggregation plus one roll-up, state
+    * watermark-evicted, nothing collected per window.
+    */
+  def ksDriftStream(stream: DataFrame, column: String, tsCol: String,
+                    windowDuration: String, watermark: String,
+                    baseline: Seq[(Double, Long)], bins: Int): DataFrame = {
+    require(baseline.nonEmpty, "empty baseline histogram for streaming KS")
+    val lo = baseline.map(_._1).min
+    val hi = baseline.map(_._1).max
+    val span = if (hi > lo) hi - lo else 1.0
+    def binOf(v: Double): Int =
+      math.max(0, math.min(math.floor((v - lo) / (span / bins)).toInt, bins - 1))
+    // baseline CDF per bin — driver-computed literals (same arithmetic as
+    // Drift.ksFromHist: doubles, running sum over bin order)
+    val b = Array.fill(bins)(0.0)
+    baseline.foreach { case (v, n) => b(binOf(v)) += n.toDouble }
+    val totB = b.sum
+    val bCdf = b.scanLeft(0.0)(_ + _).drop(1).map(_ / totB)
+    val binCol = greatest(lit(0), least(
+      floor((col(column).cast("double") - lit(lo)) / lit(span / bins)).cast("int"),
+      lit(bins - 1)))
+    stream
+      .withWatermark(tsCol, watermark)
+      .where(col(column).isNotNull)
+      .groupBy(window(col(tsCol), windowDuration), binCol.as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(window(window_time(col("window")), windowDuration).as("window"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("c")))).as("m"),
+        sum(col("c")).as("n"))
+      .select(col("window"), col("n").as("evaluated"), {
+        // fold bins in order: running current-CDF vs literal baseline CDF
+        val perBin = transform(sequence(lit(0), lit(bins - 1)), i =>
+          struct(coalesce(element_at(col("m"), i), lit(0L)).cast("double").as("c"),
+            element_at(array(bCdf.map(lit): _*), i + 1).as("bcdf")))
+        aggregate(perBin,
+          struct(lit(0.0).as("cum"), lit(0.0).as("maxd")),
+          (acc, x) => struct(
+            (acc.getField("cum") + x.getField("c")).as("cum"),
+            greatest(acc.getField("maxd"),
+              abs((acc.getField("cum") + x.getField("c")) / col("n") - x.getField("bcdf")))
+              .as("maxd")),
+          acc => acc.getField("maxd")).as("ks")
+      }, lit(bins.toLong).as("bins"))
+  }
+
   /** Event-time-windowed verdict grid: (window, rule, evaluated, violations,
     * pass), watermarked for bounded state.
     */

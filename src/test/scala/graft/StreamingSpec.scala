@@ -114,4 +114,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1)._2 === 0.0 && rows(1)._4 === 0L)
     q.stop()
   }
+
+  test("streaming KS drift matches the batch statistic when bounds coincide") {
+    implicit val sq = spark.sqlContext
+    // numeric stream: reuse commit as a numeric string column
+    case class NumEvent(x: String, ts: Timestamp)
+    val mkTs = (sec: Int) => new Timestamp(1700000000000L + sec * 1000L)
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("x", "ts")
+    // baseline spans [0, 100] so window values (10..90) bin inside its range
+    val baseline = Seq(0.0 -> 2L, 25.0 -> 3L, 50.0 -> 3L, 75.0 -> 2L, 100.0 -> 2L)
+    val bins = 5
+    val q = StreamValidate.ksDriftStream(df, "x", "ts", "1 minute", "0 seconds",
+      baseline, bins)
+      .writeStream.format("memory").queryName("ksd").outputMode("append").start()
+    val w1 = Seq(10.0, 12.0, 55.0, 90.0, 90.0) // skewed window
+    mem.addData(w1.zipWithIndex.map { case (v, i) => (v.toString, mkTs(i + 1)) }: _*)
+    mem.addData(("50.0", mkTs(200))) // advance watermark, close window 1
+    q.processAllAvailable()
+    val rows = spark.table("ksd").select("ks", "evaluated").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(rows.length === 1)
+    // batch KS over the same window with the same bounds: baseline includes
+    // the global min/max, so combined-bounds binning == baseline-bounds
+    val batch = graft.checks.Drift.ksFromHist(
+      w1.groupBy(identity).map { case (v, g) => (Option(v.toString), g.size.toLong) }.toSeq,
+      baseline.map { case (v, n) => (Option(v.toString), n) }, bins)
+    assert(math.abs(rows(0)._1 - batch.statistic) < 1e-9,
+      s"${rows(0)._1} vs ${batch.statistic}")
+    assert(rows(0)._2 === 5L)
+    q.stop()
+  }
 }
