@@ -80,6 +80,34 @@ class NamingSpec extends SparkSpec {
     }
   }
 
+  test("column chains agree with a direct first-match regex loop on generated words") {
+    import spark.implicits._
+    // plain-JVM reimplementation of word.rs's loop — same rule constants
+    def ref(rules: Seq[(String, String)])(w: String): String =
+      rules.collectFirst {
+        case (p, r) if java.util.regex.Pattern.compile(p).matcher(w).find() =>
+          java.util.regex.Pattern.compile(p).matcher(w).replaceAll(r)
+      }.getOrElse(w)
+    val rnd = new scala.util.Random(42)
+    val suffixes = Seq("s", "es", "ies", "ves", "ices", "zes", "en", "a", "um",
+      "is", "us", "i", "o", "x", "ch", "ss", "sh", "y", "f", "fe", "ouse",
+      "ice", "sis", "ses", "")
+    val stems = Seq("quiz", "ox", "matr", "vert", "alias", "octop", "cris",
+      "shoe", "bus", "mo", "ser", "part", "wol", "kni", "loa", "analy", "ba",
+      "corpse", "hou", "new", "stat", "tele", "user-group", "data", "x")
+    val words = (1 to 3000).map { _ =>
+      stems(rnd.nextInt(stems.size)) + suffixes(rnd.nextInt(suffixes.size))
+    }.distinct
+    val got = words.toDF("w")
+      .select(col("w"), Naming.singularizeCol(col("w")).as("s"),
+        Naming.pluralizeCol(col("w")).as("p"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    got.foreach { case (w, s, p) =>
+      assert(s === ref(Naming.SingularRules)(w), s"singularize($w)")
+      assert(p === ref(Naming.PluralRules)(w), s"pluralize($w)")
+    }
+  }
+
   test("pluralize rule list exercises the irregular families") {
     val cases = Seq(
       "matrix" -> "matrices",
