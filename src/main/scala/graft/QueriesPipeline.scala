@@ -80,6 +80,23 @@ object QueriesPipeline {
         "id_a", "id_b")
         .orderBy("id")),
 
+    // dedup pipeline end-to-end: pairs → transitive clusters → QUALITY-aware
+    // keeper (highest quality score wins, ties → lowest id) — the "keep the
+    // best-written copy" selection a real training-data dedup pass ships
+    // with, instead of blind min-id
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val labels = Dedup.connectedComponents(
+        Dedup.minHashPairs(corpus, "id", "text", minEst = 0.5), "id_a", "id_b")
+      val scored = labels.join(corpus, "id")
+        .withColumn("score", TextAnalysis.qualityScore(col("text")))
+      scored.groupBy("cluster").agg(
+        max_by(col("id"), struct(col("score"), (-col("id")).as("nid"))).as("keeper"),
+        count(lit(1)).as("n_members"),
+        max(col("score")).as("best_score"))
+        .orderBy("cluster")
+    }),
+
     // dedup: 48-bit SimHash per document (SimHashBits; portable token hash)
     "q_simhash" -> ((s, dir) =>
       Dedup.simHash(t(s, dir, "documents").where(col("doc_id") < 50), "doc_id", "text")
@@ -237,14 +254,18 @@ object QueriesPipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
-  private val dedupClustersOracle = {
+  /** Shared CTE chain: corpus → shingles → MinHash signatures → banded
+    * pairs → recursive min-label reachability. Ends with a `clusters(id,
+    * cluster)` CTE both dedup-cluster oracles build on.
+    */
+  private def clustersCtes: String = {
     val bandEq = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
       val lo = b * Dedup.BandRows + 1; val hi = lo + Dedup.BandRows - 1
       s"(a.sig[$lo:$hi] = b.sig[$lo:$hi])"
     }.mkString(" OR ")
     // same pair derivation as minhashPairsOracle, then connected components
     // via recursive min-label reachability (UNION dedup is the fixpoint)
-    s"""WITH RECURSIVE $corpusCte, $shingleCte,
+    s"""$corpusCte, $shingleCte,
        | sig AS (SELECT id, $sigExpr AS sig FROM shl),
        | est AS (SELECT a.id AS id_a, b.id AS id_b,
        |   round(CAST(list_sum(list_transform(generate_series(1, ${Dedup.NumHashes}),
@@ -256,10 +277,31 @@ object QueriesPipeline {
        | reach(v, l) AS (
        |   SELECT DISTINCT s, s FROM edges
        |   UNION
-       |   SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v)
-       |SELECT v AS id, CAST(min(l) AS BIGINT) AS cluster FROM reach
-       |GROUP BY v ORDER BY id""".stripMargin
+       |   SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
+       | clusters AS (SELECT v AS id, CAST(min(l) AS BIGINT) AS cluster FROM reach
+       |              GROUP BY v)""".stripMargin
   }
+
+  private val dedupClustersOracle =
+    s"""WITH RECURSIVE $clustersCtes
+       |SELECT id, cluster FROM clusters ORDER BY id""".stripMargin
+
+  /** Same quality formula as qualityOracle/TextAnalysis.qualityScore. */
+  private def qualitySql(textExpr: String): String =
+    s"round(least(CAST(len(string_split_regex(trim($textExpr), '\\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5" +
+      s" + (CAST(len(regexp_extract_all($textExpr, '[A-Za-z]')) AS DOUBLE) / length($textExpr)) * 0.5, 6)"
+
+  private val dedupKeepBestOracle =
+    s"""WITH RECURSIVE $clustersCtes,
+       | scored AS (SELECT c.cluster, c.id, ${qualitySql("corpus.text")} AS score
+       |   FROM clusters c JOIN corpus ON corpus.id = c.id),
+       | ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster
+       |   ORDER BY score DESC, id ASC) AS rn FROM scored)
+       |SELECT g.cluster, r.keeper, g.n_members, g.best_score
+       |FROM (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       |        max(score) AS best_score FROM scored GROUP BY cluster) g
+       | JOIN (SELECT cluster, id AS keeper FROM ranked WHERE rn = 1) r USING (cluster)
+       |ORDER BY cluster""".stripMargin
 
   /** simhash of a hash-list column, DuckDB SQL (mirrors
     * TextAnalysis.simHashBits: independent per-bit affine parity).
@@ -417,6 +459,7 @@ object QueriesPipeline {
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
     "q_dedup_clusters" -> dedupClustersOracle,
+    "q_dedup_keep_best" -> dedupKeepBestOracle,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_embed_neardup" -> embedNeardupOracle,
