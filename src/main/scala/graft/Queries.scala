@@ -402,8 +402,12 @@ object Queries {
     "q_pattern_props" -> ((s, dir) => {
       import graft.ops.PatchOps.upsert
       val e = t(s, dir, "events")
-      val base = from_json(col("props"), org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType))
+      // null/unparseable props normalizes to an EMPTY map (not null): the
+      // planted-entry chain below must still apply, like the oracle's
+      // unconditional entry list — a null map would nullSafe-pass instead
+      val base = coalesce(from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)),
+        typedLit(Map.empty[String, String]))
       val m0 = when(col("event_id") % 7 === 0, upsert(base, "k", lit("oops"))).otherwise(base)
       val m1 = when(col("event_id") % 3 === 0, upsert(m0, "et",
         when(col("event_id") % 2 === 0, col("event_type")).otherwise(lit("Bad Value!"))))

@@ -425,13 +425,12 @@ object QueriesPipeline {
   }
 
   private val qualityOracle =
-    """SELECT doc_id,
-      | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
-      | round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
-      | round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
-      | round(least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5
-      |   + (CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text)) * 0.5, 6) AS score
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id,
+       | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       | round(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / length(text), 6) AS punct_ratio,
+       | round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+       | ${qualitySql("text")} AS score
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   private val tokenCountsOracle =
     s"""SELECT doc_id,

@@ -211,7 +211,9 @@ object Dedup {
   def simHashPairsAdaptive(df: DataFrame, idCol: String, textCol: String,
                            corpusSize: Long, maxHamming: Int = 3): DataFrame = {
     val bands = maxHamming + 1
-    val width = math.max(8, math.min(63 / bands,
+    // clamp order matters: the one-long cap (63/bands) must win over the
+    // 8-bit floor, or bands ≥ 8 would violate simHashPairs' width invariant
+    val width = math.min(63 / bands, math.max(8,
       math.ceil(math.log(math.max(corpusSize, 2).toDouble) / math.log(2.0)).toInt))
     simHashPairs(df, idCol, textCol, maxHamming, bands, width)
   }

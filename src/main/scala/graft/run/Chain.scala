@@ -64,7 +64,12 @@ object Chain {
   private def schemaArgOf(parts: Seq[String]): Option[String] = parts match {
     case Seq("process", _, ref, _*) => Some(ref)
     case Seq("validate", sub, ref, _*) if sub == "openapi" || sub == "jsonschema" => Some(ref)
+    // without this guard the legacy `validate <ref>` case below would eat
+    // the subcommand word as a schema path named "openapi"/"jsonschema"
+    case Seq("validate", sub) if sub == "openapi" || sub == "jsonschema" =>
+      sys.error(s"validate $sub needs a schema path (or '-')")
     case Seq("bump", "openapi", ref, _*) => Some(ref)
+    case Seq("bump", "openapi") => sys.error("bump openapi needs a schema path (or '-')")
     case Seq("validate", ref, _*) => Some(ref)
     case Seq("output", _*) => None
     case other => sys.error(s"unknown chain command '${other.headOption.getOrElse("")}'")

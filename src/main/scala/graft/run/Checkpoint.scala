@@ -134,6 +134,20 @@ object Checkpoint {
                   ruleSetHash: String, statsColumns: Seq[String]): DataFrame = {
     val wide = spark.read.parquet(s"$dir/stats")
       .where(col("snapshotId") === snapshotId && col("ruleSetHash") === ruleSetHash)
+    // whole-table claim needs whole-table coverage: every NON-EMPTY part the
+    // manifest marks completed must have a stats row (a batch written
+    // without statsColumns would otherwise silently produce PARTIAL stats
+    // presented as whole-table; hash-empty parts legitimately have none)
+    val needed = spark.read.parquet(s"$dir/manifest")
+      .where(col("snapshotId") === snapshotId && col("ruleSetHash") === ruleSetHash &&
+        col("evaluated") > 0)
+      .select("part").distinct().collect().map(_.getInt(0)).toSet
+    val statsParts = wide.select("part").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val missing = needed.diff(statsParts)
+    require(missing.isEmpty,
+      s"mergedStats: ${missing.size} completed part(s) have no stats rows " +
+        s"(e.g. ${missing.take(5).mkString(",")}) — run wrote checkpoints without statsColumns?")
     val aggs = statsColumns.flatMap { c =>
       Seq(sum(col(s"${c}__count")).as(s"${c}__count"),
         sum(col(s"${c}__nulls")).as(s"${c}__nulls"),

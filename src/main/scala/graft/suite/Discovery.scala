@@ -42,8 +42,15 @@ final class Discovery {
           .foreach { entry =>
             val relative = root.relativize(entry).toString
             if (!relative.startsWith(".git")) {
+              // a relative link target resolves against the LINK's parent,
+              // not the process CWD (discovery.rs records the raw target;
+              // here we keep the path usable from anywhere)
               val target =
-                if (Files.isSymbolicLink(entry)) Files.readSymbolicLink(entry) else entry
+                if (Files.isSymbolicLink(entry)) {
+                  val raw = Files.readSymbolicLink(entry)
+                  if (raw.isAbsolute) raw
+                  else entry.getParent.resolve(raw).normalize()
+                } else entry
               if (relative.endsWith(".j2"))
                 templates(relative) = new String(Files.readAllBytes(target), "UTF-8")
               else files(relative) = target

@@ -50,7 +50,11 @@ final class Draft4Validator(schemaRoot: JsonNode) {
   private def walk(inst: JsonNode, schema0: JsonNode, ipath: String,
                    errs: collection.mutable.Builder[String, Vector[String]],
                    depth: Int): Unit = {
-    require(depth < 200, s"meta-schema recursion too deep at '$ipath'")
+    if (depth >= 200) {
+      // reported, not thrown: --continue-on-error must be able to keep going
+      errs += s"$ipath: meta-schema recursion exceeded depth 200"
+      return
+    }
     if (schema0.isBoolean) { // tolerated (true/false schemas)
       if (!schema0.asBoolean()) errs += s"$ipath: false schema never matches"
       return
@@ -61,7 +65,6 @@ final class Draft4Validator(schemaRoot: JsonNode) {
     val schema = refd.map(r => resolveRef(r.asText())).getOrElse(schema0)
     if (refd.isDefined) { walk(inst, schema, ipath, errs, depth + 1); return }
 
-    def at(p: String) = if (p.isEmpty) "" else p
     val here = if (ipath.isEmpty) "/" else ipath
 
     Option(schema.get("type")).foreach { t =>
@@ -144,16 +147,16 @@ final class Draft4Validator(schemaRoot: JsonNode) {
         case tuple if tuple.isArray =>
           val schemas = tuple.elements().asScala.toSeq
           inst.elements().asScala.zipWithIndex.foreach { case (el, i) =>
-            if (i < schemas.size) walk(el, schemas(i), s"${at(ipath)}/$i", errs, depth + 1)
+            if (i < schemas.size) walk(el, schemas(i), s"$ipath/$i", errs, depth + 1)
             else Option(schema.get("additionalItems")).foreach {
               case b if b.isBoolean =>
                 if (!b.asBoolean()) errs += s"$here/$i: additional items not allowed"
-              case s => walk(el, s, s"${at(ipath)}/$i", errs, depth + 1)
+              case s => walk(el, s, s"$ipath/$i", errs, depth + 1)
             }
           }
         case single =>
           inst.elements().asScala.zipWithIndex.foreach { case (el, i) =>
-            walk(el, single, s"${at(ipath)}/$i", errs, depth + 1)
+            walk(el, single, s"$ipath/$i", errs, depth + 1)
           }
       }
     }
@@ -181,7 +184,7 @@ final class Draft4Validator(schemaRoot: JsonNode) {
 
       keys.foreach { k =>
         val child = inst.get(k)
-        val cpath = s"${at(ipath)}/${k.replace("~", "~0").replace("/", "~1")}"
+        val cpath = s"$ipath/${k.replace("~", "~0").replace("/", "~1")}"
         val inProps = props.exists(_.has(k))
         if (inProps) walk(child, props.get.get(k), cpath, errs, depth + 1)
         val matched = patProps.filter(_._1.matcher(k).find())
@@ -205,10 +208,12 @@ final class Draft4Validator(schemaRoot: JsonNode) {
 
 object Draft4 {
 
-  /** The bundled OpenAPI 3.0.x meta-schema (public JSON; same document the
-    * reference embeds via include_bytes!, validate/mod.rs:10-12). Loaded
-    * from the reference resources by default; override with
-    * GRAFT_OPENAPI_SCHEMA for deployments that vendor their own copy.
+  /** The OpenAPI 3.0.x meta-schema (public JSON; the same standard document
+    * the reference embeds via include_bytes!, validate/mod.rs:10-12). The
+    * sandbox default points at the reference checkout's copy; REAL
+    * deployments MUST vendor the (publicly distributed) meta-schema and set
+    * GRAFT_OPENAPI_SCHEMA — it is data/config, deliberately not baked into
+    * the jar here.
     */
   def openapiMetaSchemaPath: String = sys.env.getOrElse("GRAFT_OPENAPI_SCHEMA",
     "/root/reference/crates/schematools/resources/openapi/schema-3.0.x.json")

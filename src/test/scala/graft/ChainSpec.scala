@@ -123,6 +123,13 @@ class ChainSpec extends AnyFunSuite {
     assert(reread === SchemaDocs.json.readTree("""{"a":{"b":[1,2]},"c":"x"}"""))
   }
 
+  test("validate openapi without a schema path is a usage error, not a bogus load") {
+    val e = intercept[RuntimeException](Chain.run(Seq("validate openapi")))
+    assert(e.getMessage.contains("needs a schema path"), e.getMessage)
+    val e2 = intercept[RuntimeException](Chain.run(Seq("bump openapi")))
+    assert(e2.getMessage.contains("needs a schema path"), e2.getMessage)
+  }
+
   test("bump openapi step: x-version diffs drive the root bump (bump_openapi.rs:149-260)") {
     val dir = Files.createTempDirectory("graft-chain-bump")
     def doc(version: String, s2: String): String =

@@ -84,6 +84,20 @@ class CheckpointSpec extends SparkSpec {
     }
   }
 
+  test("mergedStats refuses partial coverage (a batch written without statsColumns)") {
+    val dir = Files.createTempDirectory("graft_ckpt_guard").toString
+    intercept[RuntimeException] {
+      Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4,
+        failAfterBatches = Some(2)) // no statsColumns -> completed parts lack stats
+    }
+    Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4,
+      statsColumns = Seq("repo")) // resume writes stats only for remaining parts
+    val e = intercept[IllegalArgumentException] {
+      Checkpoint.mergedStats(spark, dir, "snap1", engine.suiteHash, Seq("repo"))
+    }
+    assert(e.getMessage.contains("no stats rows"), e.getMessage)
+  }
+
   test("a different rule-set hash re-validates from scratch") {
     val dir = Files.createTempDirectory("graft_ckpt2").toString
     Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 2)

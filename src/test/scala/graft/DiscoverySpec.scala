@@ -43,6 +43,19 @@ class DiscoverySpec extends AnyFunSuite {
     assert(got.templates("top.j2") === "base-top")
   }
 
+  test("relative symlink targets resolve against the link's directory") {
+    val (base, _) = mkTree()
+    val shared = base.resolve("shared")
+    Files.createDirectories(shared)
+    Files.write(shared.resolve("common.j2"), "shared-content".getBytes)
+    Files.createSymbolicLink(base.resolve("models/common.j2"),
+      Paths.get("../shared/common.j2"))
+    val d = new Discovery
+    d.register("r", base)
+    val got = d.resolve(Seq("r::models"))
+    assert(got.templates("common.j2") === "shared-content")
+  }
+
   test("registry::subpath narrows the walk; unknown registry fails") {
     val (base, _) = mkTree()
     val d = new Discovery

@@ -11,6 +11,13 @@ class Draft4Spec extends AnyFunSuite {
 
   private def j(s: String) = SchemaDocs.json.readTree(s)
 
+  test("depth overflow is reported as an error, not thrown (continue-on-error safe)") {
+    val v = new Draft4Validator(j("""{"properties":{"a":{"$ref":"#"}}}"""))
+    val deep = ("{\"a\":" * 250) + "1" + ("}" * 250)
+    val errs = v.validate(j(deep))
+    assert(errs.exists(_.contains("recursion exceeded")), errs.take(3).mkString("; "))
+  }
+
   test("well-formed 3.0.x documents validate green") {
     assert(Draft4.validateOpenapi(j(
       """{"openapi":"3.0.3","info":{"title":"T","version":"1.0"},"paths":{}}""")) === Nil)

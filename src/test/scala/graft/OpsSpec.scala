@@ -236,6 +236,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("adaptive simhash: high maxHamming keeps bands*width within one long") {
+    val corpus = docs.where(col("doc_id") < 30).select(col("doc_id").as("id"), col("text"))
+    // 8 bands: the 63/bands cap (7 bits) must override the 8-bit floor
+    val pairs = Dedup.simHashPairsAdaptive(corpus, "id", "text",
+      corpusSize = 1000000, maxHamming = 7)
+    assert(pairs.columns.contains("hamming")) // plan builds without violating the invariant
+    pairs.count()
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
