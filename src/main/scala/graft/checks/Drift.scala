@@ -41,6 +41,7 @@ object Drift {
       .collect()
     val to = joined.map(_.getLong(1)).sum.toDouble
     val tb = joined.map(_.getLong(2)).sum.toDouble
+    require(tb > 0, s"empty baseline for chi-square on '$column' (0 rows)")
     var stat = 0.0; var k = 0; var newCats = 0L
     joined.foreach { r =>
       val o = r.getLong(1).toDouble
@@ -61,13 +62,18 @@ object Drift {
     // the single-column projections are scanned twice (bounds, then bins);
     // column pruning reaches the parquet scan, so the rescan reads one thin
     // column — cheaper at scale than caching 2× full-table row counts
-    val curV = current.select(col(column).cast("double").as("v"))
+    // try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    // THROWS on the first unparseable string — the skip-unparseable
+    // semantics here depend on cast-to-null + the isNotNull filter
+    val curV = current.select(col(column).try_cast("double").as("v"))
       .where(col("v").isNotNull)
-    val baseV = baselineDf.select(col(column).cast("double").as("v"))
+    val baseV = baselineDf.select(col(column).try_cast("double").as("v"))
       .where(col("v").isNotNull)
     val mm = curV.agg(min("v").as("lo"), max("v").as("hi"))
       .unionAll(baseV.agg(min("v"), max("v")))
       .agg(min("lo"), max("hi")).collect()(0)
+    require(!mm.isNullAt(0) && !mm.isNullAt(1),
+      s"no numeric values for KS on '$column' (both snapshots empty or all-null)")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val span = if (hi > lo) hi - lo else 1.0
     def binned(df: DataFrame, side: String) = df
@@ -85,6 +91,8 @@ object Drift {
       .sortBy(_.getInt(0))
     val totC = joined.map(_.getDouble(1)).sum
     val totB = joined.map(_.getDouble(2)).sum
+    require(totC > 0 && totB > 0,
+      s"no numeric values for KS on '$column' (current=$totC, baseline=$totB rows)")
     var cc = 0.0; var cb = 0.0; var d = 0.0
     joined.foreach { r =>
       cc += r.getDouble(1) / totC

@@ -44,9 +44,11 @@ object Referential {
   def orphans(fact: DataFrame, dim: DataFrame, factKeys: Seq[String], dimKeys: Seq[String],
               broadcastMaxRows: Long = 10000000L,
               dimRowsHint: Option[Long] = None): Result = {
-    val dimProj = dimKeys.zip(factKeys).foldLeft(dim.select(dimKeys.map(col): _*)) {
-      case (d, (dk, fk)) => if (dk == fk) d else d.withColumnRenamed(dk, fk)
-    }.distinct()
+    // one atomic select: sequential withColumnRenamed collides when the key
+    // lists overlap crosswise (renaming a dim key onto another pair's fact
+    // key name duplicates columns -> AMBIGUOUS_REFERENCE)
+    val dimProj = dim.select(
+      dimKeys.zip(factKeys).map { case (dk, fk) => col(dk).as(fk) }: _*).distinct()
     val n = dimRowsHint.getOrElse(estimateRows(dimProj))
     val cond = factKeys.map(k => fact(k) <=> dimProj(k)).reduce(_ && _)
     if (n <= broadcastMaxRows)

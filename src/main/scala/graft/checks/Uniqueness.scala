@@ -67,7 +67,12 @@ object Uniqueness {
     */
   def duplicateRows(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
     val dups = duplicateKeys(df, keys, salts)
-    df.join(broadcast(dups.select(keys.map(col): _*)), keys, "left_semi")
+    // null-safe join: a using-columns semi join (plain EqualTo) would drop
+    // duplicate groups whose key contains a NULL component, while
+    // duplicateKeys' groupBy treats NULLs as equal — the two must agree
+    val dupKeys = dups.select(keys.map(c => col(c).as(s"__dk_$c")): _*)
+    df.join(broadcast(dupKeys),
+        keys.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _), "left_semi")
   }
 
   def violationPredicateDetail(keys: Seq[String]): Column =

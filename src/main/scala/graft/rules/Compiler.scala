@@ -23,7 +23,7 @@ object RuleCompiler {
   val builtinFormats: Map[String, Column => Column] = Map(
     "git-commit" -> (c => c.rlike("^[0-9a-f]{40}$")),
     "repo-slug" -> (c => c.rlike("^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$")),
-    "rel-path" -> (c => c.rlike("^[A-Za-z0-9_./-]+$") && !c.startsWith("/") && !c.contains(" ")),
+    "rel-path" -> (c => c.rlike("^[A-Za-z0-9_./-]+$") && !c.startsWith("/")),
     "lang-code" -> (c => c.isin("scala", "rust", "python", "go", "java", "ts", "md")),
     "hex" -> (c => c.rlike("^[0-9a-f]+$")),
     "non-blank" -> (c => trim(c) =!= "")
@@ -60,8 +60,11 @@ object RuleCompiler {
         // PatchOps.applyFlat); the row count stays codegen'd around it
         val valueOk: Column => Column = v => {
           val typeOk = vt match {
-            case "integer" => v.cast("long").isNotNull
-            case "number"  => v.cast("double").isNotNull
+            // try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
+            // cast THROW on the first non-numeric value — the exact rows
+            // this rule exists to flag must become violations, not crashes
+            case "integer" => v.try_cast("long").isNotNull
+            case "number"  => v.try_cast("double").isNotNull
             case "boolean" => lower(v).isin("true", "false")
             case _         => lit(true) // string / unconstrained
           }
@@ -72,7 +75,10 @@ object RuleCompiler {
         nullSafe(forall(map_entries(c), e =>
           entryOk(e.getField("key"), e.getField("value"))))
       case MapClosedKeys(_, _, patterns) =>
-        nullSafe(forall(map_keys(c),
+        // no allowed key patterns (additionalProperties:false with no
+        // patternProperties) means the object must be EMPTY
+        if (patterns.isEmpty) nullSafe(size(map_keys(c)) === 0)
+        else nullSafe(forall(map_keys(c),
           k => patterns.map(k.rlike).reduce(_ || _)))
       case Sha256Invariant(_, _, shaCol) =>
         coalesce(
@@ -82,8 +88,12 @@ object RuleCompiler {
         coalesce(
           (c.isNull && col(lenCol).isNull) || length(c) === col(lenCol),
           lit(false))
-      case AnyOfRule(_, _, ms) => ms.map(predicate(_, formats)).reduce(_ || _)
-      case AllOfRule(_, _, ms) => ms.map(predicate(_, formats)).reduce(_ && _)
+      case AnyOfRule(name, _, ms) =>
+        require(ms.nonEmpty, s"AnyOfRule '$name' has no members (invalid anyOf: [])")
+        ms.map(predicate(_, formats)).reduce(_ || _)
+      case AllOfRule(name, _, ms) =>
+        require(ms.nonEmpty, s"AllOfRule '$name' has no members (invalid allOf: [])")
+        ms.map(predicate(_, formats)).reduce(_ && _)
     }
   }
 

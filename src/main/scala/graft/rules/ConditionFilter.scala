@@ -19,7 +19,8 @@ object ConditionFilter {
   final case class ConditionSet(conds: Seq[Condition])
   final case class Filter(sets: Seq[ConditionSet])
 
-  def parse(s: String): Filter =
+  def parse(s: String): Filter = {
+    require(s.trim.nonEmpty, "empty filter expression (expected e.g. \"field==value\")")
     Filter(s.trim.split("\\s+").toSeq.filter(_.nonEmpty).map { setStr =>
       ConditionSet(setStr.split(",").toSeq.filter(_.nonEmpty).map { c =>
         // the operator is whichever token actually splits the string (its
@@ -35,6 +36,7 @@ object ConditionFilter {
         Condition(c.substring(0, idx).trim, op, c.substring(idx + 2).trim)
       })
     })
+  }
 
   def compile(f: Filter): Column =
     f.sets.map { set =>
@@ -47,13 +49,18 @@ object ConditionFilter {
 
   def compile(s: String): Column = compile(parse(s))
 
-  /** DuckDB mirror of the same filter (IS NOT DISTINCT FROM = null-safe =). */
-  def toSql(f: Filter): String =
+  /** DuckDB mirror of the same filter (IS NOT DISTINCT FROM = null-safe =).
+    * Values are single-quote-escaped (SQL '' doubling) so a value containing
+    * a quote cannot break or extend the generated statement.
+    */
+  def toSql(f: Filter): String = {
+    def q(v: String) = "'" + v.replace("'", "''") + "'"
     f.sets.map { set =>
       set.conds.map {
-        case Condition(field, "==", v) => s"$field IS NOT DISTINCT FROM '$v'"
-        case Condition(field, "!=", v) => s"$field IS DISTINCT FROM '$v'"
+        case Condition(field, "==", v) => s"$field IS NOT DISTINCT FROM ${q(v)}"
+        case Condition(field, "!=", v) => s"$field IS DISTINCT FROM ${q(v)}"
         case Condition(_, op, _) => sys.error(s"unknown op '$op'")
       }.mkString("(", " AND ", ")")
     }.mkString(" OR ")
+  }
 }

@@ -28,6 +28,13 @@ class ConditionFilterSpec extends SparkSpec {
     assert(got2 === 3) // zh, de, null
   }
 
+  test("filter DSL: quoted values escape into SQL; empty filter rejected") {
+    val f = ConditionFilter.parse("author==O'Brien")
+    assert(ConditionFilter.toSql(f).contains("'O''Brien'"))
+    val e = intercept[IllegalArgumentException](ConditionFilter.parse("   "))
+    assert(e.getMessage.contains("empty filter"))
+  }
+
   test("multi-source load reconciles missing columns and tags provenance (schema.rs:116-131)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_src").toString
     Seq((1, "x")).toDF("a", "b").write.parquet(s"$dir/one")

@@ -91,6 +91,57 @@ class EngineSpec extends SparkSpec {
     assert(viol === rows.groupBy(r => (r._2, r._3, r._4)).values.filter(_.length > 1).map(_.length).sum)
   }
 
+  test("uniqueness: duplicate groups with NULL key components are still found") {
+    val t = Seq(
+      ("a", null.asInstanceOf[String], "x"),
+      ("a", null.asInstanceOf[String], "x"), // dup with a NULL component
+      ("b", "p", "y")).toDF("repo", "path", "commit")
+    val keys = Seq("repo", "path", "commit")
+    val dupKeys = Uniqueness.duplicateKeys(t, keys).collect()
+    assert(dupKeys.length === 1 && dupKeys(0).getLong(3) === 2L)
+    // the rows join must agree with the keys groupBy (null-safe semi join)
+    val dupRows = Uniqueness.duplicateRows(t, keys).collect()
+    assert(dupRows.length === 2, s"expected both null-key dup rows, got ${dupRows.length}")
+  }
+
+  test("referential: crosswise fact/dim key names do not collide") {
+    import graft.checks.Referential
+    val fact = Seq(("k1", "k2")).toDF("b", "c")
+    val dim = Seq(("k1", "k2"), ("z1", "z2")).toDF("a", "b")
+    // dim.a -> fact.b, dim.b -> fact.c: sequential rename would collide on b
+    val r = Referential.orphans(fact, dim, Seq("b", "c"), Seq("a", "b"))
+    assert(r.orphans.count() === 0L)
+    val fact2 = Seq(("k1", "nope")).toDF("b", "c")
+    assert(Referential.orphans(fact2, dim, Seq("b", "c"), Seq("a", "b")).orphans.count() === 1L)
+  }
+
+  test("map value type rule flags non-numeric values under ANSI instead of crashing") {
+    import graft.core.MapPatternValues
+    val t = Seq(Map("a" -> "12"), Map("a" -> "abc")).toDF("m")
+    val r = MapPatternValues("vt_int", "m", None, "integer", None)
+    val viol = t.where(!graft.rules.RuleCompiler.predicate(r)).count()
+    assert(viol === 1L)
+  }
+
+  test("closed map with no allowed patterns means the map must be empty") {
+    import graft.core.MapClosedKeys
+    val t = Seq(Map.empty[String, String], Map("k" -> "v")).toDF("m")
+    val r = MapClosedKeys("closed", "m", Nil)
+    assert(t.where(!graft.rules.RuleCompiler.predicate(r)).count() === 1L)
+  }
+
+  test("drift guards: empty baseline and all-null KS fail with named errors; unparseable skipped") {
+    val cur = Seq("1.0", "2.0").toDF("v")
+    val emptyB = Seq.empty[String].toDF("v")
+    val e1 = intercept[IllegalArgumentException](Drift.chiSquare(cur, emptyB, "v"))
+    assert(e1.getMessage.contains("chi-square"))
+    val e2 = intercept[IllegalArgumentException](Drift.ks(emptyB, emptyB, "v"))
+    assert(e2.getMessage.contains("KS"))
+    // one unparseable value skips (try_cast), not crashes
+    val messy = Seq("1.0", "N/A", "3.0").toDF("v")
+    assert(Drift.ks(messy, cur, "v", bins = 4).statistic >= 0.0)
+  }
+
   test("referential orphans match naive oracle") {
     val dim = Synth.dimRepos(spark, 100).select("repo").collect().map(_.getString(0)).toSet
     val oracle = rows.count(r => r._2 != null && !dim.contains(r._2))
