@@ -209,7 +209,7 @@ object QueriesPipeline {
     // minhash_j = min over shingles of ((a_j h + b_j) mod P), sentinel P
     s"""list_transform(generate_series(0, ${Dedup.NumHashes - 1}), j ->
        | coalesce(list_min(list_transform(shs, h ->
-       |   (((j + 1) * 1103515245 % $P) * h + ((j + 1) * 12345 % $P)) % $P)), $P))""".stripMargin
+       |   (((j + 1) * ${Dedup.MinHashA} % $P) * h + ((j + 1) * ${Dedup.MinHashB} % $P)) % $P)), $P))""".stripMargin
   }
 
   private val dedupExactOracle =

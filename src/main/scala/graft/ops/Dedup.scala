@@ -98,8 +98,14 @@ object Dedup {
     */
   val NumHashes = 16
   val BandRows = 4
-  def aj(j: Int): Long = ((j + 1).toLong * 1103515245L) % P
-  def bj(j: Int): Long = ((j + 1).toLong * 12345L) % P
+  /** Permutation multipliers: a_j = (j+1)·MinHashA mod P, b_j = (j+1)·MinHashB
+    * mod P. Both the Column expression (signatureOfHashes) and the DuckDB
+    * oracle derive from these two constants — change them HERE only.
+    */
+  val MinHashA = 1103515245L
+  val MinHashB = 12345L
+  def aj(j: Int): Long = ((j + 1).toLong * MinHashA) % P
+  def bj(j: Int): Long = ((j + 1).toLong * MinHashB) % P
 
   /** MinHash signature column: array of NumHashes minima over the shingle
     * hashes (empty-shingle docs get P as the "infinite" sentinel).
@@ -119,7 +125,7 @@ object Dedup {
         val jL = j.cast("long")
         coalesce(
           array_min(transform(bound, h =>
-            (((jL + 1L) * 1103515245L % P) * h + ((jL + 1L) * 12345L % P)) % P)),
+            (((jL + 1L) * MinHashA % P) * h + ((jL + 1L) * MinHashB % P)) % P)),
           lit(P))
       }))
 

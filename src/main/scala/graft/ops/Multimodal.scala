@@ -23,7 +23,9 @@ object Multimodal {
 
   /** Wrap a text table as a binary media table (payload = UTF-8 bytes). */
   def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    // null payloads carry no media: skipped here rather than NPE'ing in the
+    // decode seam (MediaRow's primitive n_bytes cannot hold null either)
+    df.where(col(textCol).isNotNull).select(
       col(idCol).cast("long").as("doc_id"),
       col(textCol).cast("binary").as("payload"),
       lit("text/plain").as("mime"),

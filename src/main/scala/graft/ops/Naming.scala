@@ -87,10 +87,14 @@ object Naming {
   /** First-match-wins rule chain: when(matches p1) replace-all p1 else
     * when(matches p2) ... else the word unchanged — exactly word.rs's loop.
     */
-  private def ruleChain(rules: Seq[(String, String)])(c: Column): Column =
-    rules.foldRight(c) { case ((pat, rep), fallthrough) =>
-      when(c.rlike(pat), regexp_replace(c, pat, rep)).otherwise(fallthrough)
-    }
+  private def ruleChain(rules: Seq[(String, String)])(c0: Column): Column =
+    // let-bind the input: the chain references it ~2x|rules| times, and with
+    // no CSE inside higher-order lambdas an unbound camelCol argument would
+    // re-evaluate per rule (the multiplicative blow-up ColUtil documents)
+    ColUtil.letBound(c0)(c =>
+      rules.foldRight(c) { case ((pat, rep), fallthrough) =>
+        when(c.rlike(pat), regexp_replace(c, pat, rep)).otherwise(fallthrough)
+      })
 
   def singularizeCol(c: Column): Column = ruleChain(SingularRules)(c)
   def pluralizeCol(c: Column): Column = ruleChain(PluralRules)(c)
@@ -104,7 +108,7 @@ object Naming {
     * word head, then lowercase the very first character.
     */
   def camelCol(c: Column): Column =
-    lcfirst(array_join(transform(split(c, "[-_ ]+"), x => ucfirst(x)), ""))
+    ColUtil.letBound(array_join(transform(split(c, "[-_ ]+"), x => ucfirst(x)), ""))(lcfirst)
 
   /** endpoint.rs:22-120 `Endpoint::new` + `get_operation_id`.
     *
@@ -146,7 +150,7 @@ object Naming {
     when(validMethod && trimmed =!= "",
       // join(" ").to_camel_case (endpoint.rs:113-119): ucfirst every part,
       // concat, lcfirst the whole — interior camelCase of parts is preserved
-      lcfirst(array_join(transform(allParts, x => ucfirst(x)), "")))
+      ColUtil.letBound(array_join(transform(allParts, x => ucfirst(x)), ""))(lcfirst))
       .otherwise(lit(null).cast("string"))
   }
 

@@ -24,7 +24,10 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  // try_divide: a zero-norm vector yields null (DuckDB's double division
+  // does the same) instead of throwing under Spark 4 ANSI; orderBy(desc)
+  // puts nulls last on both engines, so rankings stay aligned too
+  def cosine(a: Column, b: Column): Column = try_divide(dot(a, b), norm(a) * norm(b))
 
   /** Exact top-k by cosine against a constant query vector. Rounded so the
     * ordering (and any cross-engine audit) is stable.
@@ -139,7 +142,9 @@ object Similarity {
       a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
     val probed = cents
       .map { case (c, cv) =>
-        (c, ddot(cv, query) / (math.sqrt(ddot(cv, cv)) * math.sqrt(ddot(query, query)))) }
+        val den = math.sqrt(ddot(cv, cv)) * math.sqrt(ddot(query, query))
+        // zero-norm centroid sorts last, like the engines' null cosines
+        (c, if (den == 0.0) Double.NegativeInfinity else ddot(cv, query) / den) }
       .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
     assign.where(col("cluster").isin(probed: _*))
       .select(col("id").as(idCol), round(cosine(col("v"), q), 5).as("cos"))

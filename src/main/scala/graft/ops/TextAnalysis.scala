@@ -63,13 +63,16 @@ object TextAnalysis {
     * length; composite score in [0,1].
     */
   def nWords(c: Column): Column = wsTokenCount(c)
+  // try_divide, not '/': under Spark 4 ANSI a zero-length document would
+  // throw DIVIDE_BY_ZERO; try_divide yields null — exactly what DuckDB's
+  // double division (the oracle) produces
   def punctRatio(c: Column): Column =
-    round(regexp_count(c, lit("[.,;:!?]")).cast("double") / length(c), 6)
+    round(try_divide(regexp_count(c, lit("[.,;:!?]")).cast("double"), length(c)), 6)
   def alphaRatio(c: Column): Column =
-    round(regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c), 6)
+    round(try_divide(regexp_count(c, lit("[A-Za-z]")).cast("double"), length(c)), 6)
   def qualityScore(c: Column): Column =
     round(least(nWords(c).cast("double") / 100.0, lit(1.0)) * 0.5 +
-      (regexp_count(c, lit("[A-Za-z]")).cast("double") / length(c)) * 0.5, 6)
+      try_divide(regexp_count(c, lit("[A-Za-z]")).cast("double"), length(c)) * 0.5, 6)
 
   /** Document fingerprint: the rolling hash of the whole text. */
   def fingerprint(c: Column): Column = polyHash(c)

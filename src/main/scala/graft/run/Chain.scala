@@ -45,17 +45,19 @@ object Chain {
     val out = Vector.newBuilder[String]
     val cur = new StringBuilder
     var escaped = false
+    var pending = false // a closed quote makes the token real even if empty
     var quote: Option[Char] = None
     command.foreach { c =>
-      if (escaped) { cur += c; escaped = false }
+      if (escaped) { cur += c; escaped = false; pending = true }
       else if (c == '\\') escaped = true
       else if (quote.contains(c)) quote = None
       else if (quote.isDefined) cur += c
-      else if (c == '\'' || c == '"') quote = Some(c)
-      else if (c.isWhitespace) { if (cur.nonEmpty) { out += cur.result(); cur.clear() } }
-      else cur += c
+      else if (c == '\'' || c == '"') { quote = Some(c); pending = true }
+      else if (c.isWhitespace) {
+        if (cur.nonEmpty || pending) { out += cur.result(); cur.clear(); pending = false }
+      } else { cur += c; pending = true }
     }
-    if (cur.nonEmpty) out += cur.result()
+    if (cur.nonEmpty || pending) out += cur.result()
     out.result()
   }
 

@@ -71,7 +71,11 @@ object Checkpoint {
       failAfterBatches.foreach(k => if (ran >= k)
         throw new RuntimeException(s"simulated kill before batch $b"))
       val t0 = System.nanoTime()
-      val slice = engine.partitioned(df).where(col(engine.PartCol) % batches === b)
+      // restrict to the batch's PENDING parts: a resume with a different
+      // `batches` value would otherwise rescan (and rewrite) parts the
+      // manifest already marks completed
+      val slice = engine.partitioned(df)
+        .where(col(engine.PartCol) % batches === b && col(engine.PartCol).isin(parts: _*))
       // one heavy scan per batch: violations; verdicts derive from them
       val violDf = engine.rowViolations(spark, slice).toDF().persist()
       violDf.select(col("*") +: lineage: _*)
@@ -166,8 +170,24 @@ object Checkpoint {
   }
 
   /** All verdict rows across lineage keys (callers filter/aggregate). */
+  /** Verdicts of ONE (snapshot, rule-set) run. The unfiltered overload reads
+    * everything in the directory — summing across runs double-counts when a
+    * checkpoint dir is reused with different inputs or suites.
+    */
+  def verdicts(spark: SparkSession, dir: String, snapshotId: String,
+               ruleSetHash: String): DataFrame =
+    spark.read.parquet(s"$dir/verdicts")
+      .where(col("snapshotId") === snapshotId && col("ruleSetHash") === ruleSetHash)
+      .drop("snapshotId", "ruleSetHash")
+
   def verdicts(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/verdicts").drop("snapshotId", "ruleSetHash")
+
+  def violations(spark: SparkSession, dir: String, snapshotId: String,
+                 ruleSetHash: String): DataFrame =
+    spark.read.parquet(s"$dir/violations")
+      .where(col("snapshotId") === snapshotId && col("ruleSetHash") === ruleSetHash)
+      .drop("snapshotId", "ruleSetHash")
 
   def violations(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/violations").drop("snapshotId", "ruleSetHash")

@@ -93,7 +93,7 @@ object Main {
         }
         println(s"[graft] checkpoint: ran ${report.ranBatches} batches, " +
           s"skipped ${report.skippedParts}/${report.totalParts} parts (resumed)")
-        val verdicts = Checkpoint.verdicts(spark, dir)
+        val verdicts = Checkpoint.verdicts(spark, dir, snapshotId, engine.suiteHash)
           .groupBy("rule").agg(sum("evaluated").as("evaluated"),
             sum("violations").as("violations"))
           .orderBy("rule").collect()
