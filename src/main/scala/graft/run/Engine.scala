@@ -86,7 +86,9 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     wide
       .unpivot(
         Array(col(PartCol), col("__evaluated")),
-        compiled.map(c => col(c.rule.name)).toArray,
+        // backtick-quoted: a rule name derived from a dotted JSON property
+        // ("type_a.b") must resolve as ONE column, not a struct access
+        compiled.map(c => col(s"`${c.rule.name}`")).toArray,
         "rule", "violations")
       .select(
         col(PartCol).as("part"), col("rule"), col("__evaluated").as("evaluated"),

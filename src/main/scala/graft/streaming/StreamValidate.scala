@@ -79,7 +79,11 @@ object StreamValidate {
     val baseDf = supported.map { case (v, c) => (v.getOrElse(NullKey), c) }.toDF("value", "b")
     stream
       .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), windowDuration), coalesce(col(column), lit(NullKey)).as("value"))
+      // cast to string BEFORE the sentinel coalesce (like Drift.chiSquare's
+      // cat()): on a numeric column the bare coalesce would instead coerce
+      // the sentinel to the numeric type and throw under ANSI
+      .groupBy(window(col(tsCol), windowDuration),
+        coalesce(col(column).cast("string"), lit(NullKey)).as("value"))
       .agg(count(lit(1)).as("o"))
       .join(broadcast(baseDf), Seq("value"), "left_outer")
       .groupBy(window(window_time(col("window")), windowDuration).as("window"))
@@ -123,12 +127,14 @@ object StreamValidate {
     baseline.foreach { case (v, n) => b(binOf(v)) += n.toDouble }
     val totB = b.sum
     val bCdf = b.scanLeft(0.0)(_ + _).drop(1).map(_ / totB)
-    val binCol = greatest(lit(0), least(
-      floor((col(column).cast("double") - lit(lo)) / lit(span / bins)).cast("int"),
-      lit(bins - 1)))
+    // mirror batch Drift.ks: try_cast (one unparseable string must not kill
+    // the query under ANSI) and clamp in DOUBLE before the int cast (a far
+    // outlier would otherwise overflow the ANSI cast before the clamp)
+    val v = try_divide(col(column).try_cast("double") - lit(lo), lit(span / bins))
+    val binCol = greatest(lit(0.0), least(floor(v), lit((bins - 1).toDouble))).cast("int")
     stream
       .withWatermark(tsCol, watermark)
-      .where(col(column).isNotNull)
+      .where(col(column).try_cast("double").isNotNull)
       .groupBy(window(col(tsCol), windowDuration), binCol.as("bin"))
       .agg(count(lit(1)).as("c"))
       .groupBy(window(window_time(col("window")), windowDuration).as("window"))
@@ -165,7 +171,7 @@ object StreamValidate {
       .agg(aggs.head, aggs.tail: _*)
       .unpivot(
         Array(col("window"), col("__evaluated")),
-        compiled.map(c => col(c.rule.name)).toArray,
+        compiled.map(c => col(s"`${c.rule.name}`")).toArray,
         "rule", "violations")
       .select(col("window"), col("rule"), col("__evaluated").as("evaluated"),
         col("violations"), (col("violations") === 0L).as("pass"))

@@ -110,7 +110,11 @@ final class Dereferencer(storage: SchemaStorage,
 
     val processed =
       processNode(resolved.deepCopy[JsonNode](), base, docRoot, resolvedAt, scope, depth)
-    // sibling-key merge: original's non-$ref keys win (dereference.rs:195-205)
+    // sibling-key merge: original's non-$ref keys win, copied VERBATIM —
+    // nested $refs inside sibling values intentionally stay unresolved,
+    // exactly like the reference's value.clone() (dereference.rs:139-147);
+    // repeat resolutions likewise replace the whole node with a bare
+    // internal pointer, siblings dropped (dereference.rs:125-133)
     val siblings = node.deepCopy[ObjectNode]()
     siblings.remove("$ref")
     processed match {

@@ -42,6 +42,9 @@ object NodeWalk {
     * against a JSON data object by dotted pointer; only string/number
     * values substitute, anything else (or a missing pointer) errors.
     */
+  // NOTE an unterminated trailing %marker is silently discarded — the
+  // reference's loop does the same (tools.rs:199-234 returns Ok(result)
+  // without checking the open-parameter state)
   def fillParameters(phrase: String, data: JsonNode): String = {
     val out = new StringBuilder
     val current = new StringBuilder

@@ -86,7 +86,10 @@ object SuiteLoader {
         wrapped.put("$ref", SchemaDocs.refToUrl(base, ref).toString)
         scala.util.Try(mergeAllOf(deref.process(base, wrapped))).toOption
       }
-      unionRule("root", root, resolveMapping).foreach(rules += _)
+      // a root carrying BOTH oneOf and anyOf contributes BOTH unions
+      Seq("oneOf", "anyOf").filter(root.has).foreach { key =>
+        unionRule("root", root, resolveMapping, key).foreach(rules += _)
+      }
     }
 
     Option(root.get("x-checks")).foreach { xc =>
@@ -141,12 +144,16 @@ object SuiteLoader {
     Option(node.get("format")).foreach(f => out += HasFormat(s"format_$name", name, f.asText()))
     Option(node.get("minLength")).foreach(v => out += MinLength(s"minLength_$name", name, v.asInt()))
     Option(node.get("maxLength")).foreach(v => out += MaxLength(s"maxLength_$name", name, v.asInt()))
+    // Draft4-style boolean exclusiveMinimum/Maximum MODIFIES the sibling
+    // minimum/maximum (the Draft6+ numeric form is its own bound)
+    val exMinB = Option(node.get("exclusiveMinimum")).exists(n => n.isBoolean && n.asBoolean())
+    val exMaxB = Option(node.get("exclusiveMaximum")).exists(n => n.isBoolean && n.asBoolean())
     Option(node.get("minimum")).foreach(v =>
-      out += MinValue(s"minimum_$name", name, v.asDouble()))
+      out += MinValue(s"minimum_$name", name, v.asDouble(), exclusive = exMinB))
     Option(node.get("exclusiveMinimum")).filter(_.isNumber).foreach(v =>
       out += MinValue(s"exclusiveMinimum_$name", name, v.asDouble(), exclusive = true))
     Option(node.get("maximum")).foreach(v =>
-      out += MaxValue(s"maximum_$name", name, v.asDouble()))
+      out += MaxValue(s"maximum_$name", name, v.asDouble(), exclusive = exMaxB))
     Option(node.get("exclusiveMaximum")).filter(_.isNumber).foreach(v =>
       out += MaxValue(s"exclusiveMaximum_$name", name, v.asDouble(), exclusive = true))
     // tuple-form `items: [...]` is accepted but unconstrained — the
@@ -306,8 +313,11 @@ object SuiteLoader {
     * tagging is implied by the variants' own const/required rules.
     */
   private[suite] def unionRule(name: String, node: JsonNode,
-                               resolveMapping: String => Option[JsonNode]): Option[RowRule] = {
-    val key = if (node.has("oneOf")) "oneOf" else "anyOf"
+                               resolveMapping: String => Option[JsonNode],
+                               whichKey: String = ""): Option[RowRule] = {
+    val key =
+      if (whichKey.nonEmpty) whichKey
+      else if (node.has("oneOf")) "oneOf" else "anyOf"
     val variants = Option(node.get(key)).filter(_.isArray)
       .map(_.elements().asScala.toSeq).getOrElse(Nil)
     if (variants.size < 2) return None
@@ -449,9 +459,20 @@ object SuiteLoader {
   def staticValidate(json: String): Seq[String] =
     try {
       val suite = parse(json)
-      suite.rowRules.collect { case MatchesPattern(n, _, re) =>
+      // recurse through union wrappers and map rules: a bad regex nested in
+      // a oneOf variant or patternProperties must fail HERE, not at runtime
+      def patterns(r: RowRule): Seq[(String, String)] = r match {
+        case MatchesPattern(n, _, re) => Seq(n -> re)
+        case AnyOfRule(_, _, ms) => ms.flatMap(patterns)
+        case AllOfRule(_, _, ms) => ms.flatMap(patterns)
+        case MapPatternValues(n, _, kp, _, vp) =>
+          kp.map(n -> _).toSeq ++ vp.map(n -> _).toSeq
+        case MapClosedKeys(n, _, ps) => ps.map(n -> _)
+        case _ => Nil
+      }
+      suite.rowRules.flatMap(patterns).flatMap { case (n, re) =>
         try { java.util.regex.Pattern.compile(re); None }
         catch { case e: Exception => Some(s"$n: bad pattern: ${e.getMessage}") }
-      }.flatten
+      }
     } catch { case e: Exception => Seq(s"suite parse failed: ${e.getMessage}") }
 }

@@ -115,6 +115,20 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming chi-square drift accepts a NUMERIC column (sentinel coalesce casts first)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("v", "ts")
+    val baseline = Seq(Option("1") -> 2L, Option("2") -> 2L)
+    val q = StreamValidate.chiSquareDriftStream(df, "v", "ts", "1 minute", "0 seconds", baseline)
+      .writeStream.format("memory").queryName("numdrift").outputMode("append").start()
+    mem.addData((1L, new Timestamp(1700000000000L)), (2L, new Timestamp(1700000001000L)))
+    mem.addData((1L, new Timestamp(1700000000000L + 200000L)))
+    q.processAllAvailable()
+    assert(spark.table("numdrift").count() === 1)
+    q.stop()
+  }
+
   test("streaming KS drift matches the batch statistic when bounds coincide") {
     implicit val sq = spark.sqlContext
     // numeric stream: reuse commit as a numeric string column

@@ -170,6 +170,41 @@ class SuiteLoaderSpec extends AnyFunSuite {
     assert(errs.head.contains("pattern"))
   }
 
+  test("Draft4 boolean exclusiveMinimum/Maximum flips the sibling bound") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{
+        | "v":{"type":"number","minimum":0,"exclusiveMinimum":true},
+        | "w":{"type":"number","maximum":10,"exclusiveMaximum":true}}}""".stripMargin)
+    val mins = suite.rowRules.collect { case m: graft.core.MinValue => m }
+    val maxs = suite.rowRules.collect { case m: graft.core.MaxValue => m }
+    assert(mins.exists(m => m.column == "v" && m.exclusive))
+    assert(maxs.exists(m => m.column == "w" && m.exclusive))
+  }
+
+  test("root document with BOTH oneOf and anyOf harvests both unions") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object",
+        | "properties":{"a":{"type":"string"},"b":{"type":"string"}},
+        | "oneOf":[{"properties":{"a":{"const":"x"}}},{"properties":{"a":{"const":"y"}}}],
+        | "anyOf":[{"properties":{"b":{"minLength":1}}},{"properties":{"b":{"const":"z"}}}]
+        |}""".stripMargin)
+    val unions = suite.rowRules.collect {
+      case r: graft.core.AnyOfRule => r.name
+      case r: graft.core.AllOfRule => r.name
+    }
+    assert(unions.exists(_.startsWith("oneof_root")) &&
+      unions.exists(_.startsWith("anyof_root")), s"got $unions")
+  }
+
+  test("static validation reaches patterns nested in union variants") {
+    val errs = SuiteLoader.staticValidate(
+      """{"type":"object","properties":{"a":{"type":"string"}},
+        | "oneOf":[{"properties":{"a":{"pattern":"[unclosed"}}},
+        |          {"properties":{"a":{"const":"y"}}}]}""".stripMargin)
+    assert(errs.nonEmpty, "bad nested pattern must fail static validation")
+    assert(errs.head.contains("bad pattern"))
+  }
+
   test("suite hash is stable across rule order (schema_hash analog, jsonschema/mod.rs:399-441)") {
     val a = RuleSuite(Seq(Required("r1", "a"), MinLength("r2", "b", 1)))
     val b = RuleSuite(Seq(MinLength("r2", "b", 1), Required("r1", "a")))
