@@ -521,17 +521,27 @@ object Queries {
       | CAST(sum(CASE WHEN b = 0 AND o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_categories
       |FROM ex""".stripMargin
 
+  // nulls are excluded (Drift.ks filters them before binning) and the span
+  // degrades to 1.0 when hi == lo, mirroring Drift.ks:76-78
   private val ksOracle: String =
-    """WITH bounds AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo, CAST(max(n_chars) AS DOUBLE) AS hi FROM documents),
-      | cur AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - (SELECT lo FROM bounds)) / (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 20)), 19) AS INT) AS bin, CAST(count(*) AS DOUBLE) AS c
-      |         FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
-      | base AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - (SELECT lo FROM bounds)) / (((SELECT hi FROM bounds) - (SELECT lo FROM bounds)) / 20)), 19) AS INT) AS bin, CAST(count(*) AS DOUBLE) AS b
-      |          FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    """WITH bounds AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+      |   CASE WHEN max(n_chars) > min(n_chars)
+      |        THEN CAST(max(n_chars) - min(n_chars) AS DOUBLE) ELSE 1.0 END AS span
+      |   FROM documents WHERE n_chars IS NOT NULL),
+      | cur AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - (SELECT lo FROM bounds)) / ((SELECT span FROM bounds) / 20)), 19) AS INT) AS bin, CAST(count(*) AS DOUBLE) AS c
+      |         FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+      | base AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - (SELECT lo FROM bounds)) / ((SELECT span FROM bounds) / 20)), 19) AS INT) AS bin, CAST(count(*) AS DOUBLE) AS b
+      |          FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
       | j AS (SELECT coalesce(cur.bin, base.bin) AS bin, coalesce(c, 0) AS c, coalesce(b, 0) AS b
       |       FROM cur FULL OUTER JOIN base ON cur.bin = base.bin),
       | cdf AS (SELECT sum(c) OVER (ORDER BY bin) / sum(c) OVER () AS cc,
       |                sum(b) OVER (ORDER BY bin) / sum(b) OVER () AS cb FROM j)
       |SELECT round(max(abs(cc - cb)), 6) AS ks, CAST(20 AS BIGINT) AS bins FROM cdf""".stripMargin
+
+  private val referentialOracle =
+    """SELECT user_id, count(*) AS n_events FROM events e
+      |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_rule_verdicts" -> docsVerdictOracle,
@@ -540,14 +550,11 @@ object Queries {
     "q_uniqueness" ->
       """SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS occurrences FROM documents
         |GROUP BY lang, n_chars HAVING count(*) > 1 ORDER BY lang, n_chars""".stripMargin,
-    "q_referential" ->
-      """SELECT user_id, count(*) AS n_events FROM events e
-        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "q_referential_smj" ->
-      """SELECT user_id, count(*) AS n_events FROM events e
-        |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // ONE oracle string for both join strategies: the two queries exist to
+    // prove broadcast and sort-merge agree, so their expectation must be
+    // identical by construction
+    "q_referential" -> referentialOracle,
+    "q_referential_smj" -> referentialOracle,
     "q_chi2_drift" -> chi2Oracle,
     "q_ks_drift" -> ksOracle,
     "q_sha256" -> "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",

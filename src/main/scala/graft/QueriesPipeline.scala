@@ -229,7 +229,7 @@ object QueriesPipeline {
        |SELECT ia AS id_a, ib AS id_b,
        | round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
        |FROM inter JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib
-       |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5 - 1e-12
+       |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
   private val minhashSigOracle =
@@ -238,40 +238,39 @@ object QueriesPipeline {
        |SELECT id AS doc_id, '[' || array_to_string($sigExpr, ',') || ']' AS sig
        |FROM shl ORDER BY doc_id""".stripMargin
 
-  private val minhashPairsOracle = {
-    val bandEq = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
-      val lo = b * Dedup.BandRows + 1; val hi = lo + Dedup.BandRows - 1
-      s"(a.sig[$lo:$hi] = b.sig[$lo:$hi])"
-    }.mkString(" OR ")
-    s"""WITH $corpusCte, $shingleCte,
-       | sig AS (SELECT id, $sigExpr AS sig FROM shl),
-       | est AS (SELECT a.id AS id_a, b.id AS id_b,
-       |   round(CAST(list_sum(list_transform(generate_series(1, ${Dedup.NumHashes}),
-       |     i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
-       |     / ${Dedup.NumHashes}, 6) AS est_jaccard
-       |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandEq))
-       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
-  }
-
-  /** Shared CTE chain: corpus → shingles → MinHash signatures → banded
-    * pairs → recursive min-label reachability. Ends with a `clusters(id,
-    * cluster)` CTE both dedup-cluster oracles build on.
+  /** ONE definition of the corpus → shingles → signatures → banded-pairs
+    * CTE chain (ends with `est(id_a, id_b, est_jaccard)`): the pairs oracle
+    * and both cluster oracles build on it, so the banding constants and the
+    * estimate formula cannot drift between them.
     */
-  private def clustersCtes: String = {
+  private def pairsCtes: String = {
     val bandEq = (0 until Dedup.NumHashes / Dedup.BandRows).map { b =>
       val lo = b * Dedup.BandRows + 1; val hi = lo + Dedup.BandRows - 1
       s"(a.sig[$lo:$hi] = b.sig[$lo:$hi])"
     }.mkString(" OR ")
-    // same pair derivation as minhashPairsOracle, then connected components
-    // via recursive min-label reachability (UNION dedup is the fixpoint)
     s"""$corpusCte, $shingleCte,
        | sig AS (SELECT id, $sigExpr AS sig FROM shl),
        | est AS (SELECT a.id AS id_a, b.id AS id_b,
        |   round(CAST(list_sum(list_transform(generate_series(1, ${Dedup.NumHashes}),
        |     i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
        |     / ${Dedup.NumHashes}, 6) AS est_jaccard
-       |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandEq)),
+       |  FROM sig a JOIN sig b ON a.id < b.id AND ($bandEq))""".stripMargin
+  }
+
+  private val minhashPairsOracle =
+    s"""WITH $pairsCtes
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared CTE chain: corpus → shingles → MinHash signatures → banded
+    * pairs → recursive min-label reachability. Ends with a `clusters(id,
+    * cluster)` CTE both dedup-cluster oracles build on.
+    */
+  /** Pairs chain + recursive min-label reachability, ending with a
+    * `clusters(id, cluster)` CTE both dedup-cluster oracles build on.
+    */
+  private def clustersCtes: String =
+    s"""$pairsCtes,
        | edges AS (SELECT id_a AS s, id_b AS d FROM est WHERE est_jaccard >= 0.5
        |           UNION SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.5),
        | reach(v, l) AS (
@@ -280,7 +279,6 @@ object QueriesPipeline {
        |   SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
        | clusters AS (SELECT v AS id, CAST(min(l) AS BIGINT) AS cluster FROM reach
        |              GROUP BY v)""".stripMargin
-  }
 
   private val dedupClustersOracle =
     s"""WITH RECURSIVE $clustersCtes
@@ -441,16 +439,24 @@ object QueriesPipeline {
   private val fingerprintOracle =
     s"SELECT doc_id, ${sqlHash("text", "ci")} AS fp FROM documents ORDER BY doc_id"
 
+  /** The decode stub histograms UTF-8 BYTES (payload is binary), so the
+    * oracle must too: high hex nibble of each byte = bucket (0-3 → b0,
+    * 4-7 → b1, 8-B → b2, C-F → b3); null texts carry no media (asMedia
+    * skips them).
+    */
   private val multimodalOracle =
-    """WITH c AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-      |  list_transform(generate_series(1, length(text)), i -> ascii(substr(text, i, 1))) AS codes
-      | FROM documents)
+    """WITH c AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      | FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT doc_id, n_bytes,
+      |  list_transform(generate_series(1, CAST(n_bytes AS INT)), i -> substr(hx, i*2-1, 1)) AS nibs
+      | FROM c)
       |SELECT doc_id, n_bytes,
-      | CAST(len(list_filter(codes, c -> CAST(floor(c / 64) AS INT) = 0)) AS BIGINT) AS b0,
-      | CAST(len(list_filter(codes, c -> CAST(floor(c / 64) AS INT) = 1)) AS BIGINT) AS b1,
-      | CAST(len(list_filter(codes, c -> CAST(floor(c / 64) AS INT) = 2)) AS BIGINT) AS b2,
-      | CAST(len(list_filter(codes, c -> CAST(floor(c / 64) AS INT) = 3)) AS BIGINT) AS b3
-      |FROM c ORDER BY doc_id""".stripMargin
+      | CAST(len(list_filter(nibs, x -> x IN ('0','1','2','3'))) AS BIGINT) AS b0,
+      | CAST(len(list_filter(nibs, x -> x IN ('4','5','6','7'))) AS BIGINT) AS b1,
+      | CAST(len(list_filter(nibs, x -> x IN ('8','9','A','B'))) AS BIGINT) AS b2,
+      | CAST(len(list_filter(nibs, x -> x IN ('C','D','E','F'))) AS BIGINT) AS b3
+      |FROM h ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactOracle,

@@ -56,7 +56,10 @@ object Synth {
     val kid = when(col("id") < dupSpan, col("id") + lit(n - dupSpan)).otherwise(col("id"))
 
     val u = (h(salt + "repo", kid) % 1000000L).cast("double") / 1000000.0
-    // log-uniform rank in [1, repos]: P(rank=r) ~ 1/r (zipf s≈1)
+    // log-uniform rank: floor(exp(u·ln R))+1 realizes ranks in [2, repos]
+    // with P(rank=r) ~ 1/(r-1) — zipf-like skew with the hot mass on rank 2
+    // (rank 1 exists only in the dimension, a harmless superset for the
+    // referential check); kept as-is so cached bench tables stay comparable
     val rank = least(floor(exp(u * math.log(repos.toDouble))).cast("long") + 1, lit(repos.toLong))
     val repoOk = concat(lit("org"), (rank % 37).cast("string"), lit("/repo"), rank.cast("string"))
     val repo = when(kid % 419 === 19,

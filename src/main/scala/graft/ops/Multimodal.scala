@@ -29,7 +29,9 @@ object Multimodal {
       col(idCol).cast("long").as("doc_id"),
       col(textCol).cast("binary").as("payload"),
       lit("text/plain").as("mime"),
-      length(col(textCol)).cast("long").as("n_bytes"))
+      // length of the BINARY payload = UTF-8 byte count (length on the
+      // string column would count characters and disagree on non-ASCII)
+      length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
 
   /** The decode seam: replace the histogram body with a real decoder call
     * (e.g. image decode + resize + feature extraction) in production. Runs

@@ -119,6 +119,16 @@ class OpsSpec extends SparkSpec {
     assert(banded.size >= 15) // the 15 exact copies (hamming 0) are all found
   }
 
+  test("multimodal: non-ASCII text counts UTF-8 BYTES, null text is skipped") {
+    val df = Seq((1L, "héllo"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val feats = Multimodal.decodeStub(spark,
+      Multimodal.asMedia(df, "doc_id", "text")).collect()
+    assert(feats.length === 1) // null payload skipped
+    assert(feats(0).n_bytes === 6L) // é is 2 UTF-8 bytes
+    assert(feats(0).b0 + feats(0).b1 + feats(0).b2 + feats(0).b3 === 6L)
+    assert(feats(0).b3 === 1L) // 0xC3 lead byte of é
+  }
+
   test("multimodal: histogram buckets sum to payload size") {
     val feats = Multimodal.decodeStub(spark,
       Multimodal.asMedia(docs.limit(50), "doc_id", "text")).collect()
