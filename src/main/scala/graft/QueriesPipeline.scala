@@ -129,12 +129,16 @@ object QueriesPipeline {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 5)),
 
-    // similarity: IVF-Flat ANN — deterministic id-mod seed + one Lloyd
-    // round, probe the 3 nearest of 8 inverted lists only (the 100 TB scale
-    // path: cluster = partition key, a query touches nprobe partitions)
+    // similarity: IVF-Flat ANN — quantizer trained on a deterministic
+    // 25% hash-sample (id-mod seed + one Lloyd round over the sample; the
+    // oracle replays the identical sample), full-corpus zero-shuffle argmax
+    // assignment, probe the 3 nearest of 8 inverted lists only (the 100 TB
+    // scale path: cluster = partition key, a query touches nprobe partitions
+    // and training never posexplodes the corpus)
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        queryVec(s, dir), topK = 5, k = 8, nprobe = 3)),
+        queryVec(s, dir), topK = 5, k = 8, nprobe = 3,
+        trainFraction = IvfTrainFraction)),
 
     // text analysis: language-ID heuristic with auditable marker scores
     "q_langid" -> ((s, dir) => {
@@ -384,21 +388,29 @@ object QueriesPipeline {
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
   }
 
-  /** IVF oracle: the full quantizer replayed in SQL — id-mod seed, rounded
-    * per-dimension means, cosine argmax reassignment (ties → lowest c), then
-    * nprobe nearest lists brute-forced. Bit-exact because both engines fold
-    * dot products left-to-right over identical (rounded) centroid doubles.
+  /** IVF quantizer training fraction — shared between the query and the
+    * oracle so both train on the identical deterministic hash-sample.
+    */
+  val IvfTrainFraction = 0.25
+
+  /** IVF oracle: the full quantizer replayed in SQL — deterministic
+    * hash-sampled training set (same Knuth-hash arithmetic as
+    * `Similarity.sampleKey`), id-mod seed, rounded per-dimension means,
+    * full-corpus cosine argmax assignment (ties → lowest c), then nprobe
+    * nearest lists brute-forced. Bit-exact because both engines fold dot
+    * products left-to-right over identical (rounded) centroid doubles.
     */
   private val annIvfOracle = {
     val K = 8; val nprobe = 3
-    s"""WITH a0 AS (SELECT vec_id, embedding, CAST(vec_id % $K AS INT) AS c FROM embeddings),
+    s"""WITH train AS (SELECT vec_id, embedding, CAST(vec_id % $K AS INT) AS c
+       |   FROM embeddings WHERE ${Similarity.sampleSql("vec_id", IvfTrainFraction)}),
        | cent0 AS (SELECT c, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
-       |   FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY c, i),
+       |   FROM train CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY c, i),
        | cent AS (SELECT c, list(m ORDER BY i) AS cv FROM cent0 GROUP BY c),
-       | scored AS (SELECT a0.vec_id, a0.embedding, cent.c,
-       |   row_number() OVER (PARTITION BY a0.vec_id
-       |     ORDER BY ${sqlCos("a0.embedding", "cent.cv", 64)} DESC, cent.c) AS rn
-       |  FROM a0 CROSS JOIN cent),
+       | scored AS (SELECT e.vec_id, e.embedding, cent.c,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${sqlCos("e.embedding", "cent.cv", 64)} DESC, cent.c) AS rn
+       |  FROM embeddings e CROSS JOIN cent),
        | asg AS (SELECT vec_id, embedding, c AS cluster FROM scored WHERE rn = 1),
        | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
        | probed AS (SELECT c FROM cent, q ORDER BY ${sqlCos("cv", "qv", 64)} DESC, c LIMIT $nprobe)

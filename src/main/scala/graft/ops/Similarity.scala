@@ -50,6 +50,24 @@ object Similarity {
   def planes(dim: Int): Seq[Seq[Int]] =
     (0 until NumPlanes).map(j => (0 until dim).map(d => planeWeight(j, d)))
 
+  /** Portable deterministic sampling: Knuth multiplicative hash of the id
+    * reduced mod 2^32, keep rows whose key falls under `fraction * 2^32`.
+    * Unlike `df.sample` (per-partition XORShift — irreproducible outside
+    * Spark), this is pure integer arithmetic any engine replays exactly,
+    * so the oracle can train on the identical sample. The inner mod keeps
+    * the product inside Long range for any BIGINT id under ANSI overflow
+    * checking.
+    */
+  val SampleMod: Long = 1000003L
+  val SampleKnuth: Long = 2654435761L
+  val SampleRange: Long = 4294967296L // 2^32
+  def sampleKey(id: Column): Column =
+    pmod(pmod(id, lit(SampleMod)) * lit(SampleKnuth), lit(SampleRange))
+  def sampleThreshold(fraction: Double): Long = (fraction * SampleRange.toDouble).toLong
+  /** The same predicate as `sampleKey(id) < threshold(fraction)`, DuckDB SQL. */
+  def sampleSql(idExpr: String, fraction: Double): String =
+    s"(($idExpr % $SampleMod) * $SampleKnuth % $SampleRange) < ${sampleThreshold(fraction)}"
+
   /** Bucket id = bits of sign(dot(v, plane_j)). */
   def lshBucket(vec: Column, dim: Int): Column =
     ColUtil.letBound(vec)(v =>
@@ -81,50 +99,66 @@ object Similarity {
     * centroid]) where centroids are the ones the final assignment used —
     * the probe must rank THOSE.
     *
-    * At 100 TB: centroids train on a sample, the assignment join broadcasts
-    * K tiny rows, and `cluster` becomes the table partition key so a query
-    * scans only the probed partitions instead of the corpus.
+    * At 100 TB: centroids train on a deterministic hash-sample
+    * (`trainFraction` < 1 — the Lloyd rounds' 64×row posexplode shuffle then
+    * scales with the sample, not the corpus), the assignment is a
+    * zero-shuffle argmax against K collected rows, and `cluster` becomes the
+    * table partition key so a query scans only the probed partitions.
     */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
-               rounds: Int = 1): (DataFrame, DataFrame) =
-    ivfIndexWithCents(df, idCol, vecCol, k, rounds) match {
+               rounds: Int = 1, trainFraction: Double = 1.0): (DataFrame, DataFrame) =
+    ivfIndexWithCents(df, idCol, vecCol, k, rounds, trainFraction) match {
       case (assign, centroids, _) => (assign, centroids)
     }
 
   private def ivfIndexWithCents(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                                rounds: Int): (DataFrame, DataFrame, Seq[(Int, Seq[Double])]) = {
+                                rounds: Int, trainFraction: Double)
+      : (DataFrame, DataFrame, Seq[(Int, Seq[Double])]) = {
     require(rounds >= 1, "ivfIndex needs at least one Lloyd round")
+    require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction in (0, 1]")
     val base = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-    var assign = base.withColumn("cluster", pmod(col("id"), lit(k)).cast("int"))
+    // the full corpus is only ever touched by the final argmax assignment;
+    // every Lloyd round reads the (filtered) training set
+    val train = if (trainFraction >= 1.0) base
+      else base.where(sampleKey(col("id")) < lit(sampleThreshold(trainFraction)))
+
+    // argmax-cosine against driver-held centroids: zero-shuffle codegen'd
+    // per-row expression instead of an n×K argmin join+shuffle.
+    // array_position returns the FIRST index holding the max → ties break
+    // to the lowest cluster id, matching the oracle's (cos DESC, c) order.
+    // try_divide: a zero-norm vector or centroid yields a null cosine
+    // (skipped by array_max / sorted last by the oracle) instead of an ANSI
+    // DIVIDE_BY_ZERO throw.
+    def argmaxCluster(cents: Seq[(Int, Seq[Double])]): Column = {
+      val cosArr = ColUtil.letBound(norm(col("v")))(nv =>
+        array(cents.map { case (_, cv) =>
+          // centroid norm folds left-to-right on the driver — the same
+          // double the distributed fold (and the oracle's list_reduce) yields
+          val nc = math.sqrt(cv.map(x => x * x).sum)
+          try_divide(dot(col("v"), array(cv.map(lit): _*)), nv * lit(nc))
+        }: _*))
+      val ids = array(cents.map(c => lit(c._1)): _*)
+      element_at(ids, array_position(cosArr, array_max(cosArr)).cast("int"))
+    }
+
+    var assignT = train.withColumn("cluster", pmod(col("id"), lit(k)).cast("int"))
     var centroids: DataFrame = null
     var lastCents: Seq[(Int, Seq[Double])] = Nil
     (0 until rounds).foreach { _ =>
-      centroids = assign
+      centroids = assignT
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("centroid"))
       // K×dim doubles — a dimension-sized collect (same class as a query
-      // vector); reassignment then runs as a zero-shuffle codegen'd per-row
-      // expression instead of an n×K argmin join+shuffle
+      // vector)
       val cents: Seq[(Int, Seq[Double])] = centroids.collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).sortBy(_._1).toSeq
       lastCents = cents
-      val cosArr = ColUtil.letBound(norm(col("v")))(nv =>
-        array(cents.map { case (_, cv) =>
-          // centroid norm folds left-to-right on the driver — the same
-          // double the distributed fold (and the oracle's list_reduce) yields
-          val nc = math.sqrt(cv.map(x => x * x).sum)
-          dot(col("v"), array(cv.map(lit): _*)) / (nv * lit(nc))
-        }: _*))
-      val ids = array(cents.map(c => lit(c._1)): _*)
-      // array_position returns the FIRST index holding the max → ties break
-      // to the lowest cluster id, matching the oracle's (cos DESC, c) order
-      assign = base.withColumn("cluster",
-        element_at(ids, array_position(cosArr, array_max(cosArr)).cast("int")))
+      assignT = train.withColumn("cluster", argmaxCluster(cents))
     }
-    (assign, centroids, lastCents)
+    (base.withColumn("cluster", argmaxCluster(lastCents)), centroids, lastCents)
   }
 
   /** IVF ANN: rank the K centroids against the query, scan only the
@@ -132,8 +166,9 @@ object Similarity {
     * `nprobe = k` degrades to the exact brute-force answer.
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
-              topK: Int, k: Int, nprobe: Int): DataFrame = {
-    val (assign, _, cents) = ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1)
+              topK: Int, k: Int, nprobe: Int, trainFraction: Double = 1.0): DataFrame = {
+    val (assign, _, cents) =
+      ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1, trainFraction)
     val q = array(query.map(lit): _*)
     // probe ranking is driver math over the already-collected centroids —
     // left-to-right folds, so the doubles (and hence the probed set) match

@@ -35,6 +35,10 @@ final class Discovery {
         case Array(bare) => Paths.get(bare)
         case _ => throw new IllegalArgumentException(s"unsupported template spec '$spec'")
       }
+      // WalkDir's iterator drops unreadable/missing entries silently
+      // (filter_map(|e| e.ok()), discovery.rs) — a missing template root
+      // contributes nothing instead of aborting the whole discovery
+      if (Files.exists(root)) {
       val walk = Files.walk(root)
       try {
         walk.iterator().asScala
@@ -57,6 +61,7 @@ final class Discovery {
             }
           }
       } finally walk.close()
+      }
     }
     Discovered(templates.toMap, files.toMap)
   }

@@ -74,7 +74,7 @@ final class Draft4Validator(schemaRoot: JsonNode) {
         errs += s"$here: ${typeName(inst)} is not of type ${wanted.mkString("/")}"
     }
     Option(schema.get("enum")).filter(_.isArray).foreach { en =>
-      if (!en.elements().asScala.contains(inst))
+      if (!en.elements().asScala.exists(Draft4.eqJson(_, inst)))
         errs += s"$here: value is not one of ${en.toString.take(80)}"
     }
 
@@ -141,7 +141,9 @@ final class Draft4Validator(schemaRoot: JsonNode) {
         if (n > v.asInt()) errs += s"$here: array has more than maxItems ${v.asInt()}")
       Option(schema.get("uniqueItems")).filter(_.asBoolean(false)).foreach { _ =>
         val seen = inst.elements().asScala.toSeq
-        if (seen.distinct.size != seen.size) errs += s"$here: array items are not unique"
+        val dup = seen.indices.exists(i =>
+          (i + 1 until seen.size).exists(j => Draft4.eqJson(seen(i), seen(j))))
+        if (dup) errs += s"$here: array items are not unique"
       }
       Option(schema.get("items")).foreach {
         case tuple if tuple.isArray =>
@@ -208,18 +210,38 @@ final class Draft4Validator(schemaRoot: JsonNode) {
 
 object Draft4 {
 
-  /** The OpenAPI 3.0.x meta-schema (public JSON; the same standard document
-    * the reference embeds via include_bytes!, validate/mod.rs:10-12). The
-    * sandbox default points at the reference checkout's copy; REAL
-    * deployments MUST vendor the (publicly distributed) meta-schema and set
-    * GRAFT_OPENAPI_SCHEMA — it is data/config, deliberately not baked into
-    * the jar here.
+  /** JSON-value equality with Draft4 number semantics: numerically equal
+    * values are equal regardless of lexical type (`1` == `1.0`), matching
+    * the jsonschema crate; Jackson's node equality would treat IntNode(1)
+    * and DoubleNode(1.0) as distinct. Containers recurse.
     */
-  def openapiMetaSchemaPath: String = sys.env.getOrElse("GRAFT_OPENAPI_SCHEMA",
-    "/root/reference/crates/schematools/resources/openapi/schema-3.0.x.json")
+  def eqJson(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isNumber && b.isNumber) a.decimalValue().compareTo(b.decimalValue()) == 0
+    else if (a.isArray && b.isArray)
+      a.size() == b.size() &&
+        a.elements().asScala.zip(b.elements().asScala).forall { case (x, y) => eqJson(x, y) }
+    else if (a.isObject && b.isObject)
+      a.size() == b.size() &&
+        a.fields().asScala.forall(e =>
+          Option(b.get(e.getKey)).exists(eqJson(e.getValue, _)))
+    else a == b
 
-  private lazy val openapiValidator =
-    new Draft4Validator(SchemaDocs.loadUrl(SchemaDocs.pathToUrl(openapiMetaSchemaPath)))
+  /** The OpenAPI 3.0.x meta-schema — the same publicly distributed standard
+    * document (spec.openapis.org / OAI/OpenAPI-Specification schemas) the
+    * reference embeds via include_bytes! (validate/mod.rs:10-12). Vendored
+    * on the classpath so the jar is self-contained on any machine;
+    * GRAFT_OPENAPI_SCHEMA overrides with an external file when set.
+    */
+  def openapiMetaSchema: JsonNode = sys.env.get("GRAFT_OPENAPI_SCHEMA") match {
+    case Some(p) => SchemaDocs.loadUrl(SchemaDocs.pathToUrl(p))
+    case None =>
+      val in = getClass.getResourceAsStream("/graft/openapi/schema-3.0.x.json")
+      require(in != null, "vendored OpenAPI meta-schema missing from classpath " +
+        "and GRAFT_OPENAPI_SCHEMA unset")
+      try SchemaDocs.json.readTree(in) finally in.close()
+  }
+
+  private lazy val openapiValidator = new Draft4Validator(openapiMetaSchema)
 
   /** `validate openapi` parity: every meta-schema violation, in instance
     * order (validate/mod.rs:14-24 iter_errors loop).

@@ -80,10 +80,13 @@ object MergeOpenapi {
       }
     }
 
-    // add_version (merge_openapi.rs:92-101) — runs even when retag is set
+    // add_version (merge_openapi.rs:92-101) — runs even when retag is set;
+    // entry().or_insert creates the root `info` object even when the merged
+    // document has no /info/version (merge_openapi.rs:93-103)
     opts.addVersion.foreach { v =>
+      val info = objEntry(openapi, "info")
       Option(merged.at("/info/version")).filterNot(_.isMissingNode).foreach { mv =>
-        objEntry(openapi, "info").set[JsonNode](s"x-version-$v", mv.deepCopy[JsonNode]()); ()
+        info.set[JsonNode](s"x-version-$v", mv.deepCopy[JsonNode]()); ()
       }
     }
 

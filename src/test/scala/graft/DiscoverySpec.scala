@@ -56,6 +56,14 @@ class DiscoverySpec extends AnyFunSuite {
     assert(got.templates("common.j2") === "shared-content")
   }
 
+  test("missing template root is skipped silently (WalkDir filter_map(ok) parity)") {
+    val (base, _) = mkTree()
+    val d = new Discovery
+    d.register("r", base)
+    val got = d.resolve(Seq("r::does-not-exist", "r::models"))
+    assert(got.templates.keySet === Set("item.j2"))
+  }
+
   test("registry::subpath narrows the walk; unknown registry fails") {
     val (base, _) = mkTree()
     val d = new Discovery

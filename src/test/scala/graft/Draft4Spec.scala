@@ -11,6 +11,24 @@ class Draft4Spec extends AnyFunSuite {
 
   private def j(s: String) = SchemaDocs.json.readTree(s)
 
+  test("enum and uniqueItems compare numbers by value (1 == 1.0)") {
+    val vEnum = new Draft4Validator(j("""{"enum":[1,"a"]}"""))
+    assert(vEnum.validate(j("1.0")) === Nil, "enum [1] must accept 1.0")
+    assert(vEnum.validate(j("2")).nonEmpty)
+    val vUniq = new Draft4Validator(j("""{"uniqueItems":true}"""))
+    assert(vUniq.validate(j("[1, 1.0]")).nonEmpty, "[1, 1.0] are duplicates")
+    assert(vUniq.validate(j("[1, 2]")) === Nil)
+    // containers recurse through the same equality
+    assert(vUniq.validate(j("""[{"x":[1]}, {"x":[1.0]}]""")).nonEmpty)
+    assert(vUniq.validate(j("""[{"x":[1]}, {"x":[2]}]""")) === Nil)
+  }
+
+  test("meta-schema loads from the vendored classpath resource (no env var, no fs path)") {
+    assume(sys.env.get("GRAFT_OPENAPI_SCHEMA").isEmpty)
+    val meta = Draft4.openapiMetaSchema
+    assert(meta.at("/required").toString.contains("openapi"))
+  }
+
   test("depth overflow is reported as an error, not thrown (continue-on-error safe)") {
     val v = new Draft4Validator(j("""{"properties":{"a":{"$ref":"#"}}}"""))
     val deep = ("{\"a\":" * 250) + "1" + ("}" * 250)

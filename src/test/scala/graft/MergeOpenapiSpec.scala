@@ -90,6 +90,14 @@ class MergeOpenapiSpec extends AnyFunSuite {
       MergeOpenapi.Options(addVersion = Some("test"))) === expected)
   }
 
+  test("add_version with no merged /info/version still creates empty info (entry().or_insert)") {
+    val first = j("""{}""")
+    val second = j("""{"x":1}""")
+    val expected = j("""{"info":{},"components":{},"paths":{},"tags":[]}""")
+    assert(MergeOpenapi.process(first, second,
+      MergeOpenapi.Options(addVersion = Some("test"))) === expected)
+  }
+
   test("root must be an object (reference Error::NotImplemented)") {
     intercept[IllegalArgumentException] {
       MergeOpenapi.process(j("""[1,2]"""), j("""{}"""))

@@ -229,6 +229,29 @@ class OpsSpec extends SparkSpec {
     assert(allProbe === exact)
   }
 
+  test("ivf: sample-trained quantizer does not degrade recall vs full training") {
+    // on this near-random synthetic corpus nprobe bounds recall (full-corpus
+    // training gets 3/5 at nprobe=3 too), so the honest criterion is that the
+    // 25% hash-sample costs nothing relative to training on everything —
+    // measured per-query, deterministic quantizer so the comparison is exact
+    var totalSampled = 0
+    for (qid <- Seq(0L, 3L, 7L)) {
+      val q = emb.where(col("vec_id") === qid).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble)
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+        .collect().map(_.getLong(0)).toSet
+      def recall(frac: Double): Int =
+        (exact & Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+          topK = 5, k = 8, nprobe = 3, trainFraction = frac)
+          .collect().map(_.getLong(0)).toSet).size
+      val (full, sampled) = (recall(1.0), recall(0.25))
+      totalSampled += sampled
+      assert(sampled >= full,
+        s"qid=$qid: sample-trained recall $sampled/5 < full-trained $full/5")
+    }
+    assert(totalSampled >= 9, s"aggregate sampled recall $totalSampled/15 too low")
+  }
+
   test("ivf: assignments are the cosine-argmax over the returned centroids") {
     val (assign, centroids) = Similarity.ivfIndex(emb.limit(200), "vec_id", "embedding", k = 4)
     val cents = centroids.collect()

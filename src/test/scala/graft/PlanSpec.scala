@@ -107,6 +107,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"assignment shuffles:\n$p")
   }
 
+  test("ivf sample training filters the corpus before the posexplode shuffle") {
+    import graft.ops.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (assign, centroids) =
+      Similarity.ivfIndex(emb, "vec_id", "embedding", k = 4, trainFraction = 0.25)
+    // training plan: the sample predicate must gate the posexplode input —
+    // at 100 TB the Lloyd shuffle scales with the sample, not the corpus
+    val tp = plan(centroids)
+    assert(tp.contains("posexplode"), s"no posexplode in training plan:\n$tp")
+    assert(tp.contains(Similarity.SampleMod.toString),
+      s"sample filter missing from training plan:\n$tp")
+    // the full-corpus side stays a zero-shuffle projection with NO posexplode
+    val ap = plan(assign)
+    assert(!ap.contains("Exchange"), s"assignment shuffles:\n$ap")
+    assert(!ap.contains("posexplode"), s"assignment explodes the corpus:\n$ap")
+  }
+
   test("distributed patch projection prunes to the payload columns") {
     import graft.ops.PatchOps
     val m = org.apache.spark.sql.functions.from_json(col("content"),
