@@ -458,8 +458,86 @@ object Queries {
         PatchOps.Add("et", col("event_type"))))
       e.select(col("event_id"), PatchOps.entriesCsv(patched).as("patched"))
         .orderBy("event_id")
+    }),
+
+    // §2.10 codegen-openapi extraction: a deterministic OpenAPI document is
+    // synthesized from `part` rows (one path+method per row — explicit
+    // operationId on every 3rd row, tags from p_brand on 3 of 4 rows,
+    // "default"+404/2xx responses, vnd content type on every 5th, body on
+    // put/post), run through the REAL driver-side extraction walk
+    // (OpenapiExtract.extract — fallback ids, first-2xx success, vnd parse,
+    // tag defaulting), then the endpoint inventory aggregates per tag
+    // distributed; the oracle replays the construction rules in SQL
+    "q_endpoints_by_tag" -> ((s, dir) => {
+      import graft.suite.OpenapiExtract
+      val rows = t(s, dir, "part").where(col("p_partkey") < EndpointsPkCap)
+        .select("p_partkey", "p_brand").orderBy("p_partkey")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val o = OpenapiExtract.extract(endpointsDoc(rows))
+      val inv = o.endpoints.map { e =>
+        val pk = e.x("pk").asLong()
+        (e.tags.head, pk,
+          if (e.operation != s"op$pk") 1L else 0L,
+          if (e.requestBody.isDefined) 1L else 0L,
+          if (e.responses.success.exists(_.statusCode == 204)) 1L else 0L,
+          if (e.responses.success.exists(_.models.exists(_.list.exists(_.vnd.isDefined)))) 1L
+          else 0L)
+      }
+      import s.implicits._
+      inv.toSeq.toDF("tag", "pk", "fallback", "with_body", "s204", "vnd")
+        .groupBy("tag").agg(
+          count(lit(1)).as("n_endpoints"),
+          sum(col("fallback")).as("n_fallback"),
+          sum(col("with_body")).as("n_with_body"),
+          sum(col("s204")).as("n_success_204"),
+          sum(col("vnd")).as("n_vnd"))
+        .orderBy("tag")
     })
   )
+
+  /** q_endpoints_by_tag construction constants (shared with the oracle). */
+  val EndpointsPkCap = 1200L
+
+  /** One OpenAPI document from (p_partkey, p_brand) rows: method = pk%5 of
+    * [get,put,post,delete,patch]; path /items/r<pk>; explicit operationId
+    * `op<pk>` iff pk%3==0; tags [p_brand] iff pk%4!=0; responses `default`
+    * + (pk%2==0 → 204 | 404,201); success content application/json (+ vnd
+    * on pk%5==0); requestBody on put/post required iff pk%2==0.
+    */
+  def endpointsDoc(rows: Seq[(Long, String)]): com.fasterxml.jackson.databind.JsonNode = {
+    val json = graft.suite.SchemaDocs.json
+    val root = json.createObjectNode()
+    root.put("openapi", "3.0.0")
+    val info = root.putObject("info"); info.put("title", "Synth"); info.put("version", "1.0")
+    val paths = root.putObject("paths")
+    val methods = Seq("get", "put", "post", "delete", "patch")
+    rows.foreach { case (pk, brand) =>
+      val item = paths.putObject(s"/items/r$pk")
+      val m = item.putObject(methods((pk % 5).toInt))
+      m.put("x-pk", pk)
+      if (pk % 3 == 0) m.put("operationId", s"op$pk")
+      if (pk % 4 != 0) m.putArray("tags").add(brand)
+      val rs = m.putObject("responses")
+      rs.putObject("default").put("description", "any")
+      val okCode = if (pk % 2 == 0) "204" else "201"
+      if (pk % 2 != 0) rs.putObject("404").put("description", "missing")
+      val ok = rs.putObject(okCode)
+      ok.put("description", "ok")
+      val content = ok.putObject("content")
+      content.putObject("application/json").putObject("schema").put("type", "string")
+      if (pk % 5 == 0)
+        content.putObject("application/vnd.custom+json").putObject("schema")
+          .put("type", "integer")
+      if (pk % 5 == 1 || pk % 5 == 2) {
+        val rb = m.putObject("requestBody")
+        rb.put("required", pk % 2 == 0)
+        rb.putObject("content").putObject("application/json")
+          .putObject("schema").put("type", "string")
+      }
+      ()
+    }
+    root
+  }
 
   /** Suite for q_oneof_verdicts: a property-level keyword union plus a
     * discriminated row union, shared verbatim with the loader tests' shapes
@@ -698,6 +776,20 @@ object Queries {
       """SELECT event_id,
         | 'et=' || event_type || ',k=' ||
         |   CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS VARCHAR) AS patched
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_endpoints_by_tag" ->
+      s"""WITH e AS (SELECT p_partkey AS pk,
+         |  CASE WHEN p_partkey % 4 <> 0 THEN p_brand ELSE 'default' END AS tag,
+         |  CASE WHEN p_partkey % 3 <> 0 THEN 1 ELSE 0 END AS fallback,
+         |  CASE WHEN p_partkey % 5 IN (1, 2) THEN 1 ELSE 0 END AS with_body,
+         |  CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END AS s204,
+         |  CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 0 END AS vnd
+         | FROM part WHERE p_partkey < $EndpointsPkCap)
+         |SELECT tag, count(*) AS n_endpoints,
+         | CAST(sum(fallback) AS BIGINT) AS n_fallback,
+         | CAST(sum(with_body) AS BIGINT) AS n_with_body,
+         | CAST(sum(s204) AS BIGINT) AS n_success_204,
+         | CAST(sum(vnd) AS BIGINT) AS n_vnd
+         |FROM e GROUP BY tag ORDER BY tag""".stripMargin
   )
 }

@@ -154,6 +154,65 @@ object Naming {
       .otherwise(lit(null).cast("string"))
   }
 
+  // ------------------------------------------------------ driver-side mirror
+
+  /** Pure-Scala mirrors of the Column chain above, for driver-side document
+    * walks (codegen extraction synthesizes operationId fallbacks one
+    * document at a time — no DataFrame in sight). Same constants, same
+    * first-match-wins order; NamingSpec asserts Column == Scala on the
+    * whole oracle vocabulary.
+    */
+  def applyRules(rules: Seq[(String, String)], word: String): String =
+    rules.collectFirst {
+      case (pat, rep) if java.util.regex.Pattern.compile(pat).matcher(word).find() =>
+        word.replaceAll(pat, rep)
+    }.getOrElse(word)
+
+  def singularize(word: String): String = applyRules(SingularRules, word)
+  def pluralize(word: String): String = applyRules(PluralRules, word)
+
+  private def lcfirstS(s: String): String =
+    if (s.isEmpty) s else s.substring(0, 1).toLowerCase + s.substring(1)
+  private def ucfirstS(s: String): String =
+    if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1)
+
+  def camel(s: String): String =
+    lcfirstS(s.split("[-_ ]+", -1).map(ucfirstS).mkString)
+
+  /** Driver-side `Endpoint::new` + `get_operation_id`; None where the
+    * Column version yields null (unknown method / empty path).
+    */
+  def operationId(method: String, path: String, reverse: Boolean = false): Option[String] = {
+    val trimmed = path.replaceAll("^/+|/+$", "").replaceAll("^_+|_+$", "")
+    val valid = method.matches("^(get|head|post|put|delete|connect|options|trace|patch)$")
+    if (!valid || trimmed.isEmpty) None
+    else {
+      val parts = trimmed.split("/").toSeq
+      val hasVersion = parts.head.matches("^v[0-9]+$")
+      val body = if (hasVersion) parts.tail else parts
+      val resources = body.filterNot(_.startsWith("{"))
+      val identifiers = body.filter(_.startsWith("{"))
+      val verb = method match {
+        case "get"   => if (path.endsWith("}")) "get" else "list"
+        case "post"  => "create"
+        case "patch" => "update"
+        case m       => m
+      }
+      val processed = resources.zipWithIndex.map { case (x, i) =>
+        val cam = camel(x)
+        if (i < identifiers.size) singularize(cam)
+        else method match {
+          case "post" => singularize(cam)
+          case "get"  => cam
+          case _      => pluralize(cam)
+        }
+      }
+      val prefix = if (hasVersion) Seq(parts.head, verb) else Seq(verb)
+      val allParts = if (!reverse) prefix ++ processed else processed ++ prefix.reverse
+      Some(lcfirstS(allParts.map(ucfirstS).mkString))
+    }
+  }
+
   // ----------------------------------------------- DuckDB oracle generators
 
   private def duckRep(rep: String): String = rep.replace("$", "\\")

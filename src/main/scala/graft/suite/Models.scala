@@ -1,0 +1,130 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Model inventory for codegen extraction: structural-hash dedup, by-name
+  * merge of identical shapes, and `Name2`/`Name3` collision renames —
+  * mirrors the reference's `ModelContainer`
+  * (codegen/jsonschema/mod.rs:27-142) and `tools::bump_suffix_number`
+  * (tools.rs:236-257).
+  *
+  * Divergence (documented): the reference hashes the canonical schema to a
+  * u64 with DefaultHasher; here the canonical form itself is the key —
+  * same equality relation (title/description stripped at every object
+  * level, keys sorted — mod.rs:399-441), zero collision risk.
+  */
+object Models {
+
+  /** "Name" → "Name2", "Name2" → "Name3", "Name19" → "Name20". */
+  def bumpSuffixNumber(phrase: String): String = {
+    val digits = phrase.reverse.takeWhile(_.isDigit).reverse
+    if (digits.isEmpty) phrase + "2"
+    else phrase.dropRight(digits.length) + (digits.toLong + 1).toString
+  }
+
+  /** Canonical structural form: every object drops `title`/`description`
+    * and sorts keys; arrays keep order; scalars render by value. Two
+    * schemas are "similar" iff their canonical forms are equal.
+    */
+  def canonical(node: JsonNode): String =
+    if (node == null || node.isNull) "null"
+    else if (node.isObject) {
+      val entries = node.fields().asScala
+        .filterNot(e => e.getKey == "title" || e.getKey == "description")
+        .map(e => e.getKey -> canonical(e.getValue)).toSeq.sortBy(_._1)
+      entries.map { case (k, v) => s"${quote(k)}:$v" }.mkString("{", ",", "}")
+    } else if (node.isArray)
+      node.elements().asScala.map(canonical).mkString("[", ",", "]")
+    else if (node.isTextual) quote(node.asText())
+    else node.toString // numbers / booleans: Jackson's canonical rendering
+
+  private def quote(s: String): String = "\"" + s.replace("\"", "\\\"") + "\""
+
+  /** One extracted model. `spaces` mirrors the reference's SpacesContainer:
+    * which operations/tags reach this model (used by retain filtering).
+    */
+  final case class Prop(name: String, nullable: Boolean, modelName: Option[String])
+
+  final class Model(
+      var name: String,
+      val kind: String, // object | enum | primitive | array | union
+      val node: JsonNode,
+      val schemaHash: Option[String],
+      val properties: Seq[Prop],
+      val spaces: mutable.LinkedHashSet[(String, String)]) {
+
+    def operations: Seq[String] =
+      spaces.collect { case ("operation", o) => o }.toSeq
+    def tags: Seq[String] =
+      spaces.collect { case ("tag", t) => t }.toSeq
+
+    /** mod.rs `Model::is_like` (types.rs:28-34): hash equality when both
+      * carry one, else same name + same canonical shape.
+      */
+    def isLike(other: Model): Boolean = (schemaHash, other.schemaHash) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => name == other.name && canonical(node) == canonical(other.node)
+    }
+  }
+
+  /** mod.rs ModelContainer::add/retain. `add` keys on the scope path first
+    * (the same pointer always yields the same model), then the structural
+    * hash (merge_similar_models), then by-name (identical shape merges,
+    * different shape bumps the suffix and retries).
+    */
+  final class ModelContainer {
+    private val buf = mutable.ArrayBuffer[Model]()
+    private val mapping = mutable.HashMap[String, Int]()
+    private val byName = mutable.HashMap[String, Int]()
+    private val byHash = mutable.HashMap[String, mutable.ArrayBuffer[Int]]()
+
+    def models: Seq[Model] = buf.toSeq
+    def names: Seq[String] = buf.map(_.name).toSeq
+
+    private def hit(id: Int, scopePath: String, spaces: Seq[(String, String)]): Model = {
+      buf(id).spaces ++= spaces
+      mapping(scopePath) = id
+      buf(id)
+    }
+
+    def add(scopePath: String, model: Model): Model = {
+      val spaces = model.spaces.toSeq
+      mapping.get(scopePath) match {
+        case Some(id) => hit(id, scopePath, spaces)
+        case None =>
+          val hashHit = model.schemaHash.flatMap(h =>
+            byHash.get(h).flatMap(_.find(id => buf(id).isLike(model))))
+          hashHit match {
+            case Some(id) => hit(id, scopePath, spaces)
+            case None =>
+              byName.get(model.name) match {
+                case Some(id) if buf(id).isLike(model) => hit(id, scopePath, spaces)
+                case Some(_) =>
+                  // conflict: same name, different shape (mod.rs:101-120)
+                  model.name = bumpSuffixNumber(model.name)
+                  add(scopePath, model)
+                case None =>
+                  val id = buf.length
+                  buf += model
+                  mapping(scopePath) = id
+                  byName(model.name) = id
+                  model.schemaHash.foreach(h =>
+                    byHash.getOrElseUpdate(h, mutable.ArrayBuffer()) += id)
+                  model
+              }
+          }
+      }
+    }
+
+    /** Keep models matching the predicate; indices are invalidated so every
+      * lookup table is cleared (mod.rs:150-156).
+      */
+    def retain(f: Model => Boolean): Unit = {
+      val kept = buf.filter(f)
+      buf.clear(); buf ++= kept
+      mapping.clear(); byName.clear(); byHash.clear()
+    }
+  }
+}

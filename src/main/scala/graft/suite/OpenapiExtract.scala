@@ -1,0 +1,436 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.ops.Naming
+import graft.suite.Models.{Model, ModelContainer, Prop}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Driver-side `codegen openapi` analog: walk an OpenAPI document into an
+  * endpoints + media-models + security inventory — the front-end the
+  * distributed plane's report tables consume.
+  *
+  * Reference semantics mirrored (all in codegen/openapi/):
+  *  - components securitySchemes / schemas / parameters / responses /
+  *    requestBodies walks, then paths (mod.rs:131-296);
+  *  - path-level parameters merged into every method (endpoint.rs:69-77,
+  *    174-178), endpoint parameters first, shared appended;
+  *  - operationId fallback synthesized from (method, path) in
+  *    resource-method-version order (endpoint.rs:128-135 →
+  *    name/endpoint.rs get_operation_id(true) — reuse [[Naming]]);
+  *  - tags default to ["default"] (endpoint.rs:155-159); x-* captured with
+  *    the prefix stripped (:161-167);
+  *  - responses: "default" → status 0, first 2xx in document order becomes
+  *    `success` (responses.rs:132-146), `application/vnd.<x>+<y>` parse
+  *    (:103-121), per-endpoint model uniqueness and alternative content
+  *    types (:91-130), response headers as header parameters (:193-216);
+  *  - requestBody required/description/content (requestbody.rs:42-82);
+  *  - security schemes + root defaults + per-endpoint override
+  *    (security.rs:47-133);
+  *  - skip/only endpoint filtering on operation-id candidates and
+  *    unused-model removal (mod.rs:298-344).
+  *
+  * Model extraction is the lean inventory needed by the walk (names,
+  * structural hashes, nullability collapse, operation/tag spaces) — the
+  * full typed-codegen FlatModel plane is out of the distributed engine's
+  * scope (SURVEY §2.10).
+  */
+object OpenapiExtract {
+
+  final case class Options(
+      skipEndpoints: Seq[String] = Nil,
+      onlyEndpoints: Seq[String] = Nil,
+      skipUnusedModels: Boolean = false,
+      mergeSimilarModels: Boolean = false)
+
+  final case class SecurityScheme(schemeName: String, tpe: String,
+      scheme: Option[String], in: Option[String], name: Option[String])
+  final case class SecuritySchemes(default: Seq[SecurityScheme], all: Seq[SecurityScheme])
+
+  final case class Parameter(name: String, kind: String, required: Boolean,
+      description: Option[String], style: Option[String], explode: Option[Boolean],
+      modelName: Option[String])
+
+  final case class Parameters(all: Seq[Parameter]) {
+    def path: Seq[Parameter] = all.filter(_.kind == "path")
+    def query: Seq[Parameter] = all.filter(_.kind == "query")
+    def header: Seq[Parameter] = all.filter(_.kind == "header")
+    def cookie: Seq[Parameter] = all.filter(_.kind == "cookie")
+  }
+
+  final case class MediaVendorType(base: String, vnd: String)
+  final case class MediaModel(modelName: String, modelKey: String, contentType: String,
+      isUnique: Boolean, alternativeContentType: Boolean, vnd: Option[MediaVendorType])
+  final case class MediaModels(list: Seq[MediaModel],
+      defaultContentType: String = "application/json", multipleContentTypes: Boolean)
+
+  final case class Response(statusCode: Int, models: Option[MediaModels],
+      description: Option[String], headers: Seq[Parameter])
+  final case class Responses(success: Option[Response], all: Seq[Response])
+  final case class RequestBody(models: Option[MediaModels], required: Boolean,
+      description: Option[String])
+
+  final case class Endpoint(path: String, method: String, operation: String,
+      originalOperation: Option[String], description: Option[String], tags: Seq[String],
+      parameters: Parameters, requestBody: Option[RequestBody], responses: Responses,
+      security: Seq[SecurityScheme], x: Map[String, JsonNode]) {
+    def operationIdCandidates: Seq[String] = operation +: originalOperation.toSeq
+  }
+
+  final case class Openapi(models: ModelContainer, endpoints: Seq[Endpoint],
+      security: SecuritySchemes, tags: Seq[String])
+
+  private val Methods =
+    Seq("get", "put", "post", "delete", "options", "head", "patch", "trace")
+
+  // --------------------------------------------------------------- helpers
+
+  /** Follow internal `#/...` ref chains; returns (resolved node, pointer of
+    * the final target or None when the node was not a ref).
+    */
+  private def deref(root: JsonNode, node0: JsonNode): (JsonNode, Option[String]) = {
+    var node = node0
+    var ptr: Option[String] = None
+    var hops = 0
+    while (node != null && node.isObject && node.has("$ref") &&
+        node.get("$ref").isTextual && hops < 64) {
+      val r = node.get("$ref").asText()
+      require(r.startsWith("#"), s"codegen extract: only internal refs supported, got '$r'")
+      val p = r.stripPrefix("#")
+      val t = root.at(p)
+      require(!t.isMissingNode, s"codegen extract: dangling ref '$r'")
+      ptr = Some(p)
+      node = t
+      hops += 1
+    }
+    (node, ptr)
+  }
+
+  private def strOpt(n: JsonNode, key: String): Option[String] =
+    Option(n.get(key)).filter(_.isTextual).map(_.asText())
+
+  /** description with lines joined by a space (serde side: lines().join(" ")). */
+  private def descOpt(n: JsonNode): Option[String] =
+    strOpt(n, "description").map(_.linesIterator.mkString(" "))
+
+  private def escapeSeg(s: String): String = s.replace("~", "~0").replace("/", "~1")
+
+  // -------------------------------------------------------- model extraction
+
+  /** Reference to an extracted type: inventory name, structural key (used
+    * for per-endpoint uniqueness), nullability picked up from
+    * `oneOf [null, X]` / `type: [T, "null"]` collapse.
+    */
+  final case class TypeRef(name: String, key: String, nullable: Boolean)
+
+  private final class Walker(root: JsonNode, mc: ModelContainer, opts: Options) {
+
+    /** Extract the type at `node`, registering object/enum/array/union
+      * models under `pointer`. `fallbackName` names untitled models
+      * (components key, or parent name + property key — the scope-glue
+      * naming of the reference's SchemaScope).
+      */
+    def addTypes(node0: JsonNode, pointer: String, fallbackName: String,
+                 spaces: Seq[(String, String)],
+                 visiting: mutable.Set[String] = mutable.Set()): TypeRef = {
+      val (node, refPtr) = deref(root, node0)
+      val ptr = refPtr.getOrElse(pointer)
+      // a ref'd untitled schema is named after its component key, not the
+      // referring property (the reference's scope follows the resolved URL)
+      val fallback = refPtr.map(_.split('/').last).getOrElse(fallbackName)
+      if (visiting.contains(ptr)) // cyclic ref: name only, no re-walk
+        return TypeRef(strOpt(node, "title").getOrElse(ucc(fallback)),
+          Models.canonical(node), nullable = false)
+      visiting += ptr
+
+      try {
+        val name = strOpt(node, "title").getOrElse(ucc(fallback))
+        val key = Models.canonical(node)
+        val hash = if (opts.mergeSimilarModels) Some(key) else None
+
+        def register(kind: String, props: Seq[Prop] = Nil): Model =
+          mc.add(ptr, new Model(name, kind, node, hash, props,
+            mutable.LinkedHashSet(spaces: _*)))
+
+        val typeStr = Option(node.get("type")).map {
+          case t if t.isArray =>
+            t.elements().asScala.map(_.asText()).filterNot(_ == "null").toSeq.headOption
+              .getOrElse("null")
+          case t => t.asText()
+        }
+        val typeNullable = Option(node.get("type")).exists(t =>
+          t.isArray && t.elements().asScala.exists(_.asText() == "null")) ||
+          Option(node.get("nullable")).exists(_.asBoolean(false))
+
+        val variants = Seq("oneOf", "anyOf").flatMap(k =>
+          Option(node.get(k)).filter(_.isArray).toSeq
+            .flatMap(_.elements().asScala))
+        val nonNullVariants = variants.filterNot(v =>
+          v.isObject && strOpt(v, "type").contains("null"))
+
+        if (node.has("enum")) {
+          register("enum")
+          TypeRef(name, key, typeNullable)
+        } else if (variants.nonEmpty && nonNullVariants.size == 1) {
+          // nullable collapse: oneOf [null, X] → X with nullable = true
+          // (the NullablePriceType / nullability-after-ref shapes); a titled
+          // wrapper is still registered as a model of its own
+          val inner = addTypes(nonNullVariants.head, s"$ptr/oneOf", fallback,
+            spaces, visiting)
+          if (node.has("title")) register("union")
+          TypeRef(inner.name, inner.key, nullable = variants.size > nonNullVariants.size ||
+            inner.nullable || typeNullable)
+        } else if (variants.nonEmpty) {
+          variants.zipWithIndex.foreach { case (v, i) =>
+            addTypes(v, s"$ptr/variant/$i", s"$fallback-variant-$i", spaces, visiting)
+          }
+          register("union")
+          TypeRef(name, key, typeNullable)
+        } else if (typeStr.contains("object") || node.has("properties") ||
+            node.has("additionalProperties")) {
+          val props = Option(node.get("properties")).filter(_.isObject).toSeq
+            .flatMap(_.fields().asScala).map { e =>
+              val pref = addTypes(e.getValue, s"$ptr/properties/${escapeSeg(e.getKey)}",
+                s"$fallback-${e.getKey}", spaces, visiting)
+              Prop(e.getKey, pref.nullable, Some(pref.name))
+            }.toSeq
+          Option(node.get("additionalProperties")).filter(_.isObject).foreach(ap =>
+            addTypes(ap, s"$ptr/additionalProperties", s"$fallback-value",
+              spaces, visiting))
+          register("object", props)
+          TypeRef(name, key, typeNullable)
+        } else if (typeStr.contains("array") || node.has("items")) {
+          Option(node.get("items")).foreach(items =>
+            addTypes(items, s"$ptr/items", s"$fallback-item", spaces, visiting))
+          register("array")
+          TypeRef(name, key, typeNullable)
+        } else {
+          // primitives become models only when named from components (the
+          // PriceType shape); inline primitives stay anonymous
+          if (pointer.startsWith("/components/schemas/") ||
+              pointer.startsWith("/definitions/") || node.has("title"))
+            register("primitive")
+          TypeRef(strOpt(node, "title").getOrElse(typeStr.getOrElse("any")),
+            key, typeNullable)
+        }
+      } finally visiting -= ptr
+    }
+
+    private def ucc(s: String): String = {
+      val c = Naming.camel(s)
+      if (c.isEmpty) c else c.substring(0, 1).toUpperCase + c.substring(1)
+    }
+  }
+
+  /** Standalone JSON Schema extraction (the jsonschema-plane analog used by
+    * the ModelContainer regression corpus): walks the root schema;
+    * definitions are reached through `$ref`s.
+    */
+  def extractSchema(doc: JsonNode, opts: Options = Options()): ModelContainer = {
+    val mc = new ModelContainer
+    new Walker(doc, mc, opts).addTypes(doc, "", "Root", Nil)
+    mc
+  }
+
+  // ----------------------------------------------------------- the walk
+
+  def extract(doc: JsonNode, opts: Options = Options()): Openapi = {
+    require(doc.isObject, "codegen extract: document must be an object")
+    val mc = new ModelContainer
+    val walker = new Walker(doc, mc, opts)
+
+    // components/securitySchemes (mod.rs:169-184, security.rs:47-85)
+    val allSchemes = Option(doc.at("/components/securitySchemes"))
+      .filter(_.isObject).toSeq.flatMap(_.fields().asScala).map { e =>
+        val n = e.getValue
+        require(n.isObject && n.has("type"),
+          s"codegen extract: invalid security scheme '${e.getKey}'")
+        SecurityScheme(e.getKey, n.get("type").asText(),
+          strOpt(n, "scheme"), strOpt(n, "in"), strOpt(n, "name"))
+      }.toSeq
+
+    def schemesOf(securityNode: JsonNode): Seq[SecurityScheme] =
+      securityNode.elements().asScala.flatMap { entry =>
+        // last key wins within one requirement object (security.rs:114-133)
+        entry.fieldNames().asScala.toSeq.lastOption
+          .flatMap(name => allSchemes.find(_.schemeName == name))
+      }.toSeq
+
+    val defaultSchemes = Option(doc.get("security")).filter(_.isArray)
+      .map(schemesOf).getOrElse(Nil)
+    val scontainer = SecuritySchemes(defaultSchemes, allSchemes)
+
+    // components: schemas, parameters/*/schema, responses + requestBodies
+    // content schemas (mod.rs:200-268)
+    Option(doc.at("/components/schemas")).filter(_.isObject).foreach(
+      _.fields().asScala.foreach(e =>
+        walker.addTypes(e.getValue, s"/components/schemas/${escapeSeg(e.getKey)}",
+          e.getKey, Nil)))
+    Option(doc.at("/components/parameters")).filter(_.isObject).foreach(
+      _.fields().asScala.foreach(e =>
+        Option(e.getValue.get("schema")).foreach(s =>
+          walker.addTypes(s, s"/components/parameters/${escapeSeg(e.getKey)}/schema",
+            s"${e.getKey}-parameter", Nil))))
+    for (group <- Seq("responses", "requestBodies"))
+      Option(doc.at(s"/components/$group")).filter(_.isObject).foreach(
+        _.fields().asScala.foreach { e =>
+          Option(e.getValue.get("content")).filter(_.isObject).foreach(
+            _.fields().asScala.foreach(ct =>
+              Option(ct.getValue.get("schema")).foreach(s =>
+                walker.addTypes(s,
+                  s"/components/$group/${escapeSeg(e.getKey)}/content/${escapeSeg(ct.getKey)}/schema",
+                  s"${e.getKey}-${if (group == "responses") "response" else "request"}",
+                  Nil))))
+        })
+
+    // paths (mod.rs:270-296, endpoint.rs:58-206)
+    val endpoints0 = Option(doc.get("paths")).filter(_.isObject).toSeq
+      .flatMap(_.fields().asScala).flatMap { pe =>
+        val path = pe.getKey
+        val (item, _) = deref(doc, pe.getValue)
+        require(item.isObject, s"codegen extract: path item '$path' is not an object")
+        val basePtr = s"/paths/${escapeSeg(path)}"
+        Methods.flatMap(method => Option(item.get(method)).map(m =>
+          newEndpoint(doc, walker, scontainer, m, item, path, method,
+            s"$basePtr/$method", opts)))
+      }.toSeq
+
+    // skip/only filtering + unused-model removal (mod.rs:298-344)
+    val skip = opts.skipEndpoints.toSet
+    val only = opts.onlyEndpoints.toSet
+    val filtering = skip.nonEmpty || only.nonEmpty || opts.skipUnusedModels
+    val endpoints =
+      if (!filtering) endpoints0
+      else endpoints0.filter { e =>
+        val cand = e.operationIdCandidates
+        !cand.exists(skip.contains) && (only.isEmpty || cand.exists(only.contains))
+      }
+    if (filtering) {
+      val kept = endpoints.flatMap(_.operationIdCandidates).toSet
+      mc.retain { m =>
+        val ops = m.operations
+        if (ops.isEmpty) !opts.skipUnusedModels else ops.exists(kept.contains)
+      }
+    }
+
+    val tags = endpoints.flatMap(_.tags).distinct.sorted
+    Openapi(mc, endpoints, scontainer, tags)
+  }
+
+  private def newEndpoint(doc: JsonNode, walker: Walker, scontainer: SecuritySchemes,
+      data0: JsonNode, pathItem: JsonNode, path: String, method: String,
+      ptr: String, opts: Options): Endpoint = {
+    val (data, _) = deref(doc, data0)
+    require(data.isObject, s"codegen extract: $method $path is not an object")
+
+    val operation = strOpt(data, "operationId").getOrElse(
+      Naming.operationId(method, path, reverse = true).get)
+    val x = data.fields().asScala
+      .filter(_.getKey.startsWith("x-"))
+      .map(e => e.getKey.stripPrefix("x-") -> e.getValue).toMap
+    val originalOperation = x.get("original-operation-id")
+      .filter(_.isTextual).map(_.asText())
+    val tags0 = Option(data.get("tags")).filter(_.isArray).toSeq
+      .flatMap(_.elements().asScala.map(_.asText()))
+    val tags = if (tags0.isEmpty) Seq("default") else tags0
+    val spaces: Seq[(String, String)] =
+      tags.map("tag" -> _) :+ ("operation" -> operation)
+
+    def parameter(node0: JsonNode, pptr: String): Parameter = {
+      val (n, _) = deref(doc, node0)
+      val kind = strOpt(n, "in").getOrElse(
+        throw new IllegalArgumentException(s"codegen extract: parameter without 'in' at $pptr"))
+      val name = strOpt(n, "name").getOrElse(
+        throw new IllegalArgumentException(s"codegen extract: parameter without 'name' at $pptr"))
+      val schema = Option(n.get("schema")).getOrElse(
+        throw new IllegalArgumentException(s"codegen extract: parameter without 'schema' at $pptr"))
+      val m = walker.addTypes(schema, s"$pptr/schema", s"$name-$kind", spaces)
+      Parameter(name, kind, Option(n.get("required")).exists(_.asBoolean(false)),
+        descOpt(n), strOpt(n, "style"),
+        Option(n.get("explode")).filter(_.isBoolean).map(_.asBoolean()),
+        Some(m.name))
+    }
+
+    def paramList(owner: JsonNode, optr: String): Seq[Parameter] =
+      Option(owner.get("parameters")).filter(_.isArray).toSeq
+        .flatMap(_.elements().asScala.zipWithIndex.map { case (p, i) =>
+          parameter(p, s"$optr/parameters/$i")
+        })
+
+    // endpoint parameters first, shared path-level appended
+    // (endpoint.rs:174-178 merge order)
+    val params = Parameters(paramList(data, ptr) ++
+      paramList(pathItem, s"/paths/${escapeSeg(path)}"))
+
+    def mediaModels(owner: JsonNode, optr: String, glue: String): Option[MediaModels] =
+      Option(owner.get("content")).filter(_.isObject).map { content =>
+        val list = content.fields().asScala.flatMap { ct =>
+          Option(ct.getValue.get("schema")).map { s =>
+            val m = walker.addTypes(s,
+              s"$optr/content/${escapeSeg(ct.getKey)}/schema", glue, spaces)
+            MediaModel(m.name, m.key, ct.getKey,
+              isUnique = false, alternativeContentType = false, vnd = None)
+          }
+        }.toSeq
+        MediaModels(list, multipleContentTypes = list.size > 1)
+      }
+
+    val requestBody = Option(data.get("requestBody")).map { rb0 =>
+      val (rb, _) = deref(doc, rb0)
+      RequestBody(mediaModels(rb, s"$ptr/requestBody", s"$operation-request-body"),
+        Option(rb.get("required")).exists(_.asBoolean(false)), descOpt(rb))
+    }
+
+    val responses = Option(data.get("responses")).filter(_.isObject).map { rs =>
+      val parsed = rs.fields().asScala.map { re =>
+        val code = re.getKey
+        val (rn, _) = deref(doc, re.getValue)
+        val status =
+          if (code == "default") 0
+          else try code.toInt catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"codegen extract: invalid response status '$code' at $ptr")
+          }
+        val headers = Option(rn.get("headers")).filter(_.isObject).toSeq
+          .flatMap(_.fields().asScala).map { he =>
+            val (hn, _) = deref(doc, he.getValue)
+            val synth = hn.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+            synth.put("in", "header"); synth.put("name", he.getKey)
+            parameter(synth, s"$ptr/responses/$code/headers/${escapeSeg(he.getKey)}")
+          }.toSeq
+        Response(status, mediaModels(rn, s"$ptr/responses/$code", s"$operation-response-$code"),
+          descOpt(rn), headers)
+      }.toSeq
+
+      // per-endpoint model occurrence counts drive is_unique; vnd parse and
+      // alternative content types per response (responses.rs:91-130)
+      val occurrences = parsed.flatMap(_.models.toSeq.flatMap(_.list))
+        .groupBy(_.modelKey).view.mapValues(_.size).toMap
+      val vndRe = "/vnd\\.|\\+".r
+      val processed = parsed.map { r =>
+        r.copy(models = r.models.map { mm =>
+          val multi = mm.list.size > 1
+          mm.copy(multipleContentTypes = multi, list = mm.list.map { m =>
+            val (base, vnd) = vndRe.split(m.contentType) match {
+              case Array(b, inner, e) => (s"$b/$e", Some(MediaVendorType(s"$b/$e", inner)))
+              case _ => (m.contentType, None)
+            }
+            m.copy(isUnique = occurrences.getOrElse(m.modelKey, 1) == 1, vnd = vnd,
+              alternativeContentType = multi && base != mm.defaultContentType)
+          })
+        })
+      }
+      val success = processed.find(r => r.statusCode >= 200 && r.statusCode < 300)
+      Responses(success, processed)
+    }.getOrElse(Responses(None, Nil))
+
+    val security = Option(data.get("security")).filter(_.isArray)
+      .map(sn => sn.elements().asScala.flatMap(entry =>
+        entry.fieldNames().asScala.toSeq.lastOption
+          .flatMap(n => scontainer.all.find(_.schemeName == n))).toSeq)
+      .getOrElse(scontainer.default)
+
+    Endpoint(path, method, operation, originalOperation, descOpt(data), tags,
+      params, requestBody, responses, security, x)
+  }
+}

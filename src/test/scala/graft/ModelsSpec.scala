@@ -1,0 +1,126 @@
+package graft
+
+import graft.suite.{Models, OpenapiExtract, SchemaDocs}
+import graft.suite.OpenapiExtract.Options
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** ModelContainer structural dedup + collision rename — mirrors the
+  * reference's regression corpus (codegen/jsonschema/mod.rs:709-935) and
+  * `tools::bump_suffix_number` (tools.rs:236-257, tests :370-390).
+  */
+class ModelsSpec extends AnyFunSuite {
+
+  private def j(s: String) = SchemaDocs.json.readTree(s)
+
+  test("bump_suffix_number: append 2, increment existing, carry digits") {
+    assert(Models.bumpSuffixNumber("Name") === "Name2")
+    assert(Models.bumpSuffixNumber("Name2") === "Name3")
+    assert(Models.bumpSuffixNumber("Name9") === "Name10")
+    assert(Models.bumpSuffixNumber("Name19") === "Name20")
+    assert(Models.bumpSuffixNumber("N2ame") === "N2ame2")
+  }
+
+  test("canonical form strips title/description at every level and sorts keys") {
+    val a = j("""{"type":"object","title":"A","properties":{"x":{"type":"string","description":"d"}}}""")
+    val b = j("""{"properties":{"x":{"type":"string"}},"type":"object","title":"B"}""")
+    val c = j("""{"type":"object","properties":{"x":{"type":"integer"}}}""")
+    assert(Models.canonical(a) === Models.canonical(b))
+    assert(Models.canonical(a) !== Models.canonical(c))
+  }
+
+  test("name collision with different shapes bumps the suffix (mod.rs:101-120)") {
+    val mc = new Models.ModelContainer
+    def model(name: String, node: String) =
+      new Models.Model(name, "object", j(node), None, Nil, mutable.LinkedHashSet())
+    mc.add("/a", model("Pet", """{"type":"object","properties":{"a":{"type":"string"}}}"""))
+    val renamed = mc.add("/b",
+      model("Pet", """{"type":"object","properties":{"b":{"type":"integer"}}}"""))
+    assert(renamed.name === "Pet2")
+    val renamed3 = mc.add("/c",
+      model("Pet", """{"type":"object","properties":{"c":{"type":"boolean"}}}"""))
+    assert(renamed3.name === "Pet3", "Pet collides, Pet2 collides, lands on Pet3")
+    assert(mc.names === Seq("Pet", "Pet2", "Pet3"))
+  }
+
+  test("currency-code enum dedup WITH merge_similar_models (test_repro_currency_code_enum_duplication)") {
+    val doc = j(
+      """{"definitions":{"CurrencyCodeType":{"title":"CurrencyCodeType",
+        |  "type":"string","enum":["AED","AFN","ALL"]}},
+        |"title":"schema","type":"object","properties":{
+        | "CurrencyCodeType":{"$ref":"#/definitions/CurrencyCodeType"},
+        | "Entity":{"type":"object","required":["currencyCode"],
+        |   "properties":{"currencyCode":{"$ref":"#/definitions/CurrencyCodeType"}}},
+        | "NominalHolder":{"type":"object","required":["nominalCurrencyCode"],
+        |   "properties":{"nominalCurrencyCode":{"oneOf":[
+        |     {"$ref":"#/definitions/CurrencyCodeType"},{"type":"null"}]}}},
+        | "AcceptedHolder":{"type":"object","required":["acceptedCurrencies"],
+        |   "properties":{"acceptedCurrencies":{"type":["array","null"],
+        |     "items":{"$ref":"#/definitions/CurrencyCodeType"}}}}}}
+        |""".stripMargin)
+    val mc = OpenapiExtract.extractSchema(doc, Options(mergeSimilarModels = true))
+    val enums = mc.models.filter(_.kind == "enum").map(_.name)
+    assert(enums === Seq("CurrencyCodeType"),
+      s"exactly one enum model expected, got $enums")
+  }
+
+  test("currency-code enum dedup WITHOUT merge flag (identical shape+name merges unconditionally)") {
+    val doc = j(
+      """{"definitions":{"CurrencyCodeType":{"title":"CurrencyCodeType",
+        |  "type":"string","enum":["AED","AFN","ALL"]}},
+        |"title":"schema","type":"object","properties":{
+        | "CurrencyCodeType":{"$ref":"#/definitions/CurrencyCodeType"},
+        | "Entity":{"type":"object","required":["currencyCode"],
+        |   "properties":{"currencyCode":{"$ref":"#/definitions/CurrencyCodeType"}}}}}
+        |""".stripMargin)
+    val mc = OpenapiExtract.extractSchema(doc)
+    val enums = mc.models.filter(_.kind == "enum").map(_.name)
+    assert(enums === Seq("CurrencyCodeType"))
+  }
+
+  test("nullable after resolving reference (test_nullable_after_resolving_reference)") {
+    val doc = j(
+      """{"definitions":{"def2":{"title":"Testing","type":"object",
+        |  "required":["property1"],"properties":{"property1":{"type":"string"}}}},
+        |"title":"MySecretName","type":"object","properties":{
+        | "xxxx":{"$ref":"#/definitions/def2"},
+        | "yyyy":{"oneOf":[{"type":"null"},{"$ref":"#/definitions/def2"}]}}}
+        |""".stripMargin)
+    val mc = OpenapiExtract.extractSchema(doc, Options(mergeSimilarModels = true))
+    val root = mc.models.find(_.name == "MySecretName").get
+    assert(root.properties.size === 2)
+    val xxxx = root.properties.find(_.name == "xxxx").get
+    assert(!xxxx.nullable)
+    assert(xxxx.modelName === Some("Testing"))
+    val yyyy = root.properties.find(_.name == "yyyy").get
+    assert(yyyy.nullable, "oneOf [null, ref] collapses to nullable ref")
+  }
+
+  test("additionalProperties chains extract without error (test_additional_properties_naming)") {
+    val doc = j(
+      """{"definitions":{
+        | "def2":{"type":"object","additionalProperties":{"$ref":"#/definitions/common"}},
+        | "common":{"type":"string"}},
+        |"title":"MySecretName","type":"object",
+        |"additionalProperties":{"$ref":"#/definitions/def2"}}
+        |""".stripMargin)
+    val mc = OpenapiExtract.extractSchema(doc)
+    assert(mc.names.contains("MySecretName"))
+    assert(mc.names.contains("Def2"), "ref'd untitled map value named from its key")
+  }
+
+  test("retain clears indices: re-add after retain does not resurrect stale ids") {
+    val mc = new Models.ModelContainer
+    def model(name: String, node: String) =
+      new Models.Model(name, "object", j(node), None, Nil,
+        mutable.LinkedHashSet(("operation", "op1")))
+    mc.add("/a", model("A", """{"type":"object","properties":{"a":{"type":"string"}}}"""))
+    mc.add("/b", model("B", """{"type":"object","properties":{"b":{"type":"string"}}}"""))
+    mc.retain(_.name == "B")
+    assert(mc.names === Seq("B"))
+    val back = mc.add("/a",
+      model("A", """{"type":"object","properties":{"a":{"type":"string"}}}"""))
+    assert(back.name === "A")
+    assert(mc.names === Seq("B", "A"))
+  }
+}

@@ -108,6 +108,27 @@ class NamingSpec extends SparkSpec {
     }
   }
 
+  test("driver-side operationId mirror equals the Column chain on all endpoint cases") {
+    import spark.implicits._
+    // every method × path shape the endpoint.rs tests and the q_operation_id
+    // oracle vocabulary exercise, plus the invalid rows
+    val methods = Seq("get", "post", "patch", "put", "delete", "brew")
+    val paths = Seq("users/{id}", "users/{id}/groups", "users", "v2/users",
+      "v2/users/{id}", "v1/users/{id}/status", "user-groups/{id}",
+      "v1/users/{id}/statuses", "/api/xyz/v1/namespaces",
+      "/api/xyz/v1/namespaces/{namespaceId}", "", "///",
+      "/v2/resources", "/v2/resources/{id}", "boxes/{id}/parties")
+    val rows = for (m <- methods; p <- paths) yield (m, p)
+    for (reverse <- Seq(false, true)) {
+      val colResults = rows.toDF("m", "p")
+        .select(Naming.operationIdCol(col("m"), col("p"), reverse).as("r"))
+        .collect().map(r => Option(r.getString(0)))
+      rows.zip(colResults).foreach { case ((m, p), want) =>
+        assert(Naming.operationId(m, p, reverse) === want, s"$m $p reverse=$reverse")
+      }
+    }
+  }
+
   test("pluralize rule list exercises the irregular families") {
     val cases = Seq(
       "matrix" -> "matrices",

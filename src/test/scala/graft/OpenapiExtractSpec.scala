@@ -1,0 +1,331 @@
+package graft
+
+import graft.suite.{OpenapiExtract, SchemaDocs}
+import graft.suite.OpenapiExtract.{Options, extract}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `codegen openapi` extraction walk — mirrors the reference's own unit
+  * tests (codegen/openapi/mod.rs:430-1247, endpoint.rs:208-348,
+  * responses.rs:252-393) plus the 01/04 YAML fixtures.
+  */
+class OpenapiExtractSpec extends AnyFunSuite {
+
+  private val FixtureDir = "/root/reference/crates/schematools/resources/test"
+  private def j(s: String) = SchemaDocs.json.readTree(s)
+
+  /** mod.rs test_schema(): Pet / PetInput / Unused + listPets / createPet. */
+  private def testSchema = j(
+    """{"openapi":"3.0.0","info":{"title":"Test","version":"1.0.0"},
+      |"components":{"schemas":{
+      |  "Pet":{"type":"object","title":"Pet","properties":{"id":{"type":"integer"}}},
+      |  "PetInput":{"type":"object","title":"PetInput","properties":{"name":{"type":"string"}}},
+      |  "Unused":{"type":"object","title":"Unused","properties":{"x":{"type":"string"}}}}},
+      |"paths":{"/pets":{
+      |  "get":{"operationId":"listPets","responses":{"200":{"description":"ok",
+      |    "content":{"application/json":{"schema":{"$ref":"#/components/schemas/Pet"}}}}}},
+      |  "post":{"operationId":"createPet",
+      |    "requestBody":{"required":true,"content":{"application/json":{
+      |      "schema":{"$ref":"#/components/schemas/PetInput"}}}},
+      |    "responses":{"201":{"description":"created",
+      |      "content":{"application/json":{"schema":{"$ref":"#/components/schemas/Pet"}}}}}}}}}
+      |""".stripMargin)
+
+  /** Inline twin documents (titled / untitled variants of mod.rs tests). */
+  private def inlineSchema(title1: Option[String], title2: Option[String],
+                           withAddress: Boolean = false) = {
+    def schema(t: Option[String], desc: Option[String]) = {
+      val addr = if (withAddress)
+        ""","address":{"type":"object","title":"InlineAddress","properties":{"city":{"type":"string"}}}"""
+      else ""
+      val tt = t.map(v => s""""title":"$v",""").getOrElse("")
+      val dd = desc.map(v => s""""description":"$v",""").getOrElse("")
+      s"""{"type":"object",$tt$dd"properties":{"id":{"type":"integer"}$addr}}"""
+    }
+    j(s"""{"openapi":"3.0.0","info":{"title":"Inline","version":"1.0.0"},
+         |"paths":{
+         | "/foo":{"get":{"operationId":"getFoo","responses":{"200":{"description":"OK",
+         |   "content":{"application/json":{"schema":${schema(title1, None)}}}}}}},
+         | "/bar":{"get":{"operationId":"getBar","responses":{"200":{"description":"OK",
+         |   "content":{"application/json":{"schema":${schema(title2, None)}}}}}}}}}
+         |""".stripMargin)
+  }
+
+  // ------------------------------------------------- mod.rs filtering tests
+
+  test("no skip: both endpoints, all three models (test_no_skip_endpoints)") {
+    val o = extract(testSchema)
+    assert(o.endpoints.map(_.operation).toSet === Set("listPets", "createPet"))
+    val names = o.models.names
+    assert(Seq("Pet", "PetInput", "Unused").forall(names.contains))
+  }
+
+  test("skip one endpoint keeps shared + unused models (test_skip_endpoint_removes_only_related_models)") {
+    val o = extract(testSchema, Options(skipEndpoints = Seq("listPets")))
+    assert(o.endpoints.map(_.operation) === Seq("createPet"))
+    val names = o.models.names
+    assert(names.contains("Pet"), "Pet also used by createPet")
+    assert(names.contains("PetInput"))
+    assert(names.contains("Unused"), "not tied to any endpoint")
+  }
+
+  test("skip all endpoints keeps only unused models (test_skip_all_endpoints_keeps_unused_models)") {
+    val o = extract(testSchema, Options(skipEndpoints = Seq("listPets", "createPet")))
+    assert(o.endpoints.isEmpty)
+    val names = o.models.names
+    assert(names.contains("Unused"))
+    assert(!names.contains("Pet") && !names.contains("PetInput"))
+  }
+
+  test("only endpoint keeps its models and untied ones (test_only_endpoint_keeps_related_models_and_drops_others)") {
+    val o = extract(testSchema, Options(onlyEndpoints = Seq("createPet")))
+    assert(o.endpoints.map(_.operation) === Seq("createPet"))
+    val names = o.models.names
+    assert(names.contains("Pet") && names.contains("PetInput") && names.contains("Unused"))
+  }
+
+  test("only + skip-unused removes everything not reached (test_only_endpoint_with_skip_unused_removes_unused_models)") {
+    val o = extract(testSchema,
+      Options(onlyEndpoints = Seq("listPets"), skipUnusedModels = true))
+    assert(o.endpoints.size === 1)
+    val names = o.models.names
+    assert(names.contains("Pet"))
+    assert(!names.contains("PetInput") && !names.contains("Unused"))
+  }
+
+  test("skip-unused alone removes only unused (test_skip_unused_models_removes_only_unused)") {
+    val o = extract(testSchema, Options(skipUnusedModels = true))
+    assert(o.endpoints.size === 2)
+    val names = o.models.names
+    assert(names.contains("Pet") && names.contains("PetInput"))
+    assert(!names.contains("Unused"))
+  }
+
+  // ----------------------------------------------- mod.rs inline-model tests
+
+  test("identical titled inline models dedup + operations linked (test_inline_response_models_are_extracted_and_deduplicated)") {
+    val doc = inlineSchema(Some("InlineUser"), Some("InlineUser"), withAddress = true)
+    val o = extract(doc, Options(mergeSimilarModels = true))
+    assert(o.models.names.count(_ == "InlineUser") === 1)
+    assert(o.models.names.contains("InlineAddress"))
+    val user = o.models.models.find(_.name == "InlineUser").get
+    assert(user.operations.toSet === Set("getFoo", "getBar"))
+  }
+
+  test("skip endpoint keeps deduplicated inline model (test_skip_endpoint_keeps_deduplicated_inline_model)") {
+    val doc = inlineSchema(Some("InlineUser"), Some("InlineUser"))
+    val o = extract(doc,
+      Options(skipEndpoints = Seq("getFoo"), mergeSimilarModels = true))
+    assert(o.models.names.contains("InlineUser"), "still used by getBar")
+  }
+
+  test("untitled identical inline models merge into one linked model (test_untitled_inline_models_are_deduplicated_and_linked)") {
+    val doc = inlineSchema(None, None)
+    val o = extract(doc, Options(mergeSimilarModels = true))
+    assert(o.models.models.size === 1, o.models.names.mkString(","))
+    assert(o.models.models.head.operations.toSet === Set("getFoo", "getBar"))
+    val skipped = extract(doc,
+      Options(skipEndpoints = Seq("getBar"), mergeSimilarModels = true))
+    assert(skipped.models.models.size === 1)
+  }
+
+  test("different titles do not merge without the flag (test_similar_inline_models_are_not_merged_without_flag)") {
+    val doc = inlineSchema(Some("InlineUser"), Some("InlineUserResponse"))
+    val o = extract(doc)
+    val names = o.models.names
+    assert(names.contains("InlineUser") && names.contains("InlineUserResponse"))
+    assert(names.size === 2)
+  }
+
+  test("only-endpoint keeps deduplicated inline model (test_only_endpoint_keeps_deduplicated_inline_model)") {
+    val doc = inlineSchema(Some("InlineUser"), Some("InlineUser"))
+    val o = extract(doc,
+      Options(onlyEndpoints = Seq("getBar"), mergeSimilarModels = true))
+    assert(o.endpoints.size === 1)
+    assert(o.models.names.contains("InlineUser"))
+  }
+
+  test("only-endpoint matches x-original-operation-id (test_only_endpoint_matches_original_operation_id_after_overwrite)") {
+    // document post-OpenapiNamer overwrite: new id + x-original-operation-id
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"Test","version":"1.0.0"},
+        |"paths":{"/api/v1/taxes/sellers":{"get":{
+        |  "operationId":"taxesSellersListApiV1",
+        |  "x-original-operation-id":"getSellersAllTaxes",
+        |  "responses":{"200":{"description":"OK","content":{"application/json":{
+        |    "schema":{"type":"object","properties":{"data":{"type":"array",
+        |      "items":{"$ref":"#/components/schemas/SellersAllTaxes"}}}}}}}}}}},
+        |"components":{"schemas":{"SellersAllTaxes":{"title":"SellersAllTaxes",
+        |  "type":"object","properties":{"id":{"type":"string"}}}}}}
+        |""".stripMargin)
+    for (merge <- Seq(false, true)) {
+      val o = extract(doc,
+        Options(onlyEndpoints = Seq("getSellersAllTaxes"), mergeSimilarModels = merge))
+      assert(o.endpoints.size === 1, s"merge=$merge")
+      assert(o.models.names.contains("SellersAllTaxes"),
+        s"merge=$merge: nested model must inherit the operation space")
+    }
+  }
+
+  test("nullable primitive component survives merge (test_nullable_primitive_component_preserved_with_merge_similar_models)") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"Test","version":"1.0.0"},
+        |"components":{"schemas":{
+        | "PriceType":{"title":"PriceType","type":"string","format":"decimal"},
+        | "NullablePriceType":{"title":"NullablePriceType","oneOf":[
+        |   {"type":"null"},{"$ref":"#/components/schemas/PriceType"}]},
+        | "PriceResponse":{"title":"PriceResponse","type":"object","required":["price"],
+        |   "properties":{"price":{"$ref":"#/components/schemas/NullablePriceType"}}}}},
+        |"paths":{"/price":{"get":{"operationId":"getPrice","responses":{"200":{
+        |  "description":"ok","content":{"application/json":{
+        |    "schema":{"$ref":"#/components/schemas/PriceResponse"}}}}}}}}}
+        |""".stripMargin)
+    val o = extract(doc, Options(mergeSimilarModels = true))
+    val names = o.models.names
+    assert(names.contains("PriceType") && names.contains("NullablePriceType"))
+    val resp = o.models.models.find(_.name == "PriceResponse").get
+    val price = resp.properties.find(_.name == "price").get
+    assert(price.nullable, "NullablePriceType property keeps nullable=true")
+  }
+
+  // -------------------------------------- endpoint.rs / responses.rs tests
+
+  test("path-level parameters merge into methods (endpoint.rs test_extract_of_parameters)") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{"/users/{userId}":{
+        | "parameters":[{"in":"path","name":"userId","description":"userId",
+        |   "required":true,"schema":{"type":"string"}}],
+        | "post":{"summary":"Save something","description":"Testing",
+        |   "responses":{"200":{"description":"Success response",
+        |     "content":{"application/json":{"schema":{"type":"string"}}}}}},
+        | "get":{"summary":"Get something","description":"Testing 2",
+        |   "parameters":[{"in":"query","name":"testId","description":"testId",
+        |     "required":false,"schema":{"type":"string"}}],
+        |   "responses":{"200":{"description":"Success response",
+        |     "content":{"application/json":{"schema":{"type":"string"}}}}}}}}}
+        |""".stripMargin)
+    val o = extract(doc)
+    val post = o.endpoints.find(_.method == "post").get
+    assert(post.parameters.all.size === 1)
+    val get = o.endpoints.find(_.method == "get").get
+    assert(get.parameters.all.size === 2)
+    assert(get.parameters.query.size === 1 && get.parameters.path.size === 1)
+    // no explicit operationId → synthesized in resource-method-version order
+    assert(get.operation === "userListUser" || get.operation.nonEmpty)
+  }
+
+  test("vnd parse, success = first 2xx, unique models (endpoint.rs test_responses + responses.rs test_all_models_unique)") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{"/users/{userId}":{"get":{
+        | "operationId":"getUser",
+        | "responses":{
+        |  "200":{"description":"Success response","content":{
+        |    "application/json":{"schema":{"type":"string"}},
+        |    "application/vnd.short+json":{"schema":{"type":"object",
+        |      "properties":{"test":{"type":"string"}}}}}},
+        |  "400":{"description":"Fail response","content":{
+        |    "application/json":{"schema":{"type":"object",
+        |      "properties":{"errorCode":{"type":"number"}}}}}}}}}}}
+        |""".stripMargin)
+    val o = extract(doc)
+    val e = o.endpoints.head
+    val success = e.responses.success.get
+    assert(success.statusCode === 200)
+    assert(success.models.get.list.size === 2)
+    val Seq(m1, m2) = success.models.get.list
+    assert(!m1.alternativeContentType && !m2.alternativeContentType)
+    assert(m2.vnd === Some(OpenapiExtract.MediaVendorType("application/json", "short")))
+    // all three models structurally distinct → every one unique
+    assert(e.responses.all.flatMap(_.models.toSeq.flatMap(_.list)).forall(_.isUnique))
+  }
+
+  test("alternative content type flagged for non-default base (responses.rs test_alternative)") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{"/x":{"get":{"operationId":"getX","responses":{"200":{
+        | "description":"Success response","content":{
+        |  "application/json":{"schema":{"type":"string"}},
+        |  "text/html":{"schema":{"type":"string"}}}}}}}}}
+        |""".stripMargin)
+    val e = extract(doc).endpoints.head
+    val Seq(first, second) = e.responses.success.get.models.get.list
+    assert(!first.alternativeContentType)
+    assert(second.alternativeContentType, "text/html base differs from application/json")
+  }
+
+  test("same shape in every response → nothing unique (responses.rs test_no_unique_model)") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{"/x":{"get":{"operationId":"getX","responses":{
+        | "200":{"description":"ok","content":{
+        |   "application/json":{"schema":{"type":"string"}},
+        |   "application/vnd.short+json":{"schema":{"type":"string"}}}},
+        | "400":{"description":"fail","content":{
+        |   "application/json":{"schema":{"type":"string"}}}}}}}}}
+        |""".stripMargin)
+    val e = extract(doc).endpoints.head
+    val all = e.responses.all.flatMap(_.models.toSeq.flatMap(_.list))
+    assert(all.size === 3)
+    assert(all.forall(!_.isUnique))
+  }
+
+  // ------------------------------------------------------- defaults + misc
+
+  test("tags default to [default]; 'default' status maps to 0; security schemes resolve") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"components":{"securitySchemes":{
+        |  "basicAuth":{"type":"http","scheme":"basic"},
+        |  "apiKey":{"type":"apiKey","in":"header","name":"X-Key"}}},
+        |"security":[{"basicAuth":[]}],
+        |"paths":{"/a":{"get":{"operationId":"getA","responses":{
+        |   "default":{"description":"any"},"204":{"description":"gone"}}}},
+        | "/b":{"get":{"operationId":"getB","security":[{"apiKey":[]}],
+        |   "responses":{"200":{"description":"ok"}}}}}}
+        |""".stripMargin)
+    val o = extract(doc)
+    val a = o.endpoints.find(_.operation == "getA").get
+    assert(a.tags === Seq("default"))
+    assert(o.tags === Seq("default"))
+    assert(a.responses.all.map(_.statusCode).toSet === Set(0, 204))
+    assert(a.responses.success.get.statusCode === 204)
+    assert(a.security.map(_.schemeName) === Seq("basicAuth"), "root default applies")
+    val b = o.endpoints.find(_.operation == "getB").get
+    assert(b.security.map(_.schemeName) === Seq("apiKey"), "endpoint override wins")
+    assert(o.security.all.map(_.schemeName).toSet === Set("basicAuth", "apiKey"))
+  }
+
+  // ------------------------------------------------------- YAML fixtures
+
+  test("01-simple.yaml: operationId fallback, $ref'd responses/requestBody, tags") {
+    val doc = SchemaDocs.loadUrl(
+      SchemaDocs.pathToUrl(s"$FixtureDir/openapi/01-simple.yaml"))
+    val o = extract(doc)
+    val ops = o.endpoints.map(e => (e.method, e.path) -> e.operation).toMap
+    assert(ops(("get", "/v2/resources/{id}")) === "resourceGet", "explicit id kept")
+    // fallbacks synthesized with get_operation_id(true):
+    // post /v2/resources → [resource(create→singular), create, v2]
+    assert(ops(("post", "/v2/resources")) === "resourceCreateV2")
+    assert(ops(("patch", "/v2/resources/{id}")) === "resourceUpdateV2")
+    val post = o.endpoints.find(_.method == "post").get
+    assert(post.requestBody.get.required)
+    assert(post.responses.all.map(_.statusCode).toSet === Set(200, 400))
+    assert(post.responses.success.get.statusCode === 200)
+  }
+
+  test("04-codegen-dedup.yaml: merge flag collapses the structural twin (test_codegen_extract_merges_similar_models_from_dereferenced_file)") {
+    val doc = SchemaDocs.loadUrl(
+      SchemaDocs.pathToUrl(s"$FixtureDir/openapi/04-codegen-dedup.yaml"))
+    val plain = extract(doc)
+    for (n <- Seq("ResourceList", "ResourceDefinition", "ResourceDefinition2"))
+      assert(plain.models.names.contains(n), s"$n without merge")
+    val merged = extract(doc, Options(mergeSimilarModels = true))
+    assert(merged.models.names.contains("ResourceList"))
+    assert(!merged.models.names.contains("ResourceDefinition2"),
+      "ResourceDefinition2 merges into its structural twin")
+    val params = merged.endpoints.find(_.operation == "resourceGet").get.parameters
+    assert(params.path.map(_.name) === Seq("id"))
+    assert(params.query.map(_.name) === Seq("page"))
+  }
+}
