@@ -1,0 +1,188 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.ops.Naming
+import graft.suite.OpenapiExtract.{Endpoint, Openapi}
+
+/** Template-header semantics of the codegen render plane — the Tera header
+  * vocabulary (`{# type=…,filename=…,if=…,group_by=…,min_version=… #}`),
+  * the `if` condition, the min-version semver gate, filename `%options.x%`
+  * interpolation, and group_by=tag grouping, mirroring
+  * codegen/templates.rs:216-269 (header parse + gate), :102-120
+  * (Condition), :121-186 (GroupBy/TagGroup), :92-99 (Filename) and
+  * codegen/mod.rs:29-60 (`format` key=value[;value] parsing).
+  *
+  * The distributed mapping of "render" is one REPORT ROW per rendered unit
+  * (template × group that passes its condition, with the resolved target
+  * filename and unit cardinality) — the parquet-report analog of
+  * renderer.rs:36-110's file writes; the Tera text back-end itself is
+  * out of the engine's scope (SURVEY §2.10).
+  */
+object Templates {
+
+  /** This engine's version for the min-version gate (the analog of the
+    * reference gating template compatibility on crate::VERSION).
+    */
+  val EngineVersion: Semver = Semver(0, 22, 0)
+
+  sealed trait HeaderError extends Exception
+  /** Not a template header at all — callers skip the file
+    * (Error::CodegenFileSkipped).
+    */
+  final case class Skipped(relative: String)
+      extends Exception(s"not a template: $relative") with HeaderError
+  final case class IncorrectVersion(current: Semver, min: Semver, relative: String)
+      extends Exception(s"$relative needs >=$min, running $current") with HeaderError
+
+  /** codegen/mod.rs:29-60 `format`: comma-separated k=v pairs, `;` in the
+    * value splits it into a list. A segment without exactly one `=` errors.
+    */
+  def parseParams(data: String): Map[String, Either[String, Seq[String]]] =
+    data.split(',').filter(_.nonEmpty).map { s =>
+      s.trim.split("=", -1) match {
+        case Array(k, v) if v.contains(";") => k -> Right(v.split(";", -1).toSeq)
+        case Array(k, v) => k -> Left(v)
+        case _ => throw new IllegalArgumentException(s"Cannot parse: $s")
+      }
+    }.toMap
+
+  final case class Condition(kv: String) {
+    /** fill → split on ':' → equality when exactly two parts, vacuous truth
+      * otherwise; a fill error means false (templates.rs:107-119).
+      */
+    def check(container: JsonNode): Boolean =
+      try {
+        NodeWalk.fillParameters(kv, container).split(":", -1) match {
+          case Array(left, right) => left == right
+          case _ => true
+        }
+      } catch { case _: IllegalArgumentException => false }
+  }
+
+  final case class Filename(raw: String) {
+    def resolve(container: JsonNode): String = NodeWalk.fillParameters(raw, container)
+  }
+
+  final case class Template(
+      relative: String,
+      kind: String, // endpoints | models | tags | static
+      filename: Filename,
+      contentType: String,
+      condition: Option[Condition],
+      groupBy: Option[String])
+
+  /** templates.rs:216-269 `Template::from_content`: first line, leading
+    * '#'s stripped, must open with `{# `; params parsed; `min_version`
+    * REQUIRED and gated against [[EngineVersion]] with the reference's
+    * window `>=min, <(major+1).minor.0`; `type` REQUIRED; `filename`
+    * REQUIRED for every header type; `group_by` only legal as `tag` (and
+    * only read for endpoints templates).
+    */
+  def fromContent(relative: String, content: String): Template = {
+    val first = content.linesIterator.nextOption().getOrElse(throw Skipped(relative))
+    val line = first.dropWhile(_ == '#').trim
+    if (!line.startsWith("{# ")) throw Skipped(relative)
+    val params = parseParams(line.replaceAll("^[{}# ]+|[{}# ]+$", ""))
+    def str(k: String): Option[String] = params.get(k).map {
+      case Left(v) => v
+      case Right(vs) => vs.mkString(";")
+    }
+
+    val min = Semver.parse(str("min_version").getOrElse(
+      throw new IllegalArgumentException(s"min_version header missing in $relative")))
+    // >= min, < (major+1).minor.0 — the reference's exact (quirky) window
+    val upper = Semver(min.major + 1, min.minor, 0)
+    if (EngineVersion < min || !(EngineVersion < upper))
+      throw IncorrectVersion(EngineVersion, min, relative)
+
+    val kind = str("type").getOrElse(
+      throw new IllegalArgumentException(s"type header missing in $relative"))
+    require(Seq("endpoints", "models", "tags", "static").contains(kind),
+      s"type header missing in $relative")
+    val filename = Filename(str("filename").getOrElse(
+      throw new IllegalArgumentException(s"filename header missing in $relative")))
+    val groupBy = if (kind == "endpoints") str("group_by").map { g =>
+      require(g == "tag", s"group_by '$g' not allowed")
+      g
+    } else None
+    Template(relative, kind, filename,
+      str("content_type").getOrElse("application/json"),
+      str("if").map(Condition), groupBy)
+  }
+
+  /** Load every discovered `.j2` template, silently skipping non-template
+    * content (templates.rs:593-622 `get`; CodegenFileSkipped → continue).
+    */
+  def fromDiscovered(templates: Map[String, String]): Seq[Template] =
+    templates.toSeq.sortBy(_._1).flatMap { case (rel, content) =>
+      try Some(fromContent(rel, content))
+      catch { case _: Skipped => None }
+    }
+
+  // ------------------------------------------------------------ render plan
+
+  /** One row per rendered unit — template × group surviving its condition,
+    * with the resolved filename and the cardinality the Tera context would
+    * have carried.
+    */
+  final case class RenderUnit(template: String, kind: String, target: String,
+      tag: Option[String], nEndpoints: Int, nModels: Int)
+
+  /** TagGroup::produce (templates.rs:160-174): sorted distinct tags. */
+  def tagGroups(endpoints: Seq[Endpoint]): Seq[String] =
+    endpoints.flatMap(_.tags).distinct.sorted
+
+  private def pascal(s: String): String = {
+    val c = Naming.camel(s)
+    if (c.isEmpty) c else c.substring(0, 1).toUpperCase + c.substring(1)
+  }
+
+  private def withData(container: JsonNode, kv: (String, String)*): JsonNode = {
+    val obj = container.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    kv.foreach { case (k, v) => obj.put(k, v); () }
+    obj
+  }
+
+  /** The renderer.rs:36-110 walk as a plan: for each template, evaluate
+    * grouping + condition + filename against the container and emit report
+    * rows instead of Tera output files.
+    */
+  def renderPlan(templates: Seq[Template], openapi: Openapi,
+                 container: JsonNode): Seq[RenderUnit] =
+    templates.flatMap { t =>
+      def passes(c: JsonNode): Boolean = t.condition.forall(_.check(c))
+      t.kind match {
+        case "static" =>
+          if (passes(container))
+            Seq(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None, 0, 0))
+          else Nil
+        case "models" =>
+          if (passes(container))
+            Seq(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None,
+              0, openapi.models.models.size))
+          else Nil
+        case "tags" =>
+          // one unit carrying every tag group (templates.rs:434-516)
+          if (passes(container))
+            Seq(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None,
+              0, 0))
+          else Nil
+        case "endpoints" =>
+          val groups: Seq[Option[String]] =
+            if (t.groupBy.isDefined) tagGroups(openapi.endpoints).map(Some(_))
+            else Seq(None)
+          groups.flatMap { g =>
+            // TagGroup::process: container.tag = PascalCase(tag), endpoints
+            // retained to the group (templates.rs:146-158)
+            val c = g.map(tag => withData(container, "tag" -> pascal(tag)))
+              .getOrElse(container)
+            val kept = g.map(tag => openapi.endpoints.filter(_.tags.contains(tag)))
+              .getOrElse(openapi.endpoints)
+            if (passes(c))
+              Seq(RenderUnit(t.relative, t.kind, t.filename.resolve(c), g,
+                kept.size, 0))
+            else Nil
+          }
+      }
+    }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import graft.suite.{OpenapiExtract, SchemaDocs, Semver, Templates}
+import graft.suite.Templates._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Render-header semantics — Tera header vocabulary parse, min-version
+  * gate, `if` conditions, `%options.x%` filename interpolation and
+  * group_by=tag grouping (codegen/templates.rs:92-269, mod.rs:29-60).
+  */
+class TemplatesSpec extends AnyFunSuite {
+
+  private def j(s: String) = SchemaDocs.json.readTree(s)
+  private val minOk = s"min_version=0.1.0"
+
+  test("header params parse: k=v pairs, ';' splits into a list, junk errors (mod.rs format)") {
+    val p = parseParams("type=models,filename=a.rs,tags=x;y;z")
+    assert(p("type") === Left("models"))
+    assert(p("tags") === Right(Seq("x", "y", "z")))
+    intercept[IllegalArgumentException](parseParams("type=models,junk"))
+  }
+
+  test("from_content: leading #s stripped, non-header content skipped, type/filename required") {
+    val t = fromContent("m.j2", s"## {# type=models,filename=m.rs,$minOk #}\nbody")
+    assert(t.kind === "models" && t.filename.raw === "m.rs")
+    intercept[Skipped](fromContent("plain.j2", "no header here"))
+    intercept[Skipped](fromContent("empty.j2", ""))
+    intercept[IllegalArgumentException](
+      fromContent("x.j2", s"{# filename=a,$minOk #}")) // no type
+    intercept[IllegalArgumentException](
+      fromContent("x.j2", s"{# type=models,$minOk #}")) // no filename
+  }
+
+  test("min_version gate: required, window [min, (major+1).minor.0) (templates.rs:239-252)") {
+    intercept[IllegalArgumentException](
+      fromContent("x.j2", "{# type=models,filename=a #}")) // missing
+    // engine 0.22.0: min 0.1.0 → window [0.1.0, 1.1.0) → ok
+    fromContent("x.j2", "{# type=models,filename=a,min_version=0.1.0 #}")
+    // min above current → rejected
+    val tooNew = intercept[IncorrectVersion](
+      fromContent("x.j2", "{# type=models,filename=a,min_version=99.0.0 #}"))
+    assert(tooNew.min === Semver(99, 0, 0))
+    assert(tooNew.current === Templates.EngineVersion)
+  }
+
+  test("group_by only allows tag, and only for endpoints templates") {
+    val t = fromContent("e.j2", s"{# type=endpoints,filename=e.rs,group_by=tag,$minOk #}")
+    assert(t.groupBy === Some("tag"))
+    intercept[IllegalArgumentException](
+      fromContent("e.j2", s"{# type=endpoints,filename=e.rs,group_by=path,$minOk #}"))
+    // ignored for non-endpoints kinds (the reference only reads it there)
+    val m = fromContent("m.j2", s"{# type=models,filename=m.rs,group_by=path,$minOk #}")
+    assert(m.groupBy === None)
+  }
+
+  test("condition: fill + ':' equality; missing pointer → false; no ':' pair → true (templates.rs:102-120)") {
+    val c = j("""{"options":{"lang":"rust"}}""")
+    assert(Condition("%options.lang%:rust").check(c))
+    assert(!Condition("%options.lang%:go").check(c))
+    assert(!Condition("%options.missing%:x").check(c), "fill error → false")
+    assert(Condition("no-colon-pairs-are-vacuously-true").check(c))
+  }
+
+  test("filename interpolation resolves %options.x% (tools.rs fill_parameters)") {
+    val c = j("""{"options":{"name":"client","version":7}}""")
+    assert(Filename("src/%options.name%_%options.version%.rs").resolve(c)
+      === "src/client_7.rs")
+    intercept[IllegalArgumentException](Filename("%options.nope%.rs").resolve(c))
+  }
+
+  test("fromDiscovered: non-template .j2 content skipped silently, templates kept (templates.rs get)") {
+    val ts = fromDiscovered(Map(
+      "a.j2" -> s"{# type=static,filename=s.txt,$minOk #}\nhello",
+      "b.j2" -> "just a text file",
+      "c.j2" -> s"{# type=models,filename=m.rs,$minOk #}\n{{ model }}"))
+    assert(ts.map(_.relative) === Seq("a.j2", "c.j2"))
+  }
+
+  test("render plan: group_by=tag emits one unit per tag with retained endpoint counts") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{
+        | "/a":{"get":{"operationId":"getA","tags":["pets"],
+        |   "responses":{"200":{"description":"ok"}}}},
+        | "/b":{"get":{"operationId":"getB","tags":["pets","stores"],
+        |   "responses":{"200":{"description":"ok"}}}},
+        | "/c":{"get":{"operationId":"getC",
+        |   "responses":{"200":{"description":"ok"}}}}}}
+        |""".stripMargin)
+    val openapi = OpenapiExtract.extract(doc)
+    val container = j("""{"options":{"pkg":"api"}}""")
+    val ts = Seq(
+      fromContent("endpoints.j2",
+        s"{# type=endpoints,filename=%tag%_api.rs,group_by=tag,$minOk #}"),
+      fromContent("all.j2", s"{# type=endpoints,filename=all.rs,$minOk #}"),
+      fromContent("mod.j2", s"{# type=static,filename=%options.pkg%_mod.rs,$minOk #}"))
+    val plan = renderPlan(ts, openapi, container)
+
+    val grouped = plan.filter(_.template == "endpoints.j2")
+    // tags sorted: default, pets, stores; container.tag is PascalCased
+    assert(grouped.map(_.tag) === Seq(Some("default"), Some("pets"), Some("stores")))
+    assert(grouped.map(_.target) === Seq("Default_api.rs", "Pets_api.rs", "Stores_api.rs"))
+    assert(grouped.map(_.nEndpoints) === Seq(1, 2, 1))
+    assert(plan.find(_.template == "all.j2").get.nEndpoints === 3)
+    assert(plan.find(_.template == "mod.j2").get.target === "api_mod.rs")
+  }
+
+  test("render plan: per-group condition can keep only one tag's unit") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{
+        | "/a":{"get":{"operationId":"getA","tags":["pets"],
+        |   "responses":{"200":{"description":"ok"}}}},
+        | "/b":{"get":{"operationId":"getB","tags":["stores"],
+        |   "responses":{"200":{"description":"ok"}}}}}}
+        |""".stripMargin)
+    val openapi = OpenapiExtract.extract(doc)
+    val t = fromContent("one.j2",
+      s"{# type=endpoints,filename=%tag%.rs,group_by=tag,if=%tag%:Pets,$minOk #}")
+    val plan = renderPlan(Seq(t), openapi, j("""{}"""))
+    assert(plan.map(_.tag) === Seq(Some("pets")))
+    // static template failing its condition emits nothing
+    val s = fromContent("skip.j2", s"{# type=static,filename=s.txt,if=a:b,$minOk #}")
+    assert(renderPlan(Seq(s), openapi, j("""{}""")).isEmpty)
+  }
+}
