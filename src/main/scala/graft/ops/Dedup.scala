@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import TextAnalysis.{polyHash, words, P}
 
+  /** Spark conf flag routing every pair-op materialization barrier to a
+    * RELIABLE checkpoint instead of a local one.
+    */
+  val ReliableCheckpointsKey = "spark.graft.reliableCheckpoints"
+
+  /** Materialization barrier for pair-op intermediates (banded joins, CC
+    * rounds). Default: eager `localCheckpoint` — executor block-manager
+    * storage, fastest, right for the single-JVM sandbox; but on a real
+    * cluster an executor loss makes local checkpoints unrecoverable
+    * mid-job (the lineage was cut). Set [[ReliableCheckpointsKey]]=true
+    * (plus `SparkContext.setCheckpointDir` on durable storage) to route
+    * every site through `checkpoint()` — same plans, same results, the
+    * barrier data just lands on HDFS/S3 and survives executor loss.
+    */
+  private[graft] def barrier(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption(ReliableCheckpointsKey).exists(_.toBoolean))
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Exact duplicate groups by content hash: (sha, n, keeper=min id). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(sha2(col(textCol), 256).as("sha"))
@@ -168,7 +187,7 @@ object Dedup {
     // can be RELEASED here instead of leaking block-manager memory across a
     // long-lived session; localCheckpoint also cuts the lineage so callers
     // can't accidentally recompute the interpreted hashing stages.
-    val result = scored.localCheckpoint(true)
+    val result = barrier(scored)
     withShs.unpersist()
     withSig.unpersist()
     result
@@ -246,7 +265,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-    val result = pairs.localCheckpoint(true)
+    val result = barrier(pairs)
     sigs.unpersist()
     result
   }
@@ -277,12 +296,12 @@ object Dedup {
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): (DataFrame, Int) = {
-    val allIds = pairs.select(col(aCol).as("id"))
+    val allIds = barrier(pairs.select(col(aCol).as("id"))
       .unionByName(pairs.select(col(bCol).as("id")))
-      .distinct().localCheckpoint(true)
-    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .distinct())
+    var edges = barrier(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct())
     var edgeCount = edges.count()
     var converged = edgeCount == 0L
     var i = 0
@@ -303,10 +322,10 @@ object Dedup {
         least(col("u"), col("v")).as("v")).where(col("u") =!= col("v"))
       val ssMin = oriented.groupBy("u").agg(min("v").as("m"))
       val joined = oriented.join(ssMin, "u")
-      val next = joined.where(col("v") =!= col("m"))
+      val next = barrier(joined.where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(ssMin.select(col("u"), col("m").as("v")))
-        .distinct().localCheckpoint(true)
+        .distinct())
       val nextCount = next.count()
       converged = nextCount == edgeCount &&
         next.except(edges).limit(1).isEmpty

@@ -2,7 +2,7 @@ package graft.run
 
 import graft.core._
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Resumable validation runs with per-partition lineage — the engine's
@@ -88,17 +88,21 @@ object Checkpoint {
         .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/verdicts")
       violDf.unpersist()
       // mergeable stats sketches (SURVEY §4.3): per-part count/nulls/
-      // native-typed min/max plus a PERSISTABLE Datasketches HLL buffer
-      // (hll_sketch_agg) — batches written here union into whole-table
-      // stats on read (mergedStats), including approxDistinct, without
-      // ever rescanning completed batches
+      // native-typed min/max plus PERSISTABLE Datasketches buffers — HLL
+      // (hll_sketch_agg) for NDV and KLL (kll_sketch_agg_double) for
+      // quantiles — batches written here union into whole-table stats on
+      // read (mergedStats), including approxDistinct and q25/q50/q75,
+      // without ever rescanning completed batches. The KLL input is
+      // try_cast to double: non-numeric columns yield an empty sketch
+      // (null quantiles) instead of an ANSI cast error.
       if (statsColumns.nonEmpty) {
         val aggs = statsColumns.flatMap { c =>
           Seq(count(col(c)).as(s"${c}__count"),
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
             min(col(c)).as(s"${c}__min"),
             max(col(c)).as(s"${c}__max"),
-            hll_sketch_agg(col(c).cast("string")).as(s"${c}__hll"))
+            hll_sketch_agg(col(c).cast("string")).as(s"${c}__hll"),
+            kll_sketch_agg_double(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"${c}__kll"))
         }
         slice.groupBy(col(engine.PartCol).as("part")).agg(aggs.head, aggs.tail: _*)
           .select(col("*") +: lineage: _*)
@@ -129,10 +133,13 @@ object Checkpoint {
   }
 
   /** Whole-table stats merged from the per-part sketches a resumable run
-    * persisted: counts/nulls sum, native-typed min/max fold, and HLL union
-    * (`hll_union_agg` → `hll_sketch_estimate`) for approxDistinct — the
-    * merge is exact for the additive fields and within-rsd for NDV, no
-    * matter how many separate (killed/resumed) runs wrote the batches.
+    * persisted: counts/nulls sum, native-typed min/max fold, HLL union
+    * (`hll_union_agg` → `hll_sketch_estimate`) for approxDistinct, and KLL
+    * merge (`kll_merge_agg_double` → `kll_sketch_get_quantile_double`) for
+    * q25/q50/q75 — the merge is exact for the additive fields, within-rsd
+    * for NDV, and within KLL rank error for quantiles, no matter how many
+    * separate (killed/resumed) runs wrote the batches. Quantiles are null
+    * for columns with no castable numeric values.
     */
   def mergedStats(spark: SparkSession, dir: String, snapshotId: String,
                   ruleSetHash: String, statsColumns: Seq[String]): DataFrame = {
@@ -157,14 +164,20 @@ object Checkpoint {
         sum(col(s"${c}__nulls")).as(s"${c}__nulls"),
         min(col(s"${c}__min")).cast("string").as(s"${c}__min"),
         max(col(s"${c}__max")).cast("string").as(s"${c}__max"),
-        hll_sketch_estimate(hll_union_agg(col(s"${c}__hll"))).as(s"${c}__adist"))
+        hll_sketch_estimate(hll_union_agg(col(s"${c}__hll"))).as(s"${c}__adist"),
+        kll_merge_agg_double(col(s"${c}__kll")).as(s"${c}__kllm"))
     }
     val merged = wide.agg(aggs.head, aggs.tail: _*)
     val structs = statsColumns.map { c =>
+      def q(p: Double): Column =
+        when(kll_sketch_get_n_double(col(s"${c}__kllm")) > 0,
+          kll_sketch_get_quantile_double(col(s"${c}__kllm"), lit(p)))
+          .otherwise(lit(null).cast("double"))
       struct(lit(c).as("column"),
         col(s"${c}__count").as("count"), col(s"${c}__nulls").as("nulls"),
         col(s"${c}__min").as("min"), col(s"${c}__max").as("max"),
-        col(s"${c}__adist").as("approxDistinct"))
+        col(s"${c}__adist").as("approxDistinct"),
+        q(0.25).as("q25"), q(0.5).as("q50"), q(0.75).as("q75"))
     }
     merged.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
   }

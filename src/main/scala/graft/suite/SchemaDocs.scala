@@ -61,7 +61,10 @@ object SchemaDocs {
   }
 
   private[suite] def parseDocument(text: String, url: URI): JsonNode =
-    if (isYamlUrl(url)) {
+    parseAs(text, url, asYaml = isYamlUrl(url))
+
+  private def parseAs(text: String, url: URI, asYaml: Boolean): JsonNode =
+    if (asYaml) {
       val docs = yaml.readerFor(classOf[JsonNode]).readValues[JsonNode](text)
         .readAll().asScala.toVector
       docs.size match {
@@ -91,6 +94,44 @@ object SchemaDocs {
     if (url.toString.startsWith("file:/") && !url.toString.startsWith("file:///"))
       URI.create("file:///" + url.toString.stripPrefix("file:/"))
     else url)
+
+  /** The http(s) branch of document fetch (schema.rs:42-105) over a
+    * pluggable TRANSPORT returning (content-type header, body). The sandbox
+    * has zero egress, so deployments inject a real client and tests replay
+    * RECORDED responses — the honest stand-in for the reference's reqwest
+    * GET. Reference-faithful details: a missing content-type header is an
+    * error; the body parses as YAML when the content-type mentions `yaml`
+    * OR the URL extension does (content-type wins over a .json extension),
+    * JSON otherwise; file:// URLs still go through [[fileFetch]], other
+    * schemes are invalid.
+    */
+  def httpFetch(transport: URI => (Option[String], String)): URI => JsonNode = { url =>
+    url.getScheme match {
+      case "http" | "https" =>
+        val (ctOpt, body) = transport(url)
+        val contentType = ctOpt.getOrElse(throw new IllegalArgumentException(
+          s"Cannot get content-type header: $url"))
+        parseAs(body, url, asYaml = contentType.contains("yaml") || isYamlUrl(url))
+      case "file" => fileFetch(url)
+      case s => throw new IllegalArgumentException(s"invalid scheme '$s': $url")
+    }
+  }
+
+  /** Recorded-response transport: an in-memory (URI → (content-type, body))
+    * table standing in for the network, counting hits so tests can assert
+    * the storage's fetch-once discipline.
+    */
+  final class RecordedTransport(recordings: Map[URI, (Option[String], String)])
+      extends (URI => (Option[String], String)) {
+    private val counts = scala.collection.mutable.HashMap[URI, Int]()
+    def apply(url: URI): (Option[String], String) = {
+      val key = canon(url)
+      counts(key) = counts.getOrElse(key, 0) + 1
+      recordings.getOrElse(key,
+        throw new IllegalArgumentException(s"no recorded response for $key"))
+    }
+    def hits(url: URI): Int = counts.getOrElse(canon(url), 0)
+  }
 
   def loadUrl(url: URI, fetch: URI => JsonNode = fileFetch): JsonNode = fetch(url)
 

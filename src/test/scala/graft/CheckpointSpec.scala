@@ -59,17 +59,51 @@ class CheckpointSpec extends SparkSpec {
 
   test("mergeable stats sketches: kill+resume merges to one-shot stats incl. approxDistinct") {
     val dir = Files.createTempDirectory("graft_ckpt_stats").toString
-    val cols = Seq("repo", "lang", "commit")
+    val cols = Seq("repo", "lang", "commit", "id")
     intercept[RuntimeException] {
       Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4,
         failAfterBatches = Some(2), statsColumns = cols)
     }
     Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 4,
       statsColumns = cols)
-    val merged = Checkpoint.mergedStats(spark, dir, "snap1", engine.suiteHash, cols)
-      .collect().map(r => r.getString(0) ->
+    val rows = Checkpoint.mergedStats(spark, dir, "snap1", engine.suiteHash, cols)
+      .collect()
+    val merged = rows.map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4), r.getLong(5))).toMap
-    cols.foreach { c =>
+    // KLL quantiles: numeric column within rank accuracy of the exact
+    // percentiles; non-numeric columns carry null quantiles
+    val quant = rows.map(r => r.getString(0) ->
+        Seq(6, 7, 8).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))).toMap
+    assert(quant("repo") === Seq(None, None, None), "string column → null quantiles")
+    val exactQ = df.stat.approxQuantile("id", Array(0.25, 0.5, 0.75), 0.0)
+    quant("id").zip(exactQ).zipWithIndex.foreach { case ((got, want), i) =>
+      val n = df.count().toDouble
+      assert(got.isDefined, s"id q$i missing")
+      // KLL default k: normalized rank error < 2% → value at a rank within
+      // ±2% of the target; translate to a rank-window check
+      val rank = df.where(col("id") <= got.get).count() / n
+      val target = Seq(0.25, 0.5, 0.75)(i)
+      assert(math.abs(rank - target) <= 0.03,
+        s"id q$target: merged $got at rank $rank vs exact $want")
+    }
+    // merge accuracy: an unkilled one-shot run yields quantiles within KLL
+    // rank error of the kill+resume run (KLL compaction is randomized, so
+    // the sketches are not bit-identical — both sit inside the same rank
+    // window around the true percentile)
+    val dir2 = Files.createTempDirectory("graft_ckpt_stats2").toString
+    Checkpoint.runResumable(spark, engine, df, dir2, "snap1", batches = 4,
+      statsColumns = cols)
+    val oneShot = Checkpoint.mergedStats(spark, dir2, "snap1", engine.suiteHash, cols)
+      .collect().map(r => r.getString(0) ->
+        Seq(6, 7, 8).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))).toMap
+    val n = df.count().toDouble
+    oneShot("id").zip(quant("id")).foreach { case (a, b) =>
+      val ra = df.where(col("id") <= a.get).count() / n
+      val rb = df.where(col("id") <= b.get).count() / n
+      assert(math.abs(ra - rb) <= 0.03,
+        s"kill+resume quantile $b vs one-shot $a beyond rank accuracy")
+    }
+    cols.filter(_ != "id").foreach { c =>
       val (cnt, nulls, mn, mx, adist) = merged(c)
       val one = df.agg(count(col(c)), sum(when(col(c).isNull, 1L).otherwise(0L)),
         min(col(c)).cast("string"), max(col(c)).cast("string"),

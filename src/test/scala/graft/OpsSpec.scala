@@ -278,6 +278,29 @@ class OpsSpec extends SparkSpec {
     pairs.count()
   }
 
+  test("reliable-checkpoint flag: pair ops produce identical results via checkpoint()") {
+    import graft.ops.Dedup
+    val corpus = docs.where(col("doc_id") < 40).select(col("doc_id").as("id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 10)
+        .select((col("doc_id") + 100000L).as("id"), col("text")))
+    def run(): Set[(Long, Long)] =
+      Dedup.connectedComponents(
+        Dedup.minHashPairs(corpus, "id", "text", minEst = 0.5), "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_reliable").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set(Dedup.ReliableCheckpointsKey, "true")
+    try {
+      val reliable = run()
+      assert(reliable === local, "reliable barriers must not change results")
+      // the flag actually routed through reliable checkpoints: the dir has data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "no reliable checkpoint files written")
+    } finally spark.conf.unset(Dedup.ReliableCheckpointsKey)
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()

@@ -357,6 +357,41 @@ class SuiteDocsSpec extends AnyFunSuite {
     }
   }
 
+  test("recorded http fetch: remote ref chain, content-type sniffing, fetch-once (schema.rs:42-105)") {
+    import java.net.URI
+    val rootUrl = URI.create("http://example.test/schemas/root.json")
+    val childUrl = URI.create("http://example.test/schemas/child.yaml")
+    val leafUrl = URI.create("http://example.test/schemas/leaf")
+    val transport = new SchemaDocs.RecordedTransport(Map(
+      rootUrl -> (Some("application/json"),
+        """{"type":"object","properties":{"c":{"$ref":"child.yaml#/defs/C"},
+          |  "c2":{"$ref":"child.yaml#/defs/C"}}}""".stripMargin),
+      // .yaml extension → YAML parse even with a generic content-type
+      childUrl -> (Some("text/plain"),
+        "defs:\n  C:\n    type: string\n    maxLength: 5\n  L:\n    $ref: 'leaf#/defs/X'\n"),
+      // extensionless URL: the yaml CONTENT-TYPE triggers YAML parse
+      leafUrl -> (Some("application/yaml"), "defs:\n  X:\n    type: integer\n")))
+    val fetch = SchemaDocs.httpFetch(transport)
+
+    val storage = SchemaStorage.load(rootUrl, fetch)
+    assert(storage.contains(childUrl), "transitive remote ref fetched")
+    assert(storage.contains(leafUrl), "ref inside a remote doc chases further")
+    assert(storage.resolve(s"$childUrl#/defs/C").get("maxLength").asInt() === 5)
+    assert(storage.resolve(s"$leafUrl#/defs/X").get("type").asText() === "integer")
+    // fetch-once: child is referenced twice but the transport saw ONE hit
+    assert(transport.hits(childUrl) === 1)
+    assert(transport.hits(rootUrl) === 1)
+
+    // a response without content-type errors like the reference's
+    val bare = new SchemaDocs.RecordedTransport(Map(
+      rootUrl -> (None, """{"type":"object"}""")))
+    val e = intercept[IllegalArgumentException](SchemaDocs.httpFetch(bare)(rootUrl))
+    assert(e.getMessage.contains("content-type"))
+    // unknown scheme rejected
+    intercept[IllegalArgumentException](
+      SchemaDocs.httpFetch(transport)(URI.create("ftp://example.test/x")))
+  }
+
   test("suite patched between runs changes its ruleSetHash (lineage)") {
     val suiteJson = parse(
       """{"type":"object","properties":{"v":{"type":"string","maxLength":5}}}""")
