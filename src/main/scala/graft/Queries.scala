@@ -460,6 +460,23 @@ object Queries {
         .orderBy("event_id")
     }),
 
+    // §2.7 codegen filter case-conversion family (filters.rs:99-145) as
+    // column chains over a mixed-boundary string (camel boundary from the
+    // "api"+Brand concat, separators and acronym runs from p_type)
+    "q_case_conv" -> ((s, dir) => {
+      import graft.ops.CaseConv
+      val raw = concat(lit("api"), col("p_brand"), lit(" "), col("p_type"))
+      t(s, dir, "part").select(col("p_partkey"), raw.as("raw"),
+        CaseConv.snakeCol(raw).as("snake"),
+        CaseConv.screamingSnakeCol(raw).as("screaming"),
+        CaseConv.kebabCol(raw).as("kebab"),
+        CaseConv.trainCol(raw).as("train"),
+        CaseConv.titleCol(raw).as("title"),
+        CaseConv.pascalCol(raw).as("pascal"),
+        CaseConv.camelCol(raw).as("camel"))
+        .orderBy("p_partkey")
+    }),
+
     // §2.10 codegen-openapi extraction: a deterministic OpenAPI document is
     // synthesized from `part` rows (one path+method per row — explicit
     // operationId on every 3rd row, tags from p_brand on 3 of 4 rows,
@@ -492,6 +509,32 @@ object Queries {
           sum(col("s204")).as("n_success_204"),
           sum(col("vnd")).as("n_vnd"))
         .orderBy("tag")
+    }),
+
+    // §2.10 render plan over the same synthesized document: a group_by=tag
+    // endpoints template (one unit per tag, %tag% PascalCased into the
+    // filename), an ungrouped endpoints template, and a static template
+    // whose `if` condition fails (emits nothing) — the oracle replays the
+    // per-tag cardinalities and filename rule in SQL
+    "q_render_units" -> ((s, dir) => {
+      import graft.suite.{OpenapiExtract, SchemaDocs, Templates}
+      val rows = t(s, dir, "part").where(col("p_partkey") < EndpointsPkCap)
+        .select("p_partkey", "p_brand").orderBy("p_partkey")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val openapi = OpenapiExtract.extract(endpointsDoc(rows))
+      val templates = Seq(
+        Templates.fromContent("endpoints.j2",
+          "{# type=endpoints,filename=%tag%_api.rs,group_by=tag,min_version=0.1.0 #}"),
+        Templates.fromContent("all.j2",
+          "{# type=endpoints,filename=all.rs,min_version=0.1.0 #}"),
+        Templates.fromContent("skipped.j2",
+          "{# type=static,filename=s.txt,if=a:b,min_version=0.1.0 #}"))
+      val plan = Templates.renderPlan(templates, openapi,
+        SchemaDocs.json.createObjectNode())
+      import s.implicits._
+      plan.map(u => (u.template, u.kind, u.target, u.tag.orNull, u.nEndpoints.toLong))
+        .toDF("template", "kind", "target", "tag", "n_endpoints")
+        .orderBy("template", "tag")
     })
   )
 
@@ -777,6 +820,19 @@ object Queries {
         | 'et=' || event_type || ',k=' ||
         |   CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS VARCHAR) AS patched
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_case_conv" -> {
+      import graft.ops.CaseConv._
+      s"""WITH r AS (SELECT p_partkey, 'api' || p_brand || ' ' || p_type AS raw FROM part)
+         |SELECT p_partkey, raw,
+         | ${sqlSnake("raw")} AS snake,
+         | ${sqlScreamingSnake("raw")} AS screaming,
+         | ${sqlKebab("raw")} AS kebab,
+         | ${sqlTrain("raw")} AS train,
+         | ${sqlTitle("raw")} AS title,
+         | ${sqlPascal("raw")} AS pascal,
+         | ${sqlCamel("raw")} AS camel
+         |FROM r ORDER BY p_partkey""".stripMargin
+    },
     "q_endpoints_by_tag" ->
       s"""WITH e AS (SELECT p_partkey AS pk,
          |  CASE WHEN p_partkey % 4 <> 0 THEN p_brand ELSE 'default' END AS tag,
@@ -790,6 +846,18 @@ object Queries {
          | CAST(sum(with_body) AS BIGINT) AS n_with_body,
          | CAST(sum(s204) AS BIGINT) AS n_success_204,
          | CAST(sum(vnd) AS BIGINT) AS n_vnd
-         |FROM e GROUP BY tag ORDER BY tag""".stripMargin
+         |FROM e GROUP BY tag ORDER BY tag""".stripMargin,
+    "q_render_units" ->
+      s"""WITH e AS (SELECT
+         |  CASE WHEN p_partkey % 4 <> 0 THEN p_brand ELSE 'default' END AS tag
+         | FROM part WHERE p_partkey < $EndpointsPkCap),
+         | t AS (SELECT tag, count(*) AS n FROM e GROUP BY tag)
+         |SELECT template, kind, target, tag, n_endpoints FROM (
+         | SELECT 'all.j2' AS template, 'endpoints' AS kind, 'all.rs' AS target,
+         |   CAST(NULL AS VARCHAR) AS tag, (SELECT count(*) FROM e) AS n_endpoints
+         | UNION ALL
+         | SELECT 'endpoints.j2', 'endpoints',
+         |   upper(substr(tag, 1, 1)) || substr(tag, 2) || '_api.rs', tag, n FROM t)
+         |ORDER BY template, tag""".stripMargin
   )
 }

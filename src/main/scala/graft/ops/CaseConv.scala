@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The codegen filter case-conversion family (codegen/filters.rs:99-145 —
+  * cruet's Inflector: camel / pascal / snake / SCREAMING_SNAKE / kebab /
+  * Train-Case / Title Case / lcfirst / ucfirst / nospaces) as pure Column
+  * chains, with driver-side and DuckDB mirrors generated from the same
+  * word-splitting rules.
+  *
+  * Word model (cruet-compatible on the ASCII vocabulary the reference's
+  * templates use): words split on non-alphanumeric runs and on case
+  * boundaries — between an acronym and a capitalized word
+  * (`HTTPServer` → `HTTP Server`) and between lower/digit and upper
+  * (`helloWorld` → `hello World`); every recomposition lowercases word
+  * interiors (`HTTPServer` → pascal `HttpServer`).
+  */
+object CaseConv {
+
+  /** The two case-boundary splits + separator normalization, shared by
+    * every conversion. Regex syntax is common to Spark and DuckDB; only
+    * the backreference spelling differs ($1 vs \1).
+    */
+  val AcronymSplit = "([A-Z]+)([A-Z][a-z])"
+  val LowerUpperSplit = "([a-z0-9])([A-Z])"
+  val SeparatorRun = "[^A-Za-z0-9]+"
+
+  // ------------------------------------------------------------- Columns
+
+  private def wordsCol(c: Column): Column =
+    split(trim(regexp_replace(regexp_replace(regexp_replace(c,
+      AcronymSplit, "$1 $2"), LowerUpperSplit, "$1 $2"), SeparatorRun, " ")), " ")
+
+  private def ucfirstLower(w: Column): Column =
+    concat(upper(substring(w, 1, 1)), lower(w.substr(lit(2), length(w))))
+
+  def lcfirstCol(c: Column): Column =
+    concat(lower(substring(c, 1, 1)), c.substr(lit(2), length(c)))
+  def ucfirstCol(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), c.substr(lit(2), length(c)))
+
+  def snakeCol(c: Column): Column =
+    array_join(transform(wordsCol(c), w => lower(w)), "_")
+  def screamingSnakeCol(c: Column): Column = upper(snakeCol(c))
+  def kebabCol(c: Column): Column =
+    array_join(transform(wordsCol(c), w => lower(w)), "-")
+  def trainCol(c: Column): Column =
+    array_join(transform(wordsCol(c), w => ucfirstLower(w)), "-")
+  def titleCol(c: Column): Column =
+    array_join(transform(wordsCol(c), w => ucfirstLower(w)), " ")
+  def pascalCol(c: Column): Column =
+    array_join(transform(wordsCol(c), w => ucfirstLower(w)), "")
+  def camelCol(c: Column): Column = lcfirstCol(pascalCol(c))
+  def nospacesCol(c: Column): Column = regexp_replace(c, "\\s+", "")
+
+  // -------------------------------------------------------- driver mirror
+
+  private def words(s: String): Seq[String] =
+    s.replaceAll(AcronymSplit, "$1 $2").replaceAll(LowerUpperSplit, "$1 $2")
+      .replaceAll(SeparatorRun, " ").trim.split(" ").toSeq.filter(_.nonEmpty)
+
+  private def ucl(w: String): String =
+    if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase
+
+  def lcfirst(s: String): String =
+    if (s.isEmpty) s else s.substring(0, 1).toLowerCase + s.substring(1)
+  def ucfirst(s: String): String =
+    if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1)
+
+  def snake(s: String): String = words(s).map(_.toLowerCase).mkString("_")
+  def screamingSnake(s: String): String = snake(s).toUpperCase
+  def kebab(s: String): String = words(s).map(_.toLowerCase).mkString("-")
+  def train(s: String): String = words(s).map(ucl).mkString("-")
+  def title(s: String): String = words(s).map(ucl).mkString(" ")
+  def pascal(s: String): String = words(s).map(ucl).mkString
+  def camel(s: String): String = lcfirst(pascal(s))
+  def nospaces(s: String): String = s.replaceAll("\\s+", "")
+
+  // ----------------------------------------------- DuckDB oracle mirrors
+
+  /** The shared word-normalized form: boundary splits + separators → one
+    * space, trimmed. Backreferences use DuckDB's \1 spelling.
+    */
+  def sqlNorm(expr: String): String = {
+    def duck(re: String) = re // same syntax both engines
+    s"trim(regexp_replace(regexp_replace(regexp_replace($expr, " +
+      s"'${duck(AcronymSplit)}', '\\1 \\2', 'g'), " +
+      s"'${duck(LowerUpperSplit)}', '\\1 \\2', 'g'), " +
+      s"'${duck(SeparatorRun)}', ' ', 'g'))"
+  }
+
+  def sqlSnake(expr: String): String =
+    s"replace(lower(${sqlNorm(expr)}), ' ', '_')"
+  def sqlScreamingSnake(expr: String): String = s"upper(${sqlSnake(expr)})"
+  def sqlKebab(expr: String): String =
+    s"replace(lower(${sqlNorm(expr)}), ' ', '-')"
+  private def sqlUclWords(expr: String): String =
+    s"list_transform(str_split(${sqlNorm(expr)}, ' '), " +
+      s"w -> upper(substr(w, 1, 1)) || lower(substr(w, 2)))"
+  def sqlTrain(expr: String): String = s"array_to_string(${sqlUclWords(expr)}, '-')"
+  def sqlTitle(expr: String): String = s"array_to_string(${sqlUclWords(expr)}, ' ')"
+  def sqlPascal(expr: String): String = s"array_to_string(${sqlUclWords(expr)}, '')"
+  def sqlCamel(expr: String): String = {
+    val p = sqlPascal(expr)
+    s"(lower(substr($p, 1, 1)) || substr($p, 2))"
+  }
+}

@@ -171,6 +171,15 @@ object OpenapiExtract {
         if (node.has("enum")) {
           register("enum")
           TypeRef(name, key, typeNullable)
+        } else if (node.has("allOf") && node.get("allOf").isArray) {
+          // allOf wrapper (allof.rs:9-57): members walked (so ref'd models
+          // register and inherit the operation spaces), wrapper itself kept
+          // in the inventory
+          node.get("allOf").elements().asScala.zipWithIndex.foreach { case (m, i) =>
+            addTypes(m, s"$ptr/allOf/$i", s"$fallback-variant-$i", spaces, visiting)
+          }
+          register("allof")
+          TypeRef(name, key, typeNullable)
         } else if (variants.nonEmpty && nonNullVariants.size == 1) {
           // nullable collapse: oneOf [null, X] → X with nullable = true
           // (the NullablePriceType / nullability-after-ref shapes); a titled

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.CaseConv
+import org.apache.spark.sql.functions._
+
+/** Codegen filter case conversions (filters.rs:99-145, cruet semantics on
+  * the ASCII template vocabulary): Column chains vs the driver mirror on
+  * boundary-heavy inputs, plus the expected literal outputs.
+  */
+class CaseConvSpec extends SparkSpec {
+
+  private val inputs = Seq("HTTPServer", "helloWorld", "user-group id",
+    "XMLHttpRequest", "already_snake", "A", "42nd Street",
+    "PROMO BURNISHED COPPER", "apiBrand#13 STANDARD", "x")
+
+  test("column chains equal the driver mirror on boundary-heavy inputs") {
+    import spark.implicits._
+    val got = inputs.toDF("s").select(col("s"),
+        CaseConv.snakeCol(col("s")).as("snake"),
+        CaseConv.screamingSnakeCol(col("s")).as("scr"),
+        CaseConv.kebabCol(col("s")).as("kebab"),
+        CaseConv.trainCol(col("s")).as("train"),
+        CaseConv.titleCol(col("s")).as("title"),
+        CaseConv.pascalCol(col("s")).as("pascal"),
+        CaseConv.camelCol(col("s")).as("camel"),
+        CaseConv.nospacesCol(col("s")).as("nosp"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getString(1) === CaseConv.snake(s), s"snake($s)")
+      assert(r.getString(2) === CaseConv.screamingSnake(s), s"screaming($s)")
+      assert(r.getString(3) === CaseConv.kebab(s), s"kebab($s)")
+      assert(r.getString(4) === CaseConv.train(s), s"train($s)")
+      assert(r.getString(5) === CaseConv.title(s), s"title($s)")
+      assert(r.getString(6) === CaseConv.pascal(s), s"pascal($s)")
+      assert(r.getString(7) === CaseConv.camel(s), s"camel($s)")
+      assert(r.getString(8) === CaseConv.nospaces(s), s"nospaces($s)")
+    }
+  }
+
+  test("conversions match the cruet reference outputs") {
+    assert(CaseConv.snake("HTTPServer") === "http_server")
+    assert(CaseConv.snake("helloWorld") === "hello_world")
+    assert(CaseConv.snake("XMLHttpRequest") === "xml_http_request")
+    assert(CaseConv.pascal("user-group id") === "UserGroupId")
+    assert(CaseConv.camel("user-group id") === "userGroupId")
+    assert(CaseConv.screamingSnake("helloWorld") === "HELLO_WORLD")
+    assert(CaseConv.kebab("HelloWorld") === "hello-world")
+    assert(CaseConv.train("hello world") === "Hello-World")
+    assert(CaseConv.title("hello_world") === "Hello World")
+    assert(CaseConv.snake("already_snake") === "already_snake")
+    assert(CaseConv.pascal("42nd Street") === "42ndStreet")
+    assert(CaseConv.nospaces("a b\tc") === "abc")
+    assert(CaseConv.ucfirst("x") === "X" && CaseConv.lcfirst("X") === "x")
+    assert(CaseConv.snake("") === "")
+  }
+}

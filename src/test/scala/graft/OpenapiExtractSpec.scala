@@ -296,6 +296,26 @@ class OpenapiExtractSpec extends AnyFunSuite {
     assert(o.security.all.map(_.schemeName).toSet === Set("basicAuth", "apiKey"))
   }
 
+  test("allOf members register and inherit the operation space (allof.rs:9-57)") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"components":{"schemas":{
+        | "Base":{"title":"Base","type":"object","properties":{"id":{"type":"string"}}},
+        | "Extra":{"title":"Extra","type":"object","properties":{"x":{"type":"integer"}}},
+        | "Combined":{"title":"Combined","allOf":[
+        |   {"$ref":"#/components/schemas/Base"},{"$ref":"#/components/schemas/Extra"}]}}},
+        |"paths":{"/c":{"get":{"operationId":"getC","responses":{"200":{
+        | "description":"ok","content":{"application/json":{
+        |   "schema":{"$ref":"#/components/schemas/Combined"}}}}}}}}}
+        |""".stripMargin)
+    val o = extract(doc, Options(skipUnusedModels = true))
+    val names = o.models.names
+    assert(names.contains("Combined"), "allOf wrapper kept")
+    assert(names.contains("Base") && names.contains("Extra"),
+      "members inherit getC's operation space, so skip-unused keeps them")
+    assert(o.models.models.find(_.name == "Base").get.operations === Seq("getC"))
+  }
+
   // ------------------------------------------------------- YAML fixtures
 
   test("01-simple.yaml: operationId fallback, $ref'd responses/requestBody, tags") {
