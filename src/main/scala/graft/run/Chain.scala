@@ -32,6 +32,10 @@ import java.nio.file.{Files, Paths}
   *   validate openapi <path|-> [--continue-on-error]   (Draft4 meta-schema)
   *   validate jsonschema <path|-> [--continue-on-error] (compile-only check)
   *   validate <path|->         (legacy alias of jsonschema, strict)
+  *   codegen openapi <path|-> --template <dir> --target-dir <dir>
+  *       [--skip-endpoint X]* [--only-endpoint X]* [--skip-unused-models]
+  *       [--merge-similar-models] [-o key=value]*   (extraction walk +
+  *       render plan → one report file per rendered unit)
   *   output <outFile>          (dump current schema, chain.rs:79-82)
   *
   * Per-phase wall-clock is logged like the reference (chain.rs:134-184).
@@ -72,6 +76,8 @@ object Chain {
       sys.error(s"validate $sub needs a schema path (or '-')")
     case Seq("bump", "openapi", ref, _*) => Some(ref)
     case Seq("bump", "openapi") => sys.error("bump openapi needs a schema path (or '-')")
+    case Seq("codegen", "openapi", ref, _*) => Some(ref)
+    case Seq("codegen", "openapi") => sys.error("codegen openapi needs a schema path (or '-')")
     case Seq("validate", ref, _*) => Some(ref)
     case Seq("output", _*) => None
     case other => sys.error(s"unknown chain command '${other.headOption.getOrElse("")}'")
@@ -225,6 +231,68 @@ object Chain {
       case Seq("validate", _, _*) =>
         val errs = SuiteLoader.staticValidate(body.toString)
         require(errs.isEmpty, s"validate failed for $url: ${errs.mkString("; ")}")
+        body
+      // `codegen openapi` — the reference's codegen command
+      // (cli codegen.rs:91-140): dereference → extraction walk → discovered
+      // templates → render plan. Each rendered unit writes ONE REPORT FILE
+      // into --target-dir at its resolved filename (the Tera text back-end
+      // is out of the engine's scope — SURVEY §2.10 — so the file carries
+      // the unit's report row instead of rendered template text).
+      case Seq("codegen", "openapi", _, flags @ _*) =>
+        val templateSpecs = flags.sliding(2).collect {
+          case Seq("--template", t) => t }.toSeq
+        require(templateSpecs.nonEmpty, "codegen openapi needs --template <dir>")
+        val targetDir = flags.sliding(2).collectFirst { case Seq("--target-dir", d) => d }
+          .getOrElse(sys.error("codegen openapi needs --target-dir <dir>"))
+        val opts = OpenapiExtract.Options(
+          skipEndpoints = flags.sliding(2).collect {
+            case Seq("--skip-endpoint", v) => v }.toSeq,
+          onlyEndpoints = flags.sliding(2).collect {
+            case Seq("--only-endpoint", v) => v }.toSeq,
+          skipUnusedModels = flags.contains("--skip-unused-models"),
+          mergeSimilarModels = flags.contains("--merge-similar-models"))
+        // -o key=value pairs land in container.options (create_container)
+        val container = SchemaDocs.json.createObjectNode()
+        val optNode = container.putObject("options")
+        flags.sliding(2).foreach {
+          case Seq("-o", kv) if kv.contains("=") =>
+            val Array(k, v) = kv.split("=", 2); optNode.put(k, v); ()
+          case _ => ()
+        }
+        // external refs inlined first so the walk sees one document (the
+        // reference's own codegen test flow dereferences before extract)
+        val deref = new Dereferencer(storage, DereferenceOptions(
+          skipRootInternalReferences = true, createInternalReferences = true))
+          .process(url, storage.resolve(url.toString))
+        val openapi = OpenapiExtract.extract(deref, opts)
+        val discovered = new Discovery().resolve(templateSpecs)
+        val templates = Templates.fromDiscovered(discovered.templates)
+        require(templates.nonEmpty, "no templates discovered") // CodegenTemplatesDirectoryError
+        val plan = Templates.renderPlan(templates, openapi, container)
+        plan.foreach { u =>
+          val target = Paths.get(targetDir, u.target)
+          Option(target.getParent).foreach(Files.createDirectories(_))
+          val row = SchemaDocs.json.createObjectNode()
+          row.put("template", u.template); row.put("kind", u.kind)
+          u.tag.foreach(t => row.put("tag", t))
+          row.put("nEndpoints", u.nEndpoints); row.put("nModels", u.nModels)
+          Files.write(target, (row.toString + "\n").getBytes("UTF-8")); ()
+        }
+        // --format runs an external formatter once per written file, the
+        // file path appended to the command's arguments; a non-zero exit
+        // fails the chain (templates.rs:271-293 Template::format)
+        flags.sliding(2).collectFirst { case Seq("--format", cmd) => cmd }.foreach { cmd =>
+          val cmdParts = splitArgs(cmd)
+          plan.foreach { u =>
+            val proc = new ProcessBuilder((cmdParts :+
+              Paths.get(targetDir, u.target).toString): _*).redirectErrorStream(true).start()
+            val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+            require(proc.waitFor() == 0,
+              s"codegen formatting command failed on ${u.target}: $out")
+          }
+        }
+        println(s"[graft-chain]   codegen openapi: ${plan.size} unit(s), " +
+          s"${openapi.endpoints.size} endpoint(s), ${openapi.models.models.size} model(s)")
         body
       case Seq("output", outFile, _*) =>
         outputs(outFile) = body

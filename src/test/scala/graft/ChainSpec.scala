@@ -149,4 +149,71 @@ class ChainSpec extends AnyFunSuite {
     assert(bumped("0.5.1") === "0.0.9") // patch (test_xversion_bump_patch)
     assert(bumped("0.5.0") === "0.0.8") // nothing increased -> unchanged
   }
+
+  test("codegen openapi step: extract → discover templates → render units to target-dir") {
+    val dir = Files.createTempDirectory("graft-codegen")
+    val tplDir = dir.resolve("templates"); Files.createDirectories(tplDir)
+    Files.write(tplDir.resolve("api.j2"),
+      "{# type=endpoints,filename=%tag%_api.rs,group_by=tag,min_version=0.1.0 #}\nbody"
+        .getBytes("UTF-8"))
+    Files.write(tplDir.resolve("mod.j2"),
+      "{# type=static,filename=%options.pkg%_mod.rs,min_version=0.1.0 #}\nbody"
+        .getBytes("UTF-8"))
+    Files.write(tplDir.resolve("notes.txt.j2"), "no header here".getBytes("UTF-8"))
+    val doc = dir.resolve("api.json")
+    Files.write(doc,
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{
+        | "/a":{"get":{"operationId":"getA","tags":["pets"],
+        |   "responses":{"200":{"description":"ok"}}}},
+        | "/b":{"get":{"operationId":"getB","tags":["pets"],
+        |   "responses":{"200":{"description":"ok"}}}},
+        | "/c":{"get":{"operationId":"getC","tags":["stores"],
+        |   "responses":{"200":{"description":"ok"}}}}}}""".stripMargin.getBytes("UTF-8"))
+    val out = dir.resolve("out").toString
+    Chain.run(Seq(
+      s"codegen openapi $doc --template $tplDir --target-dir $out " +
+        "--skip-endpoint getC -o pkg=api"))
+    // getC skipped → only the pets tag group remains; static resolves pkg
+    assert(Files.exists(Paths.get(out, "Pets_api.rs")))
+    assert(!Files.exists(Paths.get(out, "Stores_api.rs")))
+    assert(Files.exists(Paths.get(out, "api_mod.rs")))
+    val row = SchemaDocs.json.readTree(Files.readString(Paths.get(out, "Pets_api.rs")))
+    assert(row.get("nEndpoints").asInt() === 2)
+    assert(row.get("tag").asText() === "pets")
+  }
+
+  test("codegen --format runs the formatter per file; failure aborts (templates.rs:271-293)") {
+    val dir = Files.createTempDirectory("graft-codegen-fmt")
+    val tplDir = dir.resolve("tpl"); Files.createDirectories(tplDir)
+    Files.write(tplDir.resolve("s.j2"),
+      "{# type=static,filename=out.txt,min_version=0.1.0 #}\n".getBytes("UTF-8"))
+    val doc = dir.resolve("api.json")
+    Files.write(doc,
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},"paths":{}}"""
+        .getBytes("UTF-8"))
+    val out = dir.resolve("o").toString
+    Chain.run(Seq(s"codegen openapi $doc --template $tplDir --target-dir $out " +
+      """--format 'sed -i s/static/FORMATTED/'"""))
+    assert(Files.readString(Paths.get(out, "out.txt")).contains("FORMATTED"))
+    val e = intercept[IllegalArgumentException] {
+      Chain.run(Seq(s"codegen openapi $doc --template $tplDir --target-dir $out " +
+        "--format 'false'"))
+    }
+    assert(e.getMessage.contains("formatting command failed"))
+  }
+
+  test("codegen openapi without templates is an error (CodegenTemplatesDirectoryError)") {
+    val dir = Files.createTempDirectory("graft-codegen-empty")
+    val tplDir = dir.resolve("tpl"); Files.createDirectories(tplDir)
+    Files.write(tplDir.resolve("x.j2"), "not a template".getBytes("UTF-8"))
+    val doc = dir.resolve("api.json")
+    Files.write(doc,
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},"paths":{}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      Chain.run(Seq(s"codegen openapi $doc --template $tplDir --target-dir ${dir.resolve("o")}"))
+    }
+    assert(e.getMessage.contains("no templates discovered"))
+  }
 }
