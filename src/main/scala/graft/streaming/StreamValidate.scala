@@ -47,6 +47,22 @@ object StreamValidate {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming referential integrity — the streaming face of the batch
+    * `Referential.orphans` broadcast path: rows whose key tuple has no
+    * null-safe match in a STATIC dimension table flow out as orphans. A
+    * stream-static left_anti join is stateless (static side broadcast, no
+    * state store, append mode), so it runs at firehose rates. A dimension
+    * too large to broadcast has no stateless streaming analog — that case
+    * is a `foreachBatch` over the batch check's sort-merge path.
+    */
+  def referentialOrphanStream(stream: DataFrame, factKeys: Seq[String],
+                              dim: DataFrame, dimKeys: Seq[String]): DataFrame = {
+    val dimProj = dim.select(
+      dimKeys.zip(factKeys).map { case (dk, fk) => col(dk).as(fk) }: _*).distinct()
+    val cond = factKeys.map(k => stream(k) <=> dimProj(k)).reduce(_ && _)
+    stream.join(broadcast(dimProj), cond, "left_anti")
+  }
+
   /** Sentinel standing in for the null category so the baseline join keys
     * on it (SQL joins never match null = null; the batch histogram keys on
     * Option and matches None = None).

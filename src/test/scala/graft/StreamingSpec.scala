@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming referential orphans match the batch check (stream-static anti join)") {
+    import graft.checks.Referential
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq("a/r", "b/r").toDF("repo_name")
+    val mem = MemoryStream[FileEvent]
+    val q = StreamValidate.referentialOrphanStream(mem.toDF(), Seq("repo"), dim, Seq("repo_name"))
+      .writeStream.format("memory").queryName("orph").outputMode("append").start()
+    val events = Seq(
+      ev("a/r", "c1", "scala", 1), // known repo
+      ev("ghost/r", "c2", "rust", 2), // orphan
+      ev(null, "c3", "scala", 3), // null FK: orphan unless the dim carries null
+      ev("b/r", "c4", "rust", 4))
+    mem.addData(events: _*)
+    q.processAllAvailable()
+    val got = spark.table("orph").select("commit").collect().map(_.getString(0)).sorted
+    val batch = Referential.orphans(events.toDF(), dim, Seq("repo"), Seq("repo_name"))
+      .orphans.select("commit").collect().map(_.getString(0)).sorted
+    assert(got === batch)
+    assert(got === Array("c2", "c3"))
+    q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark, bounded state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[FileEvent]
