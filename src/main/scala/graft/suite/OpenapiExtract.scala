@@ -103,6 +103,9 @@ object OpenapiExtract {
       node = t
       hops += 1
     }
+    require(node == null || !node.isObject || !node.has("$ref") ||
+      !node.get("$ref").isTextual || hops < 64,
+      "codegen extract: $ref chain exceeds 64 hops (cycle of refs-to-refs?)")
     (node, ptr)
   }
 
