@@ -857,7 +857,7 @@ object Queries {
          |   CAST(NULL AS VARCHAR) AS tag, (SELECT count(*) FROM e) AS n_endpoints
          | UNION ALL
          | SELECT 'endpoints.j2', 'endpoints',
-         |   upper(substr(tag, 1, 1)) || substr(tag, 2) || '_api.rs', tag, n FROM t)
+         |   ${graft.ops.CaseConv.sqlPascal("tag")} || '_api.rs', tag, n FROM t)
          |ORDER BY template, tag""".stripMargin
   )
 }

@@ -37,7 +37,10 @@ object Dedup {
     * barrier data just lands on HDFS/S3 and survives executor loss.
     */
   private[graft] def barrier(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption(ReliableCheckpointsKey).exists(_.toBoolean))
+    // equalsIgnoreCase, not toBoolean: a value like "1" must read as
+    // disabled, not throw IllegalArgumentException mid-job from the barrier
+    if (df.sparkSession.conf.getOption(ReliableCheckpointsKey)
+        .exists(_.trim.equalsIgnoreCase("true")))
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 

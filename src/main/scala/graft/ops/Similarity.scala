@@ -64,9 +64,17 @@ object Similarity {
   def sampleKey(id: Column): Column =
     pmod(pmod(id, lit(SampleMod)) * lit(SampleKnuth), lit(SampleRange))
   def sampleThreshold(fraction: Double): Long = (fraction * SampleRange.toDouble).toLong
-  /** The same predicate as `sampleKey(id) < threshold(fraction)`, DuckDB SQL. */
-  def sampleSql(idExpr: String, fraction: Double): String =
-    s"(($idExpr % $SampleMod) * $SampleKnuth % $SampleRange) < ${sampleThreshold(fraction)}"
+  /** The same predicate as `sampleKey(id) < threshold(fraction)`, DuckDB
+    * SQL. DuckDB's `%` follows the sign of the dividend while Spark's
+    * `pmod` is always non-negative, so both mods are wrapped into explicit
+    * pmod form — without it every negative id would pass the filter on the
+    * oracle side only.
+    */
+  def sampleSql(idExpr: String, fraction: Double): String = {
+    val inner = s"((($idExpr % $SampleMod) + $SampleMod) % $SampleMod)"
+    s"((($inner * $SampleKnuth % $SampleRange) + $SampleRange) % $SampleRange)" +
+      s" < ${sampleThreshold(fraction)}"
+  }
 
   /** Bucket id = bits of sign(dot(v, plane_j)). */
   def lshBucket(vec: Column, dim: Int): Column =

@@ -143,7 +143,10 @@ object Checkpoint {
     */
   def mergedStats(spark: SparkSession, dir: String, snapshotId: String,
                   ruleSetHash: String, statsColumns: Seq[String]): DataFrame = {
-    val wide = spark.read.parquet(s"$dir/stats")
+    // mergeSchema: a dir whose older batches were written by an engine
+    // version without the __kll column must still read (the column comes
+    // back null for old files instead of failing resolution)
+    val wide = spark.read.option("mergeSchema", "true").parquet(s"$dir/stats")
       .where(col("snapshotId") === snapshotId && col("ruleSetHash") === ruleSetHash)
     // whole-table claim needs whole-table coverage: every NON-EMPTY part the
     // manifest marks completed must have a stats row (a batch written
@@ -159,18 +162,31 @@ object Checkpoint {
     require(missing.isEmpty,
       s"mergedStats: ${missing.size} completed part(s) have no stats rows " +
         s"(e.g. ${missing.take(5).mkString(",")}) — run wrote checkpoints without statsColumns?")
+    // whole-table quantiles are only claimed when EVERY part that saw
+    // values carries a sketch: a part written pre-upgrade (or a column
+    // numeric in some parts only) has __kll null while __count > 0 — its
+    // values are invisible to the merge, so presenting the merged quantiles
+    // as whole-table would be a silent partial-coverage lie; they null out
+    // instead (counts/min/max/NDV still merge from every batch)
+    val hasKll = statsColumns.forall(c => wide.columns.contains(s"${c}__kll"))
     val aggs = statsColumns.flatMap { c =>
       Seq(sum(col(s"${c}__count")).as(s"${c}__count"),
         sum(col(s"${c}__nulls")).as(s"${c}__nulls"),
         min(col(s"${c}__min")).cast("string").as(s"${c}__min"),
         max(col(s"${c}__max")).cast("string").as(s"${c}__max"),
-        hll_sketch_estimate(hll_union_agg(col(s"${c}__hll"))).as(s"${c}__adist"),
-        kll_merge_agg_double(col(s"${c}__kll")).as(s"${c}__kllm"))
+        hll_sketch_estimate(hll_union_agg(col(s"${c}__hll"))).as(s"${c}__adist")) ++
+      (if (hasKll) Seq(
+        kll_merge_agg_double(col(s"${c}__kll")).as(s"${c}__kllm"),
+        sum(when(col(s"${c}__kll").isNull && col(s"${c}__count") > 0, 1L)
+          .otherwise(0L)).as(s"${c}__kllmiss"))
+      else Nil)
     }
     val merged = wide.agg(aggs.head, aggs.tail: _*)
     val structs = statsColumns.map { c =>
       def q(p: Double): Column =
-        when(kll_sketch_get_n_double(col(s"${c}__kllm")) > 0,
+        if (!hasKll) lit(null).cast("double")
+        else when(col(s"${c}__kllmiss") === 0 &&
+            kll_sketch_get_n_double(col(s"${c}__kllm")) > 0,
           kll_sketch_get_quantile_double(col(s"${c}__kllm"), lit(p)))
           .otherwise(lit(null).cast("double"))
       struct(lit(c).as("column"),

@@ -171,9 +171,12 @@ object OpenapiExtract {
         val nonNullVariants = variants.filterNot(v =>
           v.isObject && strOpt(v, "type").contains("null"))
 
+        // every branch returns the REGISTERED model's name: ModelContainer
+        // may have merged by hash (keeping the first model's name) or bumped
+        // a colliding name to Name2/Name3 — a TypeRef carrying the
+        // pre-registration name would dangle
         if (node.has("enum")) {
-          register("enum")
-          TypeRef(name, key, typeNullable)
+          TypeRef(register("enum").name, key, typeNullable)
         } else if (node.has("allOf") && node.get("allOf").isArray) {
           // allOf wrapper (allof.rs:9-57): members walked (so ref'd models
           // register and inherit the operation spaces), wrapper itself kept
@@ -181,8 +184,7 @@ object OpenapiExtract {
           node.get("allOf").elements().asScala.zipWithIndex.foreach { case (m, i) =>
             addTypes(m, s"$ptr/allOf/$i", s"$fallback-variant-$i", spaces, visiting)
           }
-          register("allof")
-          TypeRef(name, key, typeNullable)
+          TypeRef(register("allof").name, key, typeNullable)
         } else if (variants.nonEmpty && nonNullVariants.size == 1) {
           // nullable collapse: oneOf [null, X] → X with nullable = true
           // (the NullablePriceType / nullability-after-ref shapes); a titled
@@ -196,8 +198,7 @@ object OpenapiExtract {
           variants.zipWithIndex.foreach { case (v, i) =>
             addTypes(v, s"$ptr/variant/$i", s"$fallback-variant-$i", spaces, visiting)
           }
-          register("union")
-          TypeRef(name, key, typeNullable)
+          TypeRef(register("union").name, key, typeNullable)
         } else if (typeStr.contains("object") || node.has("properties") ||
             node.has("additionalProperties")) {
           val props = Option(node.get("properties")).filter(_.isObject).toSeq
@@ -209,29 +210,27 @@ object OpenapiExtract {
           Option(node.get("additionalProperties")).filter(_.isObject).foreach(ap =>
             addTypes(ap, s"$ptr/additionalProperties", s"$fallback-value",
               spaces, visiting))
-          register("object", props)
-          TypeRef(name, key, typeNullable)
+          TypeRef(register("object", props).name, key, typeNullable)
         } else if (typeStr.contains("array") || node.has("items")) {
           Option(node.get("items")).foreach(items =>
             addTypes(items, s"$ptr/items", s"$fallback-item", spaces, visiting))
-          register("array")
-          TypeRef(name, key, typeNullable)
+          TypeRef(register("array").name, key, typeNullable)
         } else {
           // primitives become models only when named from components (the
           // PriceType shape); inline primitives stay anonymous
-          if (pointer.startsWith("/components/schemas/") ||
-              pointer.startsWith("/definitions/") || node.has("title"))
-            register("primitive")
-          TypeRef(strOpt(node, "title").getOrElse(typeStr.getOrElse("any")),
-            key, typeNullable)
+          if (pointer.matches("/components/schemas/[^/]+") ||
+              pointer.matches("/definitions/[^/]+") || node.has("title"))
+            TypeRef(register("primitive").name, key, typeNullable)
+          else
+            TypeRef(strOpt(node, "title").getOrElse(typeStr.getOrElse("any")),
+              key, typeNullable)
         }
       } finally visiting -= ptr
     }
 
-    private def ucc(s: String): String = {
-      val c = Naming.camel(s)
-      if (c.isEmpty) c else c.substring(0, 1).toUpperCase + c.substring(1)
-    }
+    // cruet's to_pascal_case (the reference's scope naming) — shared with
+    // the filter family, so untitled-model names and template tags agree
+    private def ucc(s: String): String = graft.ops.CaseConv.pascal(s)
   }
 
   /** Standalone JSON Schema extraction (the jsonschema-plane analog used by

@@ -132,10 +132,10 @@ object Templates {
   def tagGroups(endpoints: Seq[Endpoint]): Seq[String] =
     endpoints.flatMap(_.tags).distinct.sorted
 
-  private def pascal(s: String): String = {
-    val c = Naming.camel(s)
-    if (c.isEmpty) c else c.substring(0, 1).toUpperCase + c.substring(1)
-  }
+  // cruet's to_pascal_case (templates.rs:151 tag PascalCasing) — the
+  // CaseConv mirror, NOT a naive ucfirst: 'Brand#13' → 'Brand13',
+  // 'USERS' → 'Users'
+  private def pascal(s: String): String = graft.ops.CaseConv.pascal(s)
 
   private def withData(container: JsonNode, kv: (String, String)*): JsonNode = {
     val obj = container.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()

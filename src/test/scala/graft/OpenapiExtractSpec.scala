@@ -296,6 +296,23 @@ class OpenapiExtractSpec extends AnyFunSuite {
     assert(o.security.all.map(_.schemeName).toSet === Set("basicAuth", "apiKey"))
   }
 
+  test("colliding titles: media model references the RENAMED inventory entry") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"components":{"schemas":{"Foo":{"title":"Foo","type":"object",
+        |  "properties":{"a":{"type":"string"}}}}},
+        |"paths":{"/x":{"get":{"operationId":"getX","responses":{"200":{
+        | "description":"ok","content":{"application/json":{
+        |   "schema":{"title":"Foo","type":"object",
+        |     "properties":{"b":{"type":"integer"}}}}}}}}}}}
+        |""".stripMargin)
+    val o = extract(doc)
+    assert(o.models.names === Seq("Foo", "Foo2"), "different shape bumps the suffix")
+    val mm = o.endpoints.head.responses.success.get.models.get.list.head
+    assert(mm.modelName === "Foo2",
+      "the endpoint's media model must reference the registered (renamed) entry")
+  }
+
   test("allOf members register and inherit the operation space (allof.rs:9-57)") {
     val doc = j(
       """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
