@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis, TrainingMix}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -174,12 +174,50 @@ object QueriesPipeline {
         col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
 
+    // training mix: deterministic stratified sampling (language rebalance;
+    // per-stratum Knuth-hash thresholds, map-only filter — no RNG, no
+    // shuffle), reported as per-language kept counts
+    "q_stratified_sample" -> ((s, dir) =>
+      TrainingMix.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        MixFractions, MixDefaultFraction)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+
+    // training mix: train-test contamination — documents sharing ≥ 3
+    // distinct 5-gram shingles with a holdout set (docs with id%97==0
+    // stand in for the benchmark; they collide with themselves by
+    // construction, proving detection end-to-end)
+    "q_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TrainingMix.contaminatedDocs(docs, "doc_id", "text",
+        docs.where(col("doc_id") % 97 === 0), "text",
+        n = ContamN, minHits = ContamMinHits)
+        .orderBy("id")
+    }),
+
+    // training mix: sharded sequence packing by token budget (docs never
+    // split; per-shard running sum so no global window at scale)
+    "q_seq_packing" -> ((s, dir) =>
+      TrainingMix.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.bpeTokenCount(col("text")).as("tokens")),
+        "doc_id", "tokens", budget = PackBudget, shards = PackShards)
+        .orderBy("doc_id")),
+
     // multimodal plumbing: binary payload → per-partition feature extraction
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeStub(s,
         Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("doc_id"))
   )
+
+  /** Training-mix constants shared between queries and oracles. */
+  val MixFractions: Map[String, Double] = Map("en" -> 0.5, "zh" -> 0.1)
+  val MixDefaultFraction = 0.25
+  val ContamN = 5
+  val ContamMinHits = 3L
+  val PackBudget = 500L
+  val PackShards = 4
 
   // --------------------------------------------------------------- oracles
 
@@ -470,7 +508,49 @@ object QueriesPipeline {
       | CAST(len(list_filter(nibs, x -> x IN ('C','D','E','F'))) AS BIGINT) AS b3
       |FROM h ORDER BY doc_id""".stripMargin
 
+  private val stratifiedOracle = {
+    import graft.ops.TrainingMix
+    s"""SELECT lang, count(*) AS n_kept FROM documents
+       |WHERE ${TrainingMix.stratifiedSampleSql("doc_id", "lang", MixFractions, MixDefaultFraction)}
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  /** 5-gram shingle chain (same fold as Dedup.shingleHashesFromWords,
+    * generalized to ContamN) → corpus/benchmark shingle sets → hit counts.
+    */
+  private val contaminationOracle = {
+    val B = Dedup.ShingleBase
+    val fold = (1 to ContamN).foldLeft("CAST(0 AS BIGINT)")((acc, k) =>
+      s"($acc * $B + whl[i+$k]) % $P")
+    s"""WITH w5 AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws
+       |   FROM documents),
+       | whc5 AS (SELECT id, list_transform(ws, tok -> ${sqlHash("tok", "c5")}) AS whl FROM w5),
+       | shl5 AS (SELECT id, CASE WHEN len(whl) >= $ContamN
+       |   THEN list_transform(generate_series(0, len(whl) - $ContamN), i -> $fold)
+       |   ELSE CAST([] AS BIGINT[]) END AS shs FROM whc5),
+       | csh AS (SELECT DISTINCT id, s AS sh FROM (SELECT id, unnest(shs) AS s FROM shl5)),
+       | bsh AS (SELECT DISTINCT s AS sh FROM (SELECT unnest(shs) AS s FROM shl5
+       |   WHERE id % 97 = 0))
+       |SELECT id, count(*) AS n_hits FROM csh JOIN bsh USING (sh)
+       |GROUP BY id HAVING count(*) >= $ContamMinHits ORDER BY id""".stripMargin
+  }
+
+  private val packingOracle =
+    s"""WITH d AS (SELECT doc_id,
+       |   CAST(${TextAnalysis.sqlBpeCount("text")} AS BIGINT) AS tokens,
+       |   CAST(${Similarity.sampleKeySql("doc_id")} % $PackShards AS INT) AS shard
+       |  FROM documents),
+       | c AS (SELECT doc_id, shard, tokens,
+       |   sum(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+       |SELECT doc_id, shard,
+       | CAST(floor((cum - tokens) / ${PackBudget}.0) AS BIGINT) AS pack, tokens
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_stratified_sample" -> stratifiedOracle,
+    "q_contamination" -> contaminationOracle,
+    "q_seq_packing" -> packingOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,

@@ -70,11 +70,12 @@ object Similarity {
     * pmod form — without it every negative id would pass the filter on the
     * oracle side only.
     */
-  def sampleSql(idExpr: String, fraction: Double): String = {
+  def sampleKeySql(idExpr: String): String = {
     val inner = s"((($idExpr % $SampleMod) + $SampleMod) % $SampleMod)"
-    s"((($inner * $SampleKnuth % $SampleRange) + $SampleRange) % $SampleRange)" +
-      s" < ${sampleThreshold(fraction)}"
+    s"((($inner * $SampleKnuth % $SampleRange) + $SampleRange) % $SampleRange)"
   }
+  def sampleSql(idExpr: String, fraction: Double): String =
+    s"${sampleKeySql(idExpr)} < ${sampleThreshold(fraction)}"
 
   /** Bucket id = bits of sign(dot(v, plane_j)). */
   def lshBucket(vec: Column, dim: Int): Column =

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-mix operators: the data-mixing pass a large-scale pretraining
+  * pipeline runs after dedup/quality — language rebalancing, train-test
+  * decontamination, and sequence packing — each a pure column/join plan
+  * with a DuckDB-replayable oracle.
+  */
+object TrainingMix {
+
+  /** Deterministic stratified sampling for mix rebalancing: keep a
+    * per-stratum fraction of rows chosen by the portable Knuth-hash key
+    * ([[Similarity.sampleKey]]). Unlike `df.stat.sampleBy` (per-partition
+    * RNG), the choice is a pure function of the id — reproducible across
+    * engines and runs, stable under repartitioning, and a row keeps or
+    * loses membership only when ITS stratum's fraction changes (mix
+    * iteration reuses the previous sample's cache).
+    *
+    * At 100 TB this is a map-only filter: no shuffle, no state — the
+    * stratum thresholds ship as a literal map.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double): DataFrame = {
+    val entries = fractions.toSeq.sortBy(_._1).flatMap { case (k, f) =>
+      Seq(lit(k), lit(Similarity.sampleThreshold(f))) }
+    val thresholds =
+      if (entries.isEmpty) lit(Similarity.sampleThreshold(defaultFraction))
+      else coalesce(element_at(map(entries: _*), col(stratumCol)),
+        lit(Similarity.sampleThreshold(defaultFraction)))
+    df.where(Similarity.sampleKey(col(idCol)) < thresholds)
+  }
+
+  /** The same per-stratum predicate, DuckDB SQL (CASE over the fractions). */
+  def stratifiedSampleSql(idExpr: String, stratumExpr: String,
+                          fractions: Map[String, Double],
+                          defaultFraction: Double): String = {
+    val arms = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
+      s"WHEN $stratumExpr = '$k' THEN ${Similarity.sampleThreshold(f)}" }
+      .mkString(" ")
+    s"${Similarity.sampleKeySql(idExpr)} < " +
+      s"(CASE $arms ELSE ${Similarity.sampleThreshold(defaultFraction)} END)"
+  }
+
+  /** Train-test contamination: documents sharing at least `minHits`
+    * distinct n-gram shingles with a benchmark/holdout set. The corpus
+    * side builds the usual shingle inverted index; the benchmark side is
+    * expected to be small (benchmarks are), so its distinct shingle set
+    * broadcasts and the probe is a map-side semi join + one count — the
+    * corpus text itself never shuffles. Production decontamination uses
+    * long shingles (n=13 is the common choice); the n is a parameter
+    * because the oracle vocabulary's documents are short.
+    */
+  def contaminatedDocs(corpus: DataFrame, idCol: String, textCol: String,
+                       benchmark: DataFrame, benchTextCol: String,
+                       n: Int = 13, minHits: Long = 2): DataFrame = {
+    val corpusSh = corpus.select(col(idCol).as("id"),
+        explode(Dedup.shingleHashes(col(textCol), n)).as("sh")).distinct()
+    val benchSh = benchmark.select(
+        explode(Dedup.shingleHashes(col(benchTextCol), n)).as("sh")).distinct()
+    corpusSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget packs for
+    * pretraining batches. Documents are never split; a pack may overflow by
+    * at most one document (the standard streaming first-fit
+    * approximation). The running sum is computed per SHARD — a global
+    * running sum would serialize 100 TB through one window partition, so
+    * the shard key (`pmod(sampleKey(id), shards)` — deterministic) bounds
+    * every window to corpus/shards rows and packs parallelize across
+    * shards. Pack identity = (shard, local pack index).
+    */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    budget: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = pmod(Similarity.sampleKey(col(idCol)), lit(shards.toLong)).cast("int")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(tokensCol).cast("long").as("tokens"), shard.as("shard"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      // the pack a doc STARTS in: budget-multiples crossed before it
+      .withColumn("pack", ((col("cum") - col("tokens")) / budget).cast("long"))
+      .select(col(idCol), col("shard"), col("pack"), col("tokens"))
+  }
+}

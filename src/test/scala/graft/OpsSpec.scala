@@ -301,6 +301,58 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.unset(Dedup.ReliableCheckpointsKey)
   }
 
+  test("stratified sample: per-stratum fractions hold, membership is deterministic") {
+    import graft.ops.TrainingMix
+    val kept = TrainingMix.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), defaultFraction = 0.2)
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // binomial-ish tolerance on a few hundred rows per stratum
+    assert(math.abs(counts("en").toDouble / totals("en") - 0.5) < 0.15, counts)
+    val others = totals.keySet - "en"
+    val otherRate = others.map(l => counts.getOrElse(l, 0L)).sum.toDouble /
+      others.map(totals).sum
+    assert(math.abs(otherRate - 0.2) < 0.15, otherRate)
+    // pure function of the id: a second evaluation keeps the same rows
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TrainingMix.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5), 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("contamination: planted benchmark docs are detected, clean docs are not flagged") {
+    import graft.ops.TrainingMix
+    val bench = docs.where(col("doc_id") % 97 === 0)
+    val hits = TrainingMix.contaminatedDocs(docs, "doc_id", "text", bench, "text",
+      n = 5, minHits = 3).collect().map(_.getLong(0)).toSet
+    val planted = bench.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.subsetOf(hits), s"planted $planted not all flagged in $hits")
+    // flagged non-planted docs would need ≥3 shared 5-grams — possible but
+    // must stay a small minority on this corpus
+    assert(hits.size <= planted.size + 5, s"over-flagging: $hits")
+  }
+
+  test("sequence packing: packs respect the budget modulo one overflow doc, no doc splits") {
+    import graft.ops.TrainingMix
+    val packed = TrainingMix.packSequences(
+      docs.select(col("doc_id"), TextAnalysis.bpeTokenCount(col("text")).as("tokens")),
+      "doc_id", "tokens", budget = 500L, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(packed.map(_._1).distinct.length === packed.length, "each doc exactly once")
+    val byPack = packed.groupBy(p => (p._2, p._3))
+    byPack.foreach { case ((shard, pack), members) =>
+      val total = members.map(_._4).sum
+      val maxDoc = members.map(_._4).max
+      assert(total - maxDoc < 500L,
+        s"pack ($shard,$pack) total $total overflows beyond its last doc")
+    }
+    // shards are balanced enough that packing parallelizes
+    val shardSizes = packed.groupBy(_._2).view.mapValues(_.length)
+    assert(shardSizes.values.min > packed.length / 16, shardSizes.toMap)
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
