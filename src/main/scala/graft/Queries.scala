@@ -198,6 +198,44 @@ object Queries {
         r.bins.toLong)).toDF("ks", "bins")
     }),
 
+    // §2.4 drift: population stability index of the lang mix (proportions
+    // over full totals; one-sided categories excluded and counted)
+    "q_psi_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val r = Drift.psi(d.where(col("doc_id") % 2 === 1),
+        d.where(col("doc_id") % 2 === 0), "lang")
+      import s.implicits._
+      Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r.categories.toLong, r.excluded)).toDF("psi", "categories", "excluded")
+    }),
+
+    // §2.4 drift: Jensen–Shannon divergence (nats) of the lang mix
+    "q_jsd_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val r = Drift.jsd(d.where(col("doc_id") % 2 === 1),
+        d.where(col("doc_id") % 2 === 0), "lang")
+      import s.implicits._
+      Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r.categories.toLong)).toDF("jsd", "categories")
+    }),
+
+    // §2.10 bucket-counter analog (codegen/filters.rs:17-66
+    // MultiBucketCounter): k-th occurrence of `name` within `bucket` — NULL
+    // on first sight, the running count after. Distributed as a window over
+    // (bucket, name): the render-time mutable registry becomes a
+    // shuffle-partitioned row_number, which is the only shape that survives
+    // a corpus too large for one renderer.
+    "q_bucket_count" -> ((s, dir) => {
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          row_number().over(w).as("rn"))
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(col("rn") === 1, lit(null).cast("long"))
+            .otherwise(col("rn").cast("long")).as("occurrence"))
+        .orderBy("doc_id")
+    }),
+
     // §2.7 per-row content hash invariant (sha2 == reference computation)
     "q_sha256" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"), sha2(col("text"), 256).as("sha"))
@@ -659,6 +697,32 @@ object Queries {
       |                sum(b) OVER (ORDER BY bin) / sum(b) OVER () AS cb FROM j)
       |SELECT round(max(abs(cc - cb)), 6) AS ks, CAST(20 AS BIGINT) AS bins FROM cdf""".stripMargin
 
+  /** Shared CTE chain of the categorical-drift oracles: per-category
+    * (o, b) counts with full-total proportions — mirrors
+    * Drift.categoryCounts + the proportion convention of psi/jsd.
+    */
+  private val catDriftCtes =
+    """cur AS (SELECT coalesce(lang, chr(0) || 'NULL') AS v, count(*) AS o FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+      | base AS (SELECT coalesce(lang, chr(0) || 'NULL') AS v, count(*) AS b FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+      | j AS (SELECT CAST(coalesce(o, 0) AS DOUBLE) AS o, CAST(coalesce(b, 0) AS DOUBLE) AS b
+      |       FROM cur FULL OUTER JOIN base ON cur.v = base.v),
+      | tot AS (SELECT sum(o) AS so, sum(b) AS sb FROM j),
+      | p AS (SELECT o, b, o / (SELECT so FROM tot) AS pc, b / (SELECT sb FROM tot) AS pb FROM j)""".stripMargin
+
+  private val psiOracle =
+    s"""WITH $catDriftCtes
+       |SELECT round(sum(CASE WHEN o > 0 AND b > 0 THEN (pc - pb) * ln(pc / pb) ELSE 0 END), 6) AS psi,
+       | CAST(sum(CASE WHEN o > 0 AND b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS categories,
+       | CAST(sum(CASE WHEN o = 0 OR b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS excluded
+       |FROM p""".stripMargin
+
+  private val jsdOracle =
+    s"""WITH $catDriftCtes
+       |SELECT round(sum(CASE WHEN o > 0 THEN 0.5 * pc * ln(pc / ((pc + pb) / 2)) ELSE 0 END)
+       |     + sum(CASE WHEN b > 0 THEN 0.5 * pb * ln(pb / ((pc + pb) / 2)) ELSE 0 END), 6) AS jsd,
+       | CAST(count(*) AS BIGINT) AS categories
+       |FROM p""".stripMargin
+
   private val referentialOracle =
     """SELECT user_id, count(*) AS n_events FROM events e
       |WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey < 100 AND c.c_custkey = e.user_id)
@@ -678,6 +742,15 @@ object Queries {
     "q_referential_smj" -> referentialOracle,
     "q_chi2_drift" -> chi2Oracle,
     "q_ks_drift" -> ksOracle,
+    "q_psi_drift" -> psiOracle,
+    "q_jsd_drift" -> jsdOracle,
+    "q_bucket_count" ->
+      """SELECT doc_id, lang, source,
+        | CASE WHEN rn = 1 THEN NULL ELSE rn END AS occurrence
+        |FROM (SELECT doc_id, lang, source,
+        |  row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_sha256" -> "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

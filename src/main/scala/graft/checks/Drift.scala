@@ -17,6 +17,30 @@ object Drift {
 
   final case class ChiSquare(statistic: Double, dof: Int, newCategories: Long)
   final case class Ks(statistic: Double, bins: Int)
+  final case class Psi(statistic: Double, categories: Int, excluded: Long)
+  final case class Jsd(statistic: Double, categories: Int)
+
+  /** Per-category (observed, baseline) counts over the union of both sides'
+    * categories — the shared first stage of every categorical drift check.
+    * Two map-side-combined groupBys + one tiny full_outer join (<= #categories
+    * rows by definition of a categorical check), collected in ONE job; the
+    * heavy work is the groupBys, never the collect.
+    *
+    * NULL is a first-class category: it maps to a sentinel so the equi-join
+    * matches it (a full_outer join never matches null keys, which would
+    * split one category into two phantom ones).
+    */
+  private def categoryCounts(current: DataFrame, baselineDf: DataFrame,
+                             column: String): Array[(Long, Long)] = {
+    def cat(df: DataFrame) = df.select(
+      coalesce(col(column).cast("string"), lit("\u0000NULL")).as("v"))
+    val cur = cat(current).groupBy(col("v")).agg(count(lit(1)).as("o"))
+    val base = cat(baselineDf).groupBy(col("v")).agg(count(lit(1)).as("b"))
+    cur.join(base, Seq("v"), "full_outer")
+      .select(coalesce(col("o"), lit(0L)).as("o"), coalesce(col("b"), lit(0L)).as("b"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+  }
 
   /** Pearson chi-square over a categorical column. Expected counts are the
     * baseline frequencies rescaled to the current total. Categories absent
@@ -24,32 +48,64 @@ object Drift {
     * excluded from the statistic and reported via `newCategories`.
     */
   def chiSquare(current: DataFrame, baselineDf: DataFrame, column: String): ChiSquare = {
-    // NULL is a first-class category: map it to a sentinel so the equi-join
-    // matches it (a full_outer join never matches null keys, which would
-    // split one category into two phantom ones).
-    def cat(df: DataFrame) = df.select(
-      coalesce(col(column).cast("string"), lit("\u0000NULL")).as("v"))
-    val cur = cat(current).groupBy(col("v")).agg(count(lit(1)).as("o"))
-    val base = cat(baselineDf).groupBy(col("v")).agg(count(lit(1)).as("b"))
-    // joined is tiny (≤ #categories rows by definition of a chi-square
-    // check): ONE job collects it and the statistic finishes on the driver —
-    // the heavy work is the two map-side-combined groupBys, never this
-    // collect. (Previously two driver actions + a persist; fixed per-job
-    // scheduling constants are the enemy of scaling efficiency.)
-    val joined = cur.join(base, Seq("v"), "full_outer")
-      .select(col("v"), coalesce(col("o"), lit(0L)).as("o"), coalesce(col("b"), lit(0L)).as("b"))
-      .collect()
-    val to = joined.map(_.getLong(1)).sum.toDouble
-    val tb = joined.map(_.getLong(2)).sum.toDouble
+    val joined = categoryCounts(current, baselineDf, column)
+    val to = joined.map(_._1).sum.toDouble
+    val tb = joined.map(_._2).sum.toDouble
     require(tb > 0, s"empty baseline for chi-square on '$column' (0 rows)")
     var stat = 0.0; var k = 0; var newCats = 0L
-    joined.foreach { r =>
-      val o = r.getLong(1).toDouble
-      val e = r.getLong(2).toDouble * (to / tb)
+    joined.foreach { case (oL, bL) =>
+      val o = oL.toDouble
+      val e = bL.toDouble * (to / tb)
       if (e > 0) { stat += (o - e) * (o - e) / e; k += 1 }
       else if (o > 0) newCats += 1
     }
     ChiSquare(stat, math.max(k - 1, 0), newCats)
+  }
+
+  /** Population stability index over a categorical column:
+    * PSI = sum over categories present on BOTH sides of
+    * (p_cur - p_base) * ln(p_cur / p_base). Proportions are taken over each
+    * side's FULL total (including one-sided categories) — the standard PSI
+    * convention; one-sided categories (log term undefined) are excluded from
+    * the sum and reported via `excluded`. Same two-groupBy + tiny-join shape
+    * as [[chiSquare]] — at 100 TB the cost is two map-side-combined scans.
+    */
+  def psi(current: DataFrame, baselineDf: DataFrame, column: String): Psi = {
+    val joined = categoryCounts(current, baselineDf, column)
+    val to = joined.map(_._1).sum.toDouble
+    val tb = joined.map(_._2).sum.toDouble
+    require(to > 0 && tb > 0,
+      s"empty snapshot for PSI on '$column' (current=$to, baseline=$tb rows)")
+    var stat = 0.0; var k = 0; var excluded = 0L
+    joined.foreach { case (o, b) =>
+      if (o > 0 && b > 0) {
+        val pc = o / to; val pb = b / tb
+        stat += (pc - pb) * math.log(pc / pb); k += 1
+      } else excluded += 1
+    }
+    Psi(stat, k, excluded)
+  }
+
+  /** Jensen-Shannon divergence (in nats — natural log throughout, so the
+    * oracle needs only `ln`) of the current category distribution against
+    * the baseline's: JSD = KL(p||m)/2 + KL(q||m)/2 with m = (p+q)/2. Unlike
+    * PSI it is defined for one-sided categories (0*ln0 = 0, and m > 0
+    * whenever either side is present), symmetric, and bounded by ln 2.
+    */
+  def jsd(current: DataFrame, baselineDf: DataFrame, column: String): Jsd = {
+    val joined = categoryCounts(current, baselineDf, column)
+    val to = joined.map(_._1).sum.toDouble
+    val tb = joined.map(_._2).sum.toDouble
+    require(to > 0 && tb > 0,
+      s"empty snapshot for JSD on '$column' (current=$to, baseline=$tb rows)")
+    var stat = 0.0
+    joined.foreach { case (o, b) =>
+      val pc = o / to; val pb = b / tb
+      val m = (pc + pb) / 2.0
+      if (o > 0) stat += 0.5 * pc * math.log(pc / m)
+      if (b > 0) stat += 0.5 * pb * math.log(pb / m)
+    }
+    Jsd(stat, joined.length)
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic over a numeric expression,
@@ -190,6 +246,52 @@ object Drift {
     Ks(d, bins)
   }
 
+  /** Per-category (observed, baseline) pairs from two histograms — the
+    * FromHist face of [[categoryCounts]] (union of keys, 0 for absences).
+    */
+  private def histCounts(cur: Seq[(Option[String], Long)],
+                         base: Seq[(Option[String], Long)]): Seq[(Long, Long)] = {
+    val curM = cur.toMap.withDefaultValue(0L)
+    val baseM = base.toMap.withDefaultValue(0L)
+    (curM.keySet ++ baseM.keySet).toSeq.map(k => (curM(k), baseM(k)))
+  }
+
+  /** PSI from per-value histograms — same math as [[psi]]. */
+  def psiFromHist(cur: Seq[(Option[String], Long)],
+                  base: Seq[(Option[String], Long)]): Psi = {
+    val joined = histCounts(cur, base)
+    val to = joined.map(_._1).sum.toDouble
+    val tb = joined.map(_._2).sum.toDouble
+    require(to > 0 && tb > 0,
+      s"empty snapshot histogram for PSI (current=$to, baseline=$tb rows)")
+    var stat = 0.0; var k = 0; var excluded = 0L
+    joined.foreach { case (o, b) =>
+      if (o > 0 && b > 0) {
+        val pc = o / to; val pb = b / tb
+        stat += (pc - pb) * math.log(pc / pb); k += 1
+      } else excluded += 1
+    }
+    Psi(stat, k, excluded)
+  }
+
+  /** JSD from per-value histograms — same math as [[jsd]]. */
+  def jsdFromHist(cur: Seq[(Option[String], Long)],
+                  base: Seq[(Option[String], Long)]): Jsd = {
+    val joined = histCounts(cur, base)
+    val to = joined.map(_._1).sum.toDouble
+    val tb = joined.map(_._2).sum.toDouble
+    require(to > 0 && tb > 0,
+      s"empty snapshot histogram for JSD (current=$to, baseline=$tb rows)")
+    var stat = 0.0
+    joined.foreach { case (o, b) =>
+      val pc = o / to; val pb = b / tb
+      val m = (pc + pb) / 2.0
+      if (o > 0) stat += 0.5 * pc * math.log(pc / m)
+      if (b > 0) stat += 0.5 * pb * math.log(pb / m)
+    }
+    Jsd(stat, joined.length)
+  }
+
   /** DataFrame-returning variants for the query surface. */
   def chiSquareDf(spark: SparkSession, current: DataFrame, baselineDf: DataFrame,
                   column: String): DataFrame = {
@@ -203,5 +305,19 @@ object Drift {
     val r = ks(current, baselineDf, column, bins)
     import spark.implicits._
     Seq((r.statistic, r.bins.toLong)).toDF("ks", "bins")
+  }
+
+  def psiDf(spark: SparkSession, current: DataFrame, baselineDf: DataFrame,
+            column: String): DataFrame = {
+    val r = psi(current, baselineDf, column)
+    import spark.implicits._
+    Seq((r.statistic, r.categories.toLong, r.excluded)).toDF("psi", "categories", "excluded")
+  }
+
+  def jsdDf(spark: SparkSession, current: DataFrame, baselineDf: DataFrame,
+            column: String): DataFrame = {
+    val r = jsd(current, baselineDf, column)
+    import spark.implicits._
+    Seq((r.statistic, r.categories.toLong)).toDF("jsd", "categories")
   }
 }

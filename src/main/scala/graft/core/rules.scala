@@ -45,6 +45,12 @@ final case class ConstEq(name: String, column: String, value: String) extends Ro
   */
 final case class MatchesPattern(name: String, column: String, regex: String) extends RowRule
 
+/** No credential/secret pattern occurs in the column (ops.CodeScan
+  * detectors) — the "no leaked secret ships into the training mix" gate for
+  * a source-code content column.
+  */
+final case class NoSecrets(name: String, column: String) extends RowRule
+
 /** format → named predicate from the pluggable format registry (the analog of
   * the reference registering formats in its container, jsonschema/mod.rs:511-513).
   */
@@ -126,6 +132,12 @@ final case class ChiSquareDrift(name: String, column: String, maxStat: Double) e
 
 /** Kolmogorov–Smirnov drift of a numeric column (binned CDF) vs baseline. */
 final case class KsDrift(name: String, column: String, bins: Int, maxStat: Double) extends TableRule
+
+/** Population-stability-index drift of a categorical column vs baseline. */
+final case class PsiDrift(name: String, column: String, maxStat: Double) extends TableRule
+
+/** Jensen–Shannon-divergence drift (nats) of a categorical column vs baseline. */
+final case class JsdDrift(name: String, column: String, maxStat: Double) extends TableRule
 
 /** A compiled suite of rules with a stable content hash — the analog of the
   * reference's structural `schema_hash` (title/description stripped, keys

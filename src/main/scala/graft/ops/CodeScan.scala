@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Credential / secret scanning over source-code content — a validation
+  * family the engine's target table (repo, path, commit, lang, content)
+  * calls for: a repository ingest at 10^12-file scale wants "no leaked
+  * credential shipped into the training mix" as a first-class check next to
+  * schema validation.
+  *
+  * Detectors are anchored, dialect-portable regexes (the subset that means
+  * the same thing to Java's regex engine and RE2, so the DuckDB oracle can
+  * replay them verbatim): an AWS-style access-key id, a PEM private-key
+  * header, an email address, and a 40-hex-digit token (leaked SHA-keyed
+  * secrets). Counting is `regexp_count` per detector — per-row, zero
+  * shuffle, codegen'd; the per-(row, detector) normalization is a row-local
+  * explode of a 4-element array, so output stays proportional to FINDINGS,
+  * not to corpus × detectors.
+  */
+object CodeScan {
+
+  /** (kind, pattern) detectors — shared with the oracle SQL verbatim. */
+  val Detectors: Seq[(String, String)] = Seq(
+    "aws_access_key" -> "AKIA[0-9A-Z]{16}",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "hex_secret_40" -> "\\b[0-9a-f]{40}\\b",
+    "private_key_block" -> "-----BEGIN [A-Z ]*PRIVATE KEY-----")
+
+  /** array<struct<kind, n_hits>> — one entry per detector. */
+  def matchCounts(content: Column): Column =
+    array(Detectors.map { case (kind, re) =>
+      struct(lit(kind).as("kind"),
+        regexp_count(content, lit(re)).cast("long").as("n_hits"))
+    }: _*)
+
+  /** Findings: one row per (id, detector) with at least one hit. */
+  def findings(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol), explode(matchCounts(col(contentCol))).as("m"))
+      .select(col(idCol), col("m.kind").as("kind"), col("m.n_hits").as("n_hits"))
+      .where(col("n_hits") > 0)
+
+  /** A row predicate for the rule plane: true iff content is clean. */
+  def clean(content: Column): Column =
+    Detectors.map { case (_, re) => regexp_count(content, lit(re)) === 0 }
+      .reduce(_ && _)
+}

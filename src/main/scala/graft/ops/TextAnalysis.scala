@@ -77,6 +77,35 @@ object TextAnalysis {
   /** Document fingerprint: the rolling hash of the whole text. */
   def fingerprint(c: Column): Column = polyHash(c)
 
+  /** Word-repetition signals (the Gopher-style "repetitive document" quality
+    * gates): returns struct(maxrun, distinct) where `maxrun` is the highest
+    * occurrence count of any single word and `distinct` the distinct-word
+    * count. Computed per row with a sorted-run fold — equal words are
+    * adjacent after array_sort, so one O(n log n) pass per document counts
+    * runs with NO shuffle and stays inside whole-stage codegen. The
+    * alternative (explode → groupBy(doc, word)) shuffles every token of the
+    * corpus at 100 TB; this never leaves the row.
+    */
+  def wordRunStats(c: Column): Column = {
+    val sorted = array_sort(words(c))
+    aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("maxrun"), lit(0L).as("distinct")),
+      (acc, w) => {
+        // prev === w is null on the first word → otherwise(1) starts the run
+        val newRun = when(acc.getField("prev") === w, acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), newRun.as("run"),
+          greatest(acc.getField("maxrun"), newRun).as("maxrun"),
+          (acc.getField("distinct") +
+            when(acc.getField("prev").isNull || acc.getField("prev") =!= w, 1L)
+              .otherwise(0L)).as("distinct"))
+      },
+      acc => struct(acc.getField("maxrun").as("maxrun"),
+        acc.getField("distinct").as("distinct")))
+  }
+
   /** 32-bit SimHash over whitespace tokens with the portable token hash.
     * bit b of the result is set iff the ±1 sum of token-hash bit b is > 0.
     * Exact integer arithmetic via doubles < 2^53 (hashes < 2^30), portable.

@@ -42,6 +42,7 @@ object RuleCompiler {
       case EnumInNum(_, _, vs) => nullSafe(c.isin(vs: _*))
       case ConstEq(_, _, v)    => nullSafe(c === lit(v))
       case MatchesPattern(_, _, re) => nullSafe(c.rlike(re))
+      case NoSecrets(_, _)     => nullSafe(graft.ops.CodeScan.clean(c))
       case HasFormat(_, _, f) =>
         val fn = formats.getOrElse(f, sys.error(s"unknown format '$f'"))
         nullSafe(fn(c))

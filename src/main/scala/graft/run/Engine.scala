@@ -209,6 +209,8 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     val driftRules = suite.tableRules.collect {
       case r: ChiSquareDrift => r: TableRule
       case r: KsDrift => r: TableRule
+      case r: PsiDrift => r: TableRule
+      case r: JsdDrift => r: TableRule
     }
     val driftCheck =
       if (driftRules.isEmpty) Nil
@@ -218,6 +220,8 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
         val cols = driftRules.collect {
           case ChiSquareDrift(_, c, _) => c
           case KsDrift(_, c, _, _) => c
+          case PsiDrift(_, c, _) => c
+          case JsdDrift(_, c, _) => c
         }.distinct
         // Fused path first; if a continuous high-NDV column would blow the
         // driver collect (Drift.HistogramTooLarge), fall back per rule to
@@ -239,6 +243,18 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
               case None => Drift.ks(df, b, c, bins)
             }
             driftVerdict(name, bins.toLong, r.statistic <= maxStat)
+          case PsiDrift(name, c, maxStat) =>
+            val r = fused match {
+              case Some((curH, baseH)) => Drift.psiFromHist(curH(c), baseH(c))
+              case None => Drift.psi(df, b, c)
+            }
+            driftVerdict(name, r.categories.toLong, r.statistic <= maxStat)
+          case JsdDrift(name, c, maxStat) =>
+            val r = fused match {
+              case Some((curH, baseH)) => Drift.jsdFromHist(curH(c), baseH(c))
+              case None => Drift.jsd(df, b, c)
+            }
+            driftVerdict(name, r.categories.toLong, r.statistic <= maxStat)
           case other => sys.error(s"not a drift rule: $other")
         }.reduce(_ unionByName _)
         BuiltCheck(verdicts, spark.emptyDataset[Violation].toDF(), Nil, () => ())

@@ -115,6 +115,58 @@ object StreamValidate {
         col("new_categories"), col("to").as("evaluated"))
   }
 
+  /** Streaming PSI drift: per event-time window, the population stability
+    * index of the window's value histogram against a STATIC baseline
+    * (broadcast) — the streaming face of the batch PsiDrift check.
+    *
+    * PSI's per-category term (pc−pb)·ln(pc/pb) expands into sums that do
+    * not depend on the window total `to` per category:
+    *   stat = A/to − B/tb + (ln tb − ln to)·(oS/to − bS/tb)
+    * with A = Σ o·ln(o/b), B = Σ b·ln(o/b), oS = Σ o, bS = Σ b over
+    * categories present on BOTH sides — so the whole statistic is one
+    * (window, value) count aggregation, a broadcast baseline join, and one
+    * (window) roll-up: chained watermark-evicted stateful aggregation, no
+    * per-window collect (same shape as [[chiSquareDriftStream]]).
+    *
+    * `excluded` matches the batch check's accounting (categories present on
+    * exactly one side): window-only values count via the failed join;
+    * baseline-only values are the baseline's support minus the matched
+    * count — a per-window arithmetic on aggregated columns.
+    */
+  def psiDriftStream(stream: DataFrame, column: String, tsCol: String,
+                     windowDuration: String, watermark: String,
+                     baseline: Seq[(Option[String], Long)]): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val supported = baseline.filter(_._2 > 0)
+    val tb = baseline.map(_._2).sum.toDouble
+    require(tb > 0, "empty baseline histogram for streaming PSI")
+    val baseDf = supported.map { case (v, c) => (v.getOrElse(NullKey), c) }.toDF("value", "b")
+    val matched = col("b").isNotNull
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration),
+        coalesce(col(column).cast("string"), lit(NullKey)).as("value"))
+      .agg(count(lit(1)).as("o"))
+      .join(broadcast(baseDf), Seq("value"), "left_outer")
+      .groupBy(window(window_time(col("window")), windowDuration).as("window"))
+      .agg(
+        sum(when(matched, col("o") * log(col("o") / col("b")))).as("a"),
+        sum(when(matched, col("b") * log(col("o") / col("b")))).as("bb"),
+        sum(when(matched, col("o")).otherwise(lit(0L))).as("os"),
+        sum(when(matched, col("b")).otherwise(lit(0L))).as("bs"),
+        sum(col("o")).as("to"),
+        sum(when(matched, 1L).otherwise(0L)).as("k"),
+        sum(when(!matched, 1L).otherwise(0L)).as("window_only"))
+      .select(col("window"),
+        (coalesce(col("a"), lit(0.0)) / col("to") - coalesce(col("bb"), lit(0.0)) / lit(tb)
+          + (lit(math.log(tb)) - log(col("to")))
+            * (col("os") / col("to") - col("bs") / lit(tb))).as("psi"),
+        col("k").as("categories"),
+        (col("window_only") + lit(supported.size.toLong) - col("k")).as("excluded"),
+        col("to").as("evaluated"))
+  }
+
   /** Streaming KS drift: per event-time window, the binned-CDF
     * Kolmogorov–Smirnov distance of a numeric column against a STATIC
     * baseline histogram — the streaming face of the batch KsDrift check.

@@ -268,6 +268,7 @@ object SuiteLoader {
     case x: AllOfRule => x.copy(name = s"${prefix}_${x.name}")
     case x: MapPatternValues => x.copy(name = s"${prefix}_${x.name}")
     case x: MapClosedKeys => x.copy(name = s"${prefix}_${x.name}")
+    case x: NoSecrets => x.copy(name = s"${prefix}_${x.name}")
   }
 
   /** Rules for one union variant that is an object schema ACROSS columns

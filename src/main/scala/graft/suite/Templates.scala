@@ -63,6 +63,32 @@ object Templates {
     def resolve(container: JsonNode): String = NodeWalk.fillParameters(raw, container)
   }
 
+  /** Render-time occurrence counter (codegen/filters.rs:17-66
+    * `MultiBucketCounter` + the `get_bucket_count`/`clear_bucket` Tera
+    * functions): the k-th call for (bucket, name) returns None the first
+    * time and Some(k) after — templates use it to suffix colliding names.
+    * Driver-side mutable state is fine here because rendering is a
+    * driver-plane activity; the distributed face of the same semantics is
+    * the `q_bucket_count` window query (row_number over (bucket, name)).
+    */
+  final class MultiBucketCounter {
+    private val registry =
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.Map[String, Long]]
+
+    /** filters.rs:21-48: increment and return None on first sight, the new
+      * count otherwise. Bucket defaults to "default" at call sites.
+      */
+    def next(name: String, bucket: String = "default"): Option[Long] = {
+      val b = registry.getOrElseUpdate(bucket, scala.collection.mutable.Map.empty)
+      val n = b.getOrElse(name, 0L) + 1L
+      b(name) = n
+      if (n == 1L) None else Some(n)
+    }
+
+    /** filters.rs:50-66: drop a whole bucket. */
+    def clear(bucket: String): Unit = registry.remove(bucket)
+  }
+
   final case class Template(
       relative: String,
       kind: String, // endpoints | models | tags | static

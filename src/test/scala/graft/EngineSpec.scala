@@ -177,6 +177,27 @@ class EngineSpec extends SparkSpec {
     val ksDrift = Drift.ks(drifted.withColumn("len", length(col("content"))),
       base.withColumn("len", length(col("content"))), "len")
     assert(ksDrift.statistic > 0.05)
+    // PSI and JSD share the identity property and react to the same drift
+    assert(Drift.psi(base, base, "lang").statistic === 0.0)
+    assert(Drift.jsd(base, base, "lang").statistic === 0.0)
+    val psiDrift = Drift.psi(drifted, base, "lang")
+    assert(psiDrift.statistic > 0.0)
+    val jsdDrift = Drift.jsd(drifted, base, "lang")
+    assert(jsdDrift.statistic > 0.0 && jsdDrift.statistic <= math.log(2.0))
+  }
+
+  test("PSI excludes one-sided categories and counts them; JSD stays defined") {
+    val cur = Seq("a", "a", "b", "c").toDF("v")   // c only here
+    val base = Seq("a", "b", "b", "d").toDF("v")  // d only here
+    val p = Drift.psi(cur, base, "v")
+    assert(p.categories === 2 && p.excluded === 2L)
+    // hand-computed: pc(a)=.5 pb(a)=.25, pc(b)=.25 pb(b)=.5
+    val expect = (0.5 - 0.25) * math.log(0.5 / 0.25) + (0.25 - 0.5) * math.log(0.25 / 0.5)
+    assert(math.abs(p.statistic - expect) < 1e-12)
+    val j = Drift.jsd(cur, base, "v")
+    assert(j.categories === 4 && j.statistic > 0.0 && j.statistic <= math.log(2.0))
+    // symmetric by construction
+    assert(math.abs(Drift.jsd(base, cur, "v").statistic - j.statistic) < 1e-12)
   }
 
   test("runConcurrent produces identical verdicts/violations/stats to run") {
@@ -212,7 +233,9 @@ class EngineSpec extends SparkSpec {
     }
     val driftSuite = RuleSuite(Seq(
       ChiSquareDrift("drift_chi2", "lang", 1e9),
-      KsDrift("drift_ks", "len", 20, 1.0)))
+      KsDrift("drift_ks", "len", 20, 1.0),
+      PsiDrift("drift_psi", "lang", 1e9),
+      JsdDrift("drift_jsd", "lang", 1.0)))
     def verdicts(cfgMax: Int) = {
       val eng = new ValidationEngine(driftSuite,
         EngineConfig(numParts = 8, driftHistMaxRows = cfgMax))
@@ -237,6 +260,15 @@ class EngineSpec extends SparkSpec {
     val ksFused = graft.checks.Drift.ksFromHist(curH("len"), baseH("len"), 20)
     val ksClassic = Drift.ks(drifted, base, "len", 20)
     assert(math.abs(ksFused.statistic - ksClassic.statistic) < 1e-12)
+    val psiFused = graft.checks.Drift.psiFromHist(curH("lang"), baseH("lang"))
+    val psiClassic = Drift.psi(drifted, base, "lang")
+    assert(psiFused.categories === psiClassic.categories)
+    assert(psiFused.excluded === psiClassic.excluded)
+    assert(math.abs(psiFused.statistic - psiClassic.statistic) < 1e-9)
+    val jsdFused = graft.checks.Drift.jsdFromHist(curH("lang"), baseH("lang"))
+    val jsdClassic = Drift.jsd(drifted, base, "lang")
+    assert(jsdFused.categories === jsdClassic.categories)
+    assert(math.abs(jsdFused.statistic - jsdClassic.statistic) < 1e-9)
   }
 
   test("root-level oneOf WITHOUT discriminator evaluates (no synthetic-column deref)") {

@@ -138,6 +138,42 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming PSI drift matches the batch statistic per closed window") {
+    implicit val sq = spark.sqlContext
+    // baseline: scala:3 rust:1 — the algebraic expansion must reproduce the
+    // batch per-category sum, including the excluded-category accounting
+    val baseline = Seq(Option("scala") -> 3L, Option("rust") -> 1L)
+    val mem = MemoryStream[FileEvent]
+    val q = StreamValidate.psiDriftStream(mem.toDF(), "lang", "ts",
+      "1 minute", "0 seconds", baseline)
+      .writeStream.format("memory").queryName("psidrift").outputMode("append").start()
+    // window 1 (0-60s): scala:1 rust:2 go:1 — drifted + one window-only category
+    // window 2 (60-120s): scala:3 rust:1    — exactly the baseline mix → PSI 0
+    mem.addData(
+      ev("a", "00000001", "scala", 1), ev("b", "00000002", "rust", 2),
+      ev("c", "00000003", "rust", 3), ev("d", "00000004", "go", 4),
+      ev("e", "00000005", "scala", 61), ev("f", "00000006", "scala", 62),
+      ev("g", "00000007", "scala", 63), ev("h", "00000008", "rust", 64))
+    q.processAllAvailable()
+    mem.addData(ev("z", "00000009", "scala", 200)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("psidrift")
+      .select(col("window.start").cast("long").as("s"), col("psi"),
+        col("categories"), col("excluded"), col("evaluated"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.length === 2)
+    def batchPsi(hist: Seq[(Option[String], Long)]) =
+      graft.checks.Drift.psiFromHist(hist, baseline)
+    val w1 = batchPsi(Seq(Option("scala") -> 1L, Option("rust") -> 2L, Option("go") -> 1L))
+    val w2 = batchPsi(Seq(Option("scala") -> 3L, Option("rust") -> 1L))
+    assert(math.abs(rows(0)._2 - w1.statistic) < 1e-9, s"${rows(0)._2} vs ${w1.statistic}")
+    assert(math.abs(rows(1)._2 - w2.statistic) < 1e-9)
+    assert(rows(0)._3 === w1.categories.toLong && rows(0)._4 === w1.excluded && rows(0)._5 === 4L)
+    assert(math.abs(rows(1)._2) < 1e-12 && rows(1)._4 === 0L)
+    q.stop()
+  }
+
   test("streaming chi-square drift accepts a NUMERIC column (sentinel coalesce casts first)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]

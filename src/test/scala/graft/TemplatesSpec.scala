@@ -123,4 +123,20 @@ class TemplatesSpec extends AnyFunSuite {
     val s = fromContent("skip.j2", s"{# type=static,filename=s.txt,if=a:b,$minOk #}")
     assert(renderPlan(Seq(s), openapi, j("""{}""")).isEmpty)
   }
+
+  test("bucket counter: first sight None, then running count; buckets independent; clear resets") {
+    val c = new Templates.MultiBucketCounter
+    // filters.rs:38-47 — entry starts at 0, returns none when it WAS 0
+    assert(c.next("Pet") === None)
+    assert(c.next("Pet") === Some(2L))
+    assert(c.next("Pet") === Some(3L))
+    assert(c.next("Store") === None)
+    // same name in another bucket counts separately
+    assert(c.next("Pet", bucket = "other") === None)
+    assert(c.next("Pet", bucket = "other") === Some(2L))
+    // clear_bucket drops only its bucket (filters.rs:50-66)
+    c.clear("other")
+    assert(c.next("Pet", bucket = "other") === None)
+    assert(c.next("Pet") === Some(4L))
+  }
 }
