@@ -198,6 +198,16 @@ object Queries {
         r.bins.toLong)).toDF("ks", "bins")
     }),
 
+    // §2.4 drift: binned 1-Wasserstein distance over n_chars (column units)
+    "q_w1_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val r = Drift.wasserstein(d.where(col("doc_id") % 2 === 1),
+        d.where(col("doc_id") % 2 === 0), "n_chars", bins = 20)
+      import s.implicits._
+      Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r.bins.toLong)).toDF("w1", "bins")
+    }),
+
     // §2.4 drift: population stability index of the lang mix (proportions
     // over full totals; one-sided categories excluded and counted)
     "q_psi_drift" -> ((s, dir) => {
@@ -697,6 +707,26 @@ object Queries {
       |                sum(b) OVER (ORDER BY bin) / sum(b) OVER () AS cb FROM j)
       |SELECT round(max(abs(cc - cb)), 6) AS ks, CAST(20 AS BIGINT) AS bins FROM cdf""".stripMargin
 
+  // same binning as ksOracle; the spine CTE supplies bins empty on BOTH
+  // sides, whose |cdf gap| still contributes to the L1 sum
+  private val w1Oracle =
+    """WITH bounds AS (SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+      |   CASE WHEN max(n_chars) > min(n_chars)
+      |        THEN CAST(max(n_chars) - min(n_chars) AS DOUBLE) ELSE 1.0 END AS span
+      |   FROM documents WHERE n_chars IS NOT NULL),
+      | cur AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - (SELECT lo FROM bounds)) / ((SELECT span FROM bounds) / 20)), 19) AS INT) AS bin, CAST(count(*) AS DOUBLE) AS c
+      |         FROM documents WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL GROUP BY 1),
+      | base AS (SELECT CAST(least(floor((CAST(n_chars AS DOUBLE) - (SELECT lo FROM bounds)) / ((SELECT span FROM bounds) / 20)), 19) AS INT) AS bin, CAST(count(*) AS DOUBLE) AS b
+      |          FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+      | spine AS (SELECT unnest(generate_series(0, 19)) AS bin),
+      | j AS (SELECT spine.bin, coalesce(c, 0) AS c, coalesce(b, 0) AS b
+      |       FROM spine LEFT JOIN cur ON spine.bin = cur.bin
+      |                  LEFT JOIN base ON spine.bin = base.bin),
+      | cdf AS (SELECT sum(c) OVER (ORDER BY bin) / sum(c) OVER () AS cc,
+      |                sum(b) OVER (ORDER BY bin) / sum(b) OVER () AS cb FROM j)
+      |SELECT round(sum(abs(cc - cb)) * ((SELECT span FROM bounds) / 20), 6) AS w1,
+      | CAST(20 AS BIGINT) AS bins FROM cdf""".stripMargin
+
   /** Shared CTE chain of the categorical-drift oracles: per-category
     * (o, b) counts with full-total proportions — mirrors
     * Drift.categoryCounts + the proportion convention of psi/jsd.
@@ -744,6 +774,7 @@ object Queries {
     "q_ks_drift" -> ksOracle,
     "q_psi_drift" -> psiOracle,
     "q_jsd_drift" -> jsdOracle,
+    "q_w1_drift" -> w1Oracle,
     "q_bucket_count" ->
       """SELECT doc_id, lang, source,
         | CASE WHEN rn = 1 THEN NULL ELSE rn END AS occurrence

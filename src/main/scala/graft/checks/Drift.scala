@@ -108,13 +108,14 @@ object Drift {
     Jsd(stat, joined.length)
   }
 
-  /** Two-sample Kolmogorov–Smirnov statistic over a numeric expression,
-    * computed on `bins` equal-width bins spanning the combined min/max.
-    * Binned CDFs only ever differ at bin boundaries, so D = max over bins of
-    * |cdf_cur - cdf_base| — exact for the binned distributions and an
-    * arbitrarily good approximation of the continuous statistic as bins grow.
+  /** Shared distributed stage of the numeric two-snapshot checks: per-bin
+    * (current, baseline) counts over `bins` equal-width bins spanning the
+    * combined min/max, plus the span. Returns the tiny joined bin table
+    * sorted by bin — the heavy work is two thin-column scans per side
+    * (bounds, then bins) with map-side-combined groupBys.
     */
-  def ks(current: DataFrame, baselineDf: DataFrame, column: String, bins: Int = 50): Ks = {
+  private def binnedJoint(current: DataFrame, baselineDf: DataFrame, column: String,
+                          bins: Int, check: String): (Array[(Int, Double, Double)], Double) = {
     // the single-column projections are scanned twice (bounds, then bins);
     // column pruning reaches the parquet scan, so the rescan reads one thin
     // column — cheaper at scale than caching 2× full-table row counts
@@ -129,7 +130,7 @@ object Drift {
       .unionAll(baseV.agg(min("v"), max("v")))
       .agg(min("lo"), max("hi")).collect()(0)
     require(!mm.isNullAt(0) && !mm.isNullAt(1),
-      s"no numeric values for KS on '$column' (both snapshots empty or all-null)")
+      s"no numeric values for $check on '$column' (both snapshots empty or all-null)")
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     val span = if (hi > lo) hi - lo else 1.0
     def binned(df: DataFrame, side: String) = df
@@ -144,18 +145,59 @@ object Drift {
       .select(col("bin"),
         coalesce(col("c"), lit(0.0)).as("c"), coalesce(col("b"), lit(0.0)).as("b"))
       .collect()
-      .sortBy(_.getInt(0))
-    val totC = joined.map(_.getDouble(1)).sum
-    val totB = joined.map(_.getDouble(2)).sum
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (joined, span)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic over a numeric expression,
+    * computed on `bins` equal-width bins spanning the combined min/max.
+    * Binned CDFs only ever differ at bin boundaries, so D = max over bins of
+    * |cdf_cur - cdf_base| — exact for the binned distributions and an
+    * arbitrarily good approximation of the continuous statistic as bins grow.
+    */
+  def ks(current: DataFrame, baselineDf: DataFrame, column: String, bins: Int = 50): Ks = {
+    val (joined, _) = binnedJoint(current, baselineDf, column, bins, "KS")
+    val totC = joined.map(_._2).sum
+    val totB = joined.map(_._3).sum
     require(totC > 0 && totB > 0,
       s"no numeric values for KS on '$column' (current=$totC, baseline=$totB rows)")
     var cc = 0.0; var cb = 0.0; var d = 0.0
-    joined.foreach { r =>
-      cc += r.getDouble(1) / totC
-      cb += r.getDouble(2) / totB
+    joined.foreach { case (_, c, b) =>
+      cc += c / totC
+      cb += b / totB
       d = math.max(d, math.abs(cc - cb))
     }
     Ks(d, bins)
+  }
+
+  final case class Wasserstein(statistic: Double, bins: Int)
+
+  /** Binned 1-Wasserstein (earth-mover's) distance over a numeric
+    * expression: W₁ = Σ over bins of |cdf_cur − cdf_base| · binWidth — the
+    * L1 counterpart of [[ks]]'s L∞, in the COLUMN'S OWN UNITS (a W₁ of 40 on
+    * content-length means "the distributions are ~40 bytes of mass-transport
+    * apart"), which makes drift thresholds interpretable where KS's scale-
+    * free [0,1] is not. Same shared binned-CDF stage, same two-scan cost.
+    */
+  def wasserstein(current: DataFrame, baselineDf: DataFrame, column: String,
+                  bins: Int = 50): Wasserstein = {
+    val (joined, span) = binnedJoint(current, baselineDf, column, bins, "W1")
+    val totC = joined.map(_._2).sum
+    val totB = joined.map(_._3).sum
+    require(totC > 0 && totB > 0,
+      s"no numeric values for W1 on '$column' (current=$totC, baseline=$totB rows)")
+    // densify: bins empty on BOTH sides still contribute |cdf gap| · width
+    // to the L1 sum (unlike KS's max, which a constant-cdf gap never moves)
+    val c = Array.fill(bins)(0.0); val b = Array.fill(bins)(0.0)
+    joined.foreach { case (i, cv, bv) => c(i) = cv; b(i) = bv }
+    var cc = 0.0; var cb = 0.0; var w = 0.0
+    (0 until bins).foreach { i =>
+      cc += c(i) / totC
+      cb += b(i) / totB
+      w += math.abs(cc - cb)
+    }
+    Wasserstein(w * (span / bins), bins)
   }
 
   /** Per-value histogram of several columns in ONE grouping-sets scan —
@@ -244,6 +286,33 @@ object Drift {
       d = math.max(d, math.abs(cc - cb))
     }
     Ks(d, bins)
+  }
+
+  /** Binned W₁ from per-value histograms — same binning arithmetic as
+    * [[ksFromHist]] (nulls excluded, combined min/max bounds, equal-width
+    * bins), L1-summed with the bin width as in [[wasserstein]].
+    */
+  def wassersteinFromHist(cur: Seq[(Option[String], Long)],
+                          base: Seq[(Option[String], Long)], bins: Int): Wasserstein = {
+    def vals(h: Seq[(Option[String], Long)]) =
+      h.collect { case (Some(s), c) => (s.toDouble, c) }
+    val (cv, bv) = (vals(cur), vals(base))
+    require(cv.nonEmpty && bv.nonEmpty,
+      s"no numeric values for W1 (current=${cv.size}, baseline=${bv.size} non-null rows)")
+    val all = cv.map(_._1) ++ bv.map(_._1)
+    val (lo, hi) = (all.min, all.max)
+    val span = if (hi > lo) hi - lo else 1.0
+    def bin(v: Double): Int = math.min(math.floor((v - lo) / (span / bins)).toInt, bins - 1)
+    val c = Array.fill(bins)(0.0); val b = Array.fill(bins)(0.0)
+    cv.foreach { case (v, n) => c(bin(v)) += n.toDouble }
+    bv.foreach { case (v, n) => b(bin(v)) += n.toDouble }
+    val (totC, totB) = (c.sum, b.sum)
+    var cc = 0.0; var cb = 0.0; var w = 0.0
+    (0 until bins).foreach { i =>
+      cc += c(i) / totC; cb += b(i) / totB
+      w += math.abs(cc - cb)
+    }
+    Wasserstein(w * (span / bins), bins)
   }
 
   /** Per-category (observed, baseline) pairs from two histograms — the

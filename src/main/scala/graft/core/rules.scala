@@ -139,6 +139,10 @@ final case class PsiDrift(name: String, column: String, maxStat: Double) extends
 /** Jensen–Shannon-divergence drift (nats) of a categorical column vs baseline. */
 final case class JsdDrift(name: String, column: String, maxStat: Double) extends TableRule
 
+/** Binned 1-Wasserstein drift of a numeric column (column units) vs baseline. */
+final case class WassersteinDrift(name: String, column: String, bins: Int, maxStat: Double)
+    extends TableRule
+
 /** A compiled suite of rules with a stable content hash — the analog of the
   * reference's structural `schema_hash` (title/description stripped, keys
   * sorted — jsonschema/mod.rs:399-441): two suites with identical rules get

@@ -58,9 +58,11 @@ object Checkpoint {
   def runResumable(spark: SparkSession, engine: ValidationEngine, df: DataFrame,
                    dir: String, snapshotId: String, batches: Int = 8,
                    failAfterBatches: Option[Int] = None,
-                   statsColumns: Seq[String] = Nil): RunReport = {
+                   statsColumns: Seq[String] = Nil,
+                   fingerprints: Boolean = false): RunReport = {
     val hash = engine.suiteHash
     val numParts = engine.config.numParts
+    val dataCols = df.columns.toSeq
     val done = completedParts(spark, dir, snapshotId, hash)
     val remainingBatches = (0 until batches)
       .map(b => b -> (b until numParts by batches).filterNot(done.contains))
@@ -109,6 +111,16 @@ object Checkpoint {
           .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
           .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/stats")
       }
+      // per-part content fingerprints (opt-in): the change-detection input
+      // of [[runIncremental]] — one extra map-side-combined agg over the
+      // batch slice, written next to the other planes
+      if (fingerprints) {
+        slice.groupBy(col(engine.PartCol).as("part"))
+          .agg(fingerprintAggs(dataCols).head, fingerprintAggs(dataCols).tail: _*)
+          .select(col("*") +: lineage: _*)
+          .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+          .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/fingerprints")
+      }
       val wallMs = (System.nanoTime() - t0) / 1000000L
       import spark.implicits._
       // manifest covers EVERY part of the batch — a hash-empty partition is
@@ -130,6 +142,99 @@ object Checkpoint {
       ran += 1
     }
     RunReport(ran, done.size, numParts)
+  }
+
+  /** Order-insensitive per-part content fingerprint aggregations:
+    * (nRows, hashSum) where hashSum = Σ xxhash64(all data columns) in
+    * decimal(38,0) — the sum is commutative (stable under any row order or
+    * shuffle) and the decimal accumulator cannot overflow under ANSI for
+    * < ~10^19 rows per part. Two parts with equal (nRows, hashSum) hold the
+    * same multiset of rows up to 64-bit-hash collision odds.
+    */
+  private def fingerprintAggs(dataCols: Seq[String]): Seq[Column] = Seq(
+    count(lit(1)).as("nRows"),
+    sum(xxhash64(dataCols.map(col): _*).cast("decimal(38,0)")).as("hashSum"))
+
+  /** Per-part fingerprints of a snapshot under `engine`'s partitioner
+    * (deterministic key hash, so a part's membership is stable across
+    * snapshots). One map-side-combined scan.
+    */
+  def partFingerprints(engine: ValidationEngine, df: DataFrame): DataFrame = {
+    val dataCols = df.columns.toSeq
+    engine.partitioned(df).groupBy(col(engine.PartCol).as("part"))
+      .agg(fingerprintAggs(dataCols).head, fingerprintAggs(dataCols).tail: _*)
+  }
+
+  final case class IncrementalReport(inheritedParts: Int, run: RunReport)
+
+  /** Incremental validation of `snapshotId` against a previously validated
+    * `priorSnapshotId` in the same checkpoint dir: parts whose content
+    * fingerprint is unchanged inherit the prior run's verdict/violation/
+    * stats partitions and manifest rows (a distributed copy of results —
+    * tiny relative to re-validation); only changed, new, or emptied parts
+    * are re-validated, via the normal [[runResumable]] path (which the
+    * inherited manifest rows make skip everything else).
+    *
+    * This is the "validate 100 TB daily when 1% changed" path: the cost is
+    * one fingerprint scan of the new snapshot (a fraction of one rule pass)
+    * plus full validation of only the changed partition slices. The prior
+    * run must have been made with `fingerprints = true` and the same
+    * rule-set hash — a different suite invalidates inheritance wholesale,
+    * which is exactly the lineage semantics the manifest already enforces.
+    */
+  def runIncremental(spark: SparkSession, engine: ValidationEngine, df: DataFrame,
+                     dir: String, snapshotId: String, priorSnapshotId: String,
+                     batches: Int = 8, statsColumns: Seq[String] = Nil): IncrementalReport = {
+    require(snapshotId != priorSnapshotId,
+      s"incremental run needs distinct snapshots (both '$snapshotId')")
+    val hash = engine.suiteHash
+    val fpPath = s"$dir/fingerprints"
+    require(exists(spark, fpPath),
+      s"no fingerprints recorded under $dir — run the prior snapshot with fingerprints=true")
+    val priorFp = spark.read.parquet(fpPath)
+      .where(col("snapshotId") === priorSnapshotId && col("ruleSetHash") === hash)
+      .select(col("part"), col("nRows").as("pRows"), col("hashSum").as("pHash"))
+    val priorDone = completedParts(spark, dir, priorSnapshotId, hash)
+    val alreadyDone = completedParts(spark, dir, snapshotId, hash)
+    val curFp = partFingerprints(engine, df).persist()
+    // tiny collect: ≤ numParts rows by construction
+    val unchanged = curFp.join(priorFp, Seq("part"))
+      .where(col("nRows") === col("pRows") && col("hashSum") === col("pHash"))
+      .select("part").collect().map(_.getInt(0)).toSet
+    val inherit = (unchanged intersect priorDone).diff(alreadyDone).toSeq.sorted
+    if (inherit.nonEmpty) {
+      // copy the prior snapshot's result partitions forward under the new
+      // snapshotId. localCheckpoint materializes the rows BEFORE the write
+      // so reading and dynamically overwriting the same root path is safe;
+      // the copied volume is results (verdict grid rows, violations,
+      // sketch rows), never input data.
+      def copyPlane(plane: String): Unit = if (exists(spark, s"$dir/$plane")) {
+        val rows = spark.read.parquet(s"$dir/$plane")
+          .where(col("snapshotId") === priorSnapshotId && col("ruleSetHash") === hash &&
+            col("part").isin(inherit: _*))
+          .withColumn("snapshotId", lit(snapshotId))
+          .localCheckpoint(true)
+        rows.write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+          .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/$plane")
+      }
+      copyPlane("verdicts")
+      copyPlane("violations")
+      copyPlane("stats")
+      copyPlane("fingerprints")
+      // manifest rows mark the inherited parts completed for the NEW
+      // snapshot — runResumable's anti-join then skips them natively
+      val mrows = spark.read.parquet(s"$dir/manifest")
+        .where(col("snapshotId") === priorSnapshotId && col("ruleSetHash") === hash &&
+          col("part").isin(inherit: _*))
+        .dropDuplicates("part")
+        .withColumn("snapshotId", lit(snapshotId))
+        .localCheckpoint(true)
+      mrows.write.mode(SaveMode.Append).parquet(s"$dir/manifest")
+    }
+    curFp.unpersist()
+    val rep = runResumable(spark, engine, df, dir, snapshotId, batches,
+      failAfterBatches = None, statsColumns = statsColumns, fingerprints = true)
+    IncrementalReport(inherit.size, rep)
   }
 
   /** Whole-table stats merged from the per-part sketches a resumable run

@@ -211,6 +211,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
       case r: KsDrift => r: TableRule
       case r: PsiDrift => r: TableRule
       case r: JsdDrift => r: TableRule
+      case r: WassersteinDrift => r: TableRule
     }
     val driftCheck =
       if (driftRules.isEmpty) Nil
@@ -222,6 +223,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
           case KsDrift(_, c, _, _) => c
           case PsiDrift(_, c, _) => c
           case JsdDrift(_, c, _) => c
+          case WassersteinDrift(_, c, _, _) => c
         }.distinct
         // Fused path first; if a continuous high-NDV column would blow the
         // driver collect (Drift.HistogramTooLarge), fall back per rule to
@@ -255,6 +257,12 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
               case None => Drift.jsd(df, b, c)
             }
             driftVerdict(name, r.categories.toLong, r.statistic <= maxStat)
+          case WassersteinDrift(name, c, bins, maxStat) =>
+            val r = fused match {
+              case Some((curH, baseH)) => Drift.wassersteinFromHist(curH(c), baseH(c), bins)
+              case None => Drift.wasserstein(df, b, c, bins)
+            }
+            driftVerdict(name, bins.toLong, r.statistic <= maxStat)
           case other => sys.error(s"not a drift rule: $other")
         }.reduce(_ unionByName _)
         BuiltCheck(verdicts, spark.emptyDataset[Violation].toDF(), Nil, () => ())

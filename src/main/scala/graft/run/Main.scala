@@ -37,8 +37,12 @@ object Main {
        |    "unique": [["repo", "path", "commit"]],
        |    "referential": [{"keys": ["repo"], "dim": "dim_repos"}],
        |    "drift": [{"kind": "chi2", "column": "lang", "maxStat": 50.0},
-       |              {"kind": "ks", "column": "content_len", "bins": 50, "maxStat": 0.05}],
-       |    "sha256": [{"column": "content", "shaColumn": "content_sha256"}]
+       |              {"kind": "ks", "column": "content_len", "bins": 50, "maxStat": 0.05},
+       |              {"kind": "psi", "column": "lang", "maxStat": 0.5},
+       |              {"kind": "jsd", "column": "lang", "maxStat": 0.3},
+       |              {"kind": "w1", "column": "content_len", "bins": 50, "maxStat": 64.0}],
+       |    "sha256": [{"column": "content", "shaColumn": "content_sha256"}],
+       |    "noSecrets": ["content"]
        |  }
        |}""".stripMargin
 

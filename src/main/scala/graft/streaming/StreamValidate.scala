@@ -224,6 +224,51 @@ object StreamValidate {
       }, lit(bins.toLong).as("bins"))
   }
 
+  /** Streaming binned-W₁ drift: per event-time window, the 1-Wasserstein
+    * distance of a numeric column against a STATIC baseline histogram — the
+    * streaming face of the batch WassersteinDrift check. Identical plan
+    * shape to [[ksDriftStream]] (baseline-bounded equal-width bins, one
+    * windowed count aggregation + one roll-up, watermark-evicted state);
+    * only the CDF fold differs: Σ|Δcdf|·binWidth instead of max|Δcdf|.
+    */
+  def wassersteinDriftStream(stream: DataFrame, column: String, tsCol: String,
+                             windowDuration: String, watermark: String,
+                             baseline: Seq[(Double, Long)], bins: Int): DataFrame = {
+    require(baseline.nonEmpty, "empty baseline histogram for streaming W1")
+    val lo = baseline.map(_._1).min
+    val hi = baseline.map(_._1).max
+    val span = if (hi > lo) hi - lo else 1.0
+    def binOf(v: Double): Int =
+      math.max(0, math.min(math.floor((v - lo) / (span / bins)).toInt, bins - 1))
+    val b = Array.fill(bins)(0.0)
+    baseline.foreach { case (v, n) => b(binOf(v)) += n.toDouble }
+    val totB = b.sum
+    val bCdf = b.scanLeft(0.0)(_ + _).drop(1).map(_ / totB)
+    val v = try_divide(col(column).try_cast("double") - lit(lo), lit(span / bins))
+    val binCol = greatest(lit(0.0), least(floor(v), lit((bins - 1).toDouble))).cast("int")
+    stream
+      .withWatermark(tsCol, watermark)
+      .where(col(column).try_cast("double").isNotNull)
+      .groupBy(window(col(tsCol), windowDuration), binCol.as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(window(window_time(col("window")), windowDuration).as("window"))
+      .agg(map_from_entries(collect_list(struct(col("bin"), col("c")))).as("m"),
+        sum(col("c")).as("n"))
+      .select(col("window"), col("n").as("evaluated"), {
+        val perBin = transform(sequence(lit(0), lit(bins - 1)), i =>
+          struct(coalesce(element_at(col("m"), i), lit(0L)).cast("double").as("c"),
+            element_at(array(bCdf.map(lit): _*), i + 1).as("bcdf")))
+        (aggregate(perBin,
+          struct(lit(0.0).as("cum"), lit(0.0).as("sumd")),
+          (acc, x) => struct(
+            (acc.getField("cum") + x.getField("c")).as("cum"),
+            (acc.getField("sumd") +
+              abs((acc.getField("cum") + x.getField("c")) / col("n") - x.getField("bcdf")))
+              .as("sumd")),
+          acc => acc.getField("sumd")) * lit(span / bins)).as("w1")
+      }, lit(bins.toLong).as("bins"))
+  }
+
   /** Event-time-windowed verdict grid: (window, rule, evaluated, violations,
     * pass), watermarked for bounded state.
     */

@@ -110,8 +110,16 @@ object SuiteLoader {
           case "chi2" => rules += ChiSquareDrift(s"drift_chi2_$c", c, d.get("maxStat").asDouble())
           case "ks" => rules += KsDrift(s"drift_ks_$c", c,
             Option(d.get("bins")).map(_.asInt()).getOrElse(50), d.get("maxStat").asDouble())
+          case "psi" => rules += PsiDrift(s"drift_psi_$c", c, d.get("maxStat").asDouble())
+          case "jsd" => rules += JsdDrift(s"drift_jsd_$c", c, d.get("maxStat").asDouble())
+          case "w1" => rules += WassersteinDrift(s"drift_w1_$c", c,
+            Option(d.get("bins")).map(_.asInt()).getOrElse(50), d.get("maxStat").asDouble())
           case k => sys.error(s"unknown drift kind '$k'")
         }
+      }
+      Option(xc.get("noSecrets")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+        val c = s.asText()
+        rules += NoSecrets(s"no_secrets_$c", c)
       }
       Option(xc.get("sha256")).toSeq.flatMap(_.elements().asScala).foreach { s =>
         val c = s.get("column").asText()

@@ -132,6 +132,63 @@ class CheckpointSpec extends SparkSpec {
     assert(e.getMessage.contains("no stats rows"), e.getMessage)
   }
 
+  test("incremental run inherits unchanged parts and equals a full re-validation") {
+    val dirInc = Files.createTempDirectory("graft_inc").toString
+    val dirFull = Files.createTempDirectory("graft_inc_full").toString
+    // a content-sensitive rule so the planted change actually moves verdicts:
+    // pass = content does NOT contain the marker (zero-width anchored lookahead)
+    val incSuite = RuleSuite(suite.rules :+
+      MatchesPattern("no_drift_marker", "content", "^(?s)(?!.*drifted)"))
+    val incEngine = new ValidationEngine(incSuite, EngineConfig(numParts = 16))
+
+    // snapshot A validated WITH fingerprints
+    Checkpoint.runResumable(spark, incEngine, df, dirInc, "snapA", batches = 4,
+      statsColumns = Seq("lang"), fingerprints = true)
+
+    // snapshot B: one repo's content changes (maps to few of the 16 parts)
+    val someRepo = df.select("repo").where(col("repo").startsWith("org")).head().getString(0)
+    val dfB = df.withColumn("content",
+      when(col("repo") === someRepo, concat(col("content"), lit(" drifted")))
+        .otherwise(col("content")))
+    val changedParts = incEngine.partitioned(dfB).where(col("repo") === someRepo)
+      .select(incEngine.PartCol).distinct().collect().map(_.getInt(0)).toSet
+    assert(changedParts.nonEmpty && changedParts.size < 16)
+
+    // hash-empty parts have no fingerprint rows on either side, so they are
+    // (correctly) re-validated rather than inherited — trivial empty slices
+    val presentParts = incEngine.partitioned(dfB)
+      .select(incEngine.PartCol).distinct().collect().map(_.getInt(0)).toSet
+
+    val inc = Checkpoint.runIncremental(spark, incEngine, dfB, dirInc, "snapB", "snapA",
+      batches = 4, statsColumns = Seq("lang"))
+    assert(inc.inheritedParts === presentParts.size - changedParts.size,
+      s"changed=$changedParts present=${presentParts.size}")
+    assert(inc.run.skippedParts === inc.inheritedParts)
+
+    // ground truth: full validation of B in a fresh dir
+    Checkpoint.runResumable(spark, incEngine, dfB, dirFull, "snapB", batches = 4,
+      statsColumns = Seq("lang"), fingerprints = true)
+    def verd(d: String) = Checkpoint.verdicts(spark, d, "snapB", incEngine.suiteHash)
+      .select("part", "rule", "evaluated", "violations").collect()
+      .map(_.toString).sorted.toSeq
+    assert(verd(dirInc) === verd(dirFull))
+    def viol(d: String) = Checkpoint.violations(spark, d, "snapB", incEngine.suiteHash)
+      .select("part", "rule", "rowRef").collect().map(_.toString).sorted.toSeq
+    assert(viol(dirInc) === viol(dirFull))
+    // the marker rule fired (the changed parts really were re-validated)
+    assert(Checkpoint.violations(spark, dirInc, "snapB", incEngine.suiteHash)
+      .where(col("rule") === "no_drift_marker").count() > 0)
+    // merged stats cover the whole table (inherited + recomputed sketch rows)
+    def stats(d: String) = Checkpoint.mergedStats(spark, d, "snapB", incEngine.suiteHash,
+      Seq("lang")).select("column", "count", "nulls", "approxDistinct")
+      .collect().map(_.toString).sorted.toSeq
+    assert(stats(dirInc) === stats(dirFull))
+    // idempotence: a second incremental run inherits nothing and runs nothing
+    val again = Checkpoint.runIncremental(spark, incEngine, dfB, dirInc, "snapB", "snapA",
+      batches = 4, statsColumns = Seq("lang"))
+    assert(again.inheritedParts === 0 && again.run.ranBatches === 0)
+  }
+
   test("a different rule-set hash re-validates from scratch") {
     val dir = Files.createTempDirectory("graft_ckpt2").toString
     Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 2)

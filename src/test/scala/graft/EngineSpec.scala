@@ -180,6 +180,11 @@ class EngineSpec extends SparkSpec {
     // PSI and JSD share the identity property and react to the same drift
     assert(Drift.psi(base, base, "lang").statistic === 0.0)
     assert(Drift.jsd(base, base, "lang").statistic === 0.0)
+    val baseLen = base.withColumn("len", length(col("content")))
+    assert(Drift.wasserstein(baseLen, baseLen, "len").statistic === 0.0)
+    val w1Drift = Drift.wasserstein(
+      drifted.withColumn("len", length(col("content"))), baseLen, "len", bins = 20)
+    assert(w1Drift.statistic > 0.0)
     val psiDrift = Drift.psi(drifted, base, "lang")
     assert(psiDrift.statistic > 0.0)
     val jsdDrift = Drift.jsd(drifted, base, "lang")
@@ -235,7 +240,8 @@ class EngineSpec extends SparkSpec {
       ChiSquareDrift("drift_chi2", "lang", 1e9),
       KsDrift("drift_ks", "len", 20, 1.0),
       PsiDrift("drift_psi", "lang", 1e9),
-      JsdDrift("drift_jsd", "lang", 1.0)))
+      JsdDrift("drift_jsd", "lang", 1.0),
+      WassersteinDrift("drift_w1", "len", 20, 1e9)))
     def verdicts(cfgMax: Int) = {
       val eng = new ValidationEngine(driftSuite,
         EngineConfig(numParts = 8, driftHistMaxRows = cfgMax))
@@ -269,6 +275,19 @@ class EngineSpec extends SparkSpec {
     val jsdClassic = Drift.jsd(drifted, base, "lang")
     assert(jsdFused.categories === jsdClassic.categories)
     assert(math.abs(jsdFused.statistic - jsdClassic.statistic) < 1e-9)
+    val w1Fused = graft.checks.Drift.wassersteinFromHist(curH("len"), baseH("len"), 20)
+    val w1Classic = Drift.wasserstein(drifted, base, "len", 20)
+    assert(math.abs(w1Fused.statistic - w1Classic.statistic) < 1e-9)
+    // W1 relates to KS via the span: D·width ≤ W1 ≤ D·span
+    val ksD = graft.checks.Drift.ksFromHist(curH("len"), baseH("len"), 20).statistic
+    assert(w1Fused.statistic >= ksD * (spanOf(curH("len"), baseH("len")) / 20) - 1e-12)
+  }
+
+  /** combined span of two histograms' numeric values (test helper). */
+  private def spanOf(cur: Seq[(Option[String], Long)],
+                     base: Seq[(Option[String], Long)]): Double = {
+    val vs = (cur ++ base).collect { case (Some(s), _) => s.toDouble }
+    if (vs.max > vs.min) vs.max - vs.min else 1.0
   }
 
   test("root-level oneOf WITHOUT discriminator evaluates (no synthetic-column deref)") {

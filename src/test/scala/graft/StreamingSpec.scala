@@ -218,4 +218,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0)._2 === 5L)
     q.stop()
   }
+
+  test("streaming W1 drift matches the batch statistic when bounds coincide") {
+    implicit val sq = spark.sqlContext
+    val mkTs = (sec: Int) => new Timestamp(1700000000000L + sec * 1000L)
+    val mem = MemoryStream[(String, Timestamp)]
+    val df = mem.toDF().toDF("x", "ts")
+    val baseline = Seq(0.0 -> 2L, 25.0 -> 3L, 50.0 -> 3L, 75.0 -> 2L, 100.0 -> 2L)
+    val bins = 5
+    val q = StreamValidate.wassersteinDriftStream(df, "x", "ts", "1 minute",
+      "0 seconds", baseline, bins)
+      .writeStream.format("memory").queryName("w1d").outputMode("append").start()
+    val win = Seq(10.0, 12.0, 55.0, 90.0, 90.0)
+    mem.addData(win.zipWithIndex.map { case (v, i) => (v.toString, mkTs(i + 1)) }: _*)
+    mem.addData(("50.0", mkTs(200))) // advance watermark, close window 1
+    q.processAllAvailable()
+    val rows = spark.table("w1d").select("w1", "evaluated").collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(rows.length === 1)
+    val batch = graft.checks.Drift.wassersteinFromHist(
+      win.groupBy(identity).map { case (v, g) => (Option(v.toString), g.size.toLong) }.toSeq,
+      baseline.map { case (v, n) => (Option(v.toString), n) }, bins)
+    assert(math.abs(rows(0)._1 - batch.statistic) < 1e-9,
+      s"${rows(0)._1} vs ${batch.statistic}")
+    assert(rows(0)._1 > 0.0 && rows(0)._2 === 5L)
+    q.stop()
+  }
 }
