@@ -40,8 +40,11 @@ object CodeScan {
       .select(col(idCol), col("m.kind").as("kind"), col("m.n_hits").as("n_hits"))
       .where(col("n_hits") > 0)
 
-  /** A row predicate for the rule plane: true iff content is clean. */
-  def clean(content: Column): Column =
-    Detectors.map { case (_, re) => regexp_count(content, lit(re)) === 0 }
-      .reduce(_ && _)
+  /** A row predicate for the rule plane: true iff content is clean. ONE
+    * alternation regex, matched with rlike (first-hit early exit) — the rule
+    * plane only needs "any detector fires", so it must not pay 4 full
+    * `regexp_count` passes per row like [[matchCounts]] does.
+    */
+  val AnyDetector: String = Detectors.map(_._2).mkString("|")
+  def clean(content: Column): Column = !content.rlike(AnyDetector)
 }

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Main {
 
-  /** The default suite as a declarative JSON document (what a user ships). */
+  /** The default suite as a declarative JSON document (what a user ships).
+    *
+    * `noSecrets` is deliberately NOT in the default: the secret scan is
+    * regex-bound over every content byte (measured: it multiplies the
+    * violations scan ~4.5× at 20 M × ~0.5 KB rows — BENCH.md round-4), so it
+    * is a per-column opt-in (`"noSecrets": ["content"]`) rather than a tax
+    * on every run; its correctness surface is q_secret_scan + OpsSpec.
+    */
   val DefaultSuiteJson: String =
     s"""{
        |  "type": "object",
@@ -41,8 +48,7 @@ object Main {
        |              {"kind": "psi", "column": "lang", "maxStat": 0.5},
        |              {"kind": "jsd", "column": "lang", "maxStat": 0.3},
        |              {"kind": "w1", "column": "content_len", "bins": 50, "maxStat": 64.0}],
-       |    "sha256": [{"column": "content", "shaColumn": "content_sha256"}],
-       |    "noSecrets": ["content"]
+       |    "sha256": [{"column": "content", "shaColumn": "content_sha256"}]
        |  }
        |}""".stripMargin
 

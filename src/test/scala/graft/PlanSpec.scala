@@ -124,6 +124,28 @@ class PlanSpec extends SparkSpec {
     assert(!ap.contains("posexplode"), s"assignment explodes the corpus:\n$ap")
   }
 
+  test("word repetition and secret scan are shuffle-free pruned projections") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = docs.withColumn("st", graft.ops.TextAnalysis.wordRunStats(col("text")))
+      .select(col("doc_id"), col("st.maxrun").as("m"), col("st.distinct").as("d"))
+    val p1 = plan(rep)
+    assert(!p1.contains("Exchange"), s"repetition shuffles:\n$p1")
+    val rs = p1.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("lang"),
+      s"repetition reads more than (doc_id, text): $rs")
+    val p2 = plan(graft.ops.CodeScan.findings(docs, "doc_id", "text"))
+    assert(!p2.contains("Exchange"), s"secret scan shuffles:\n$p2")
+  }
+
+  test("part fingerprints use partial aggregation (map-side combine before exchange)") {
+    val engine = new ValidationEngine(RuleSuite(Seq(Required("r", "repo"))),
+      EngineConfig(numParts = 8))
+    val p = plan(graft.run.Checkpoint.partFingerprints(engine, df))
+    val idx = p.indexOf("Exchange")
+    assert(idx > 0, "no exchange at all?")
+    assert(p.take(idx).contains("HashAggregate"), "no partial agg before shuffle")
+  }
+
   test("distributed patch projection prunes to the payload columns") {
     import graft.ops.PatchOps
     val m = org.apache.spark.sql.functions.from_json(col("content"),
