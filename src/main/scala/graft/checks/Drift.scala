@@ -1,6 +1,6 @@
 package graft.checks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift checks of a current snapshot against a baseline
@@ -267,8 +267,12 @@ object Drift {
     */
   def ksFromHist(cur: Seq[(Option[String], Long)],
                  base: Seq[(Option[String], Long)], bins: Int): Ks = {
+    // toDoubleOption, not toDouble: the two-pass path skips unparseable
+    // strings via try_cast + isNotNull, and the fused path must match it
+    // instead of dying with NumberFormatException mid-run
     def vals(h: Seq[(Option[String], Long)]) =
-      h.collect { case (Some(s), c) => (s.toDouble, c) }
+      h.collect { case (Some(s), c) => (s, c) }
+        .flatMap { case (s, c) => s.toDoubleOption.map((_, c)) }
     val (cv, bv) = (vals(cur), vals(base))
     require(cv.nonEmpty && bv.nonEmpty,
       s"no numeric values for KS (current=${cv.size}, baseline=${bv.size} non-null rows)")
@@ -294,8 +298,12 @@ object Drift {
     */
   def wassersteinFromHist(cur: Seq[(Option[String], Long)],
                           base: Seq[(Option[String], Long)], bins: Int): Wasserstein = {
+    // toDoubleOption, not toDouble: the two-pass path skips unparseable
+    // strings via try_cast + isNotNull, and the fused path must match it
+    // instead of dying with NumberFormatException mid-run
     def vals(h: Seq[(Option[String], Long)]) =
-      h.collect { case (Some(s), c) => (s.toDouble, c) }
+      h.collect { case (Some(s), c) => (s, c) }
+        .flatMap { case (s, c) => s.toDoubleOption.map((_, c)) }
     val (cv, bv) = (vals(cur), vals(base))
     require(cv.nonEmpty && bv.nonEmpty,
       s"no numeric values for W1 (current=${cv.size}, baseline=${bv.size} non-null rows)")
@@ -359,34 +367,5 @@ object Drift {
       if (b > 0) stat += 0.5 * pb * math.log(pb / m)
     }
     Jsd(stat, joined.length)
-  }
-
-  /** DataFrame-returning variants for the query surface. */
-  def chiSquareDf(spark: SparkSession, current: DataFrame, baselineDf: DataFrame,
-                  column: String): DataFrame = {
-    val r = chiSquare(current, baselineDf, column)
-    import spark.implicits._
-    Seq((r.statistic, r.dof.toLong, r.newCategories)).toDF("chi2", "dof", "new_categories")
-  }
-
-  def ksDf(spark: SparkSession, current: DataFrame, baselineDf: DataFrame,
-           column: String, bins: Int = 50): DataFrame = {
-    val r = ks(current, baselineDf, column, bins)
-    import spark.implicits._
-    Seq((r.statistic, r.bins.toLong)).toDF("ks", "bins")
-  }
-
-  def psiDf(spark: SparkSession, current: DataFrame, baselineDf: DataFrame,
-            column: String): DataFrame = {
-    val r = psi(current, baselineDf, column)
-    import spark.implicits._
-    Seq((r.statistic, r.categories.toLong, r.excluded)).toDF("psi", "categories", "excluded")
-  }
-
-  def jsdDf(spark: SparkSession, current: DataFrame, baselineDf: DataFrame,
-            column: String): DataFrame = {
-    val r = jsd(current, baselineDf, column)
-    import spark.implicits._
-    Seq((r.statistic, r.categories.toLong)).toDF("jsd", "categories")
   }
 }

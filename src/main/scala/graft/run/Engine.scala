@@ -32,7 +32,17 @@ final case class EngineConfig(
     statsColumns: Seq[String] = Nil,
     // driver-safety cap on the fused drift histogram collect; beyond it the
     // engine falls back to the two-pass distributed ks/chiSquare per rule
-    driftHistMaxRows: Int = 100000)
+    driftHistMaxRows: Int = 100000,
+    // name of a column that ALREADY carries the engine's partition id —
+    // set when the fact table is stored physically partitioned/bucketed by
+    // the part id (the layout a 100 TB deployment uses): every per-part /
+    // per-batch filter then prunes files at the source instead of scanning
+    // the whole table and filtering rows. The column must hold
+    // pmod(xxhash64(partitionKey), numParts); ValidationEngine
+    // .checkPartColumn audits a sample of rows against the derived
+    // expression (cheap, opt-in) — a mismatched layout would otherwise
+    // silently mis-route rows between checkpoint partitions.
+    partColumn: Option[String] = None)
 
 final case class RunResult(
     verdicts: Dataset[Verdict],
@@ -69,8 +79,29 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
   def config: EngineConfig = cfg
   def suiteHash: String = suite.ruleSetHash
 
-  def partitioned(df: DataFrame): DataFrame =
-    df.withColumn(PartCol, pmod(xxhash64(col(cfg.partitionKey)), lit(cfg.numParts)).cast("int"))
+  private def partExpr: Column =
+    pmod(xxhash64(col(cfg.partitionKey)), lit(cfg.numParts)).cast("int")
+
+  def partitioned(df: DataFrame): DataFrame = cfg.partColumn match {
+    // pre-partitioned input: use the stored id verbatim so downstream
+    // part/batch filters push down to the physical layout (file pruning)
+    case Some(c) if c == PartCol => df
+    case Some(c) => df.withColumn(PartCol, col(c).cast("int"))
+    case None => df.withColumn(PartCol, partExpr)
+  }
+
+  /** Audit a pre-partitioned input's stored part ids against the derived
+    * expression on a row sample; throws on the first mismatch. One cheap
+    * job — call it once per new snapshot layout, not per run.
+    */
+  def checkPartColumn(df: DataFrame, sampleFraction: Double = 0.001): Unit =
+    cfg.partColumn.foreach { c =>
+      val bad = df.sample(sampleFraction)
+        .where(col(c).cast("int") =!= partExpr)
+        .limit(1).count()
+      require(bad == 0L,
+        s"partColumn '$c' disagrees with pmod(xxhash64(${cfg.partitionKey}), ${cfg.numParts})")
+    }
 
   private def rowRef(df: DataFrame): Column =
     concat_ws("|", cfg.rowRefCols.filter(df.columns.contains).map(col): _*)

@@ -89,7 +89,10 @@ object StreamValidate {
                            baseline: Seq[(Option[String], Long)]): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val supported = baseline.filter(_._2 > 0)
+    // toMap first: the batch FromHist variants dedupe duplicate histogram
+    // keys (last wins) — a duplicated key must not double-count through the
+    // broadcast join
+    val supported = baseline.toMap.toSeq.filter(_._2 > 0)
     val tb = supported.map(_._2).sum.toDouble
     require(tb > 0, "empty baseline histogram for streaming chi-square")
     val baseDf = supported.map { case (v, c) => (v.getOrElse(NullKey), c) }.toDF("value", "b")
@@ -138,8 +141,11 @@ object StreamValidate {
                      baseline: Seq[(Option[String], Long)]): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
-    val supported = baseline.filter(_._2 > 0)
-    val tb = baseline.map(_._2).sum.toDouble
+    // toMap first (see chiSquareDriftStream); tb spans the FULL deduped
+    // histogram — psiFromHist's proportion convention
+    val dedup = baseline.toMap.toSeq
+    val supported = dedup.filter(_._2 > 0)
+    val tb = dedup.map(_._2).sum.toDouble
     require(tb > 0, "empty baseline histogram for streaming PSI")
     val baseDf = supported.map { case (v, c) => (v.getOrElse(NullKey), c) }.toDF("value", "b")
     val matched = col("b").isNotNull
@@ -184,6 +190,7 @@ object StreamValidate {
                     windowDuration: String, watermark: String,
                     baseline: Seq[(Double, Long)], bins: Int): DataFrame = {
     require(baseline.nonEmpty, "empty baseline histogram for streaming KS")
+    require(baseline.exists(_._2 > 0), "zero-mass baseline histogram for streaming KS")
     val lo = baseline.map(_._1).min
     val hi = baseline.map(_._1).max
     val span = if (hi > lo) hi - lo else 1.0
@@ -235,6 +242,7 @@ object StreamValidate {
                              windowDuration: String, watermark: String,
                              baseline: Seq[(Double, Long)], bins: Int): DataFrame = {
     require(baseline.nonEmpty, "empty baseline histogram for streaming W1")
+    require(baseline.exists(_._2 > 0), "zero-mass baseline histogram for streaming W1")
     val lo = baseline.map(_._1).min
     val hi = baseline.map(_._1).max
     val span = if (hi > lo) hi - lo else 1.0

@@ -1,0 +1,108 @@
+package graft.tools
+
+import graft.run.{Checkpoint, EngineConfig, ValidationEngine}
+import graft.suite.SuiteLoader
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures what [[Checkpoint.runIncremental]] buys on the bench table in
+  * the deployment configuration the feature is designed for:
+  *
+  *  - the fact table stored physically partitioned by the engine's part id
+  *    (EngineConfig.partColumn) so per-batch filters prune files, and
+  *  - a THIN fingerprint column set (repo, path, commit, content_sha256 —
+  *    the sha column witnesses content) so change detection reads ~4 narrow
+  *    columns instead of the fat content.
+  *
+  * Contenders: full checkpointed validation of snapshot B vs the
+  * incremental path when `changedParts` of `numParts` changed since
+  * validated snapshot A. Also reports the naive-layout numbers (derived
+  * part ids over the unpartitioned table) for contrast.
+  *
+  * Usage: IncrementalProbe [dataDir] [numParts] [changedParts]
+  * Expects the Bench-materialized parquet at dataDir/code_files. Prints one
+  * JSON line.
+  */
+object IncrementalProbe {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args.lift(0).getOrElse("/dev/shm/graft_bench_v2_20000000")
+    val numParts = args.lift(1).map(_.toInt).getOrElse(256)
+    val changed = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-incremental-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
+    val thin = Seq("repo", "path", "commit", "content_sha256")
+
+    // one-time: materialize the part-partitioned layout next to the flat one
+    val layDir = s"$dataDir/code_files_by_part_$numParts"
+    val flatEngine = new ValidationEngine(suite, EngineConfig(numParts = numParts))
+    if (!new java.io.File(s"$layDir/_SUCCESS").exists()) {
+      flatEngine.partitioned(spark.read.parquet(s"$dataDir/code_files"))
+        .write.mode("overwrite").partitionBy("__part").parquet(layDir)
+    }
+    val dfP = spark.read.parquet(layDir)
+    val engine = new ValidationEngine(suite,
+      EngineConfig(numParts = numParts, partColumn = Some("__part")))
+    engine.checkPartColumn(dfP)
+
+    // snapshot B: content edited in `changed` parts, sha recomputed so the
+    // thin fingerprint set witnesses the change (and the sha rule still
+    // passes — the edit is a legitimate new version, not corruption).
+    // MATERIALIZED like a real snapshot: computing it lazily would make the
+    // "thin" fingerprint scan read the fat content column through the
+    // conditional sha expression and hide exactly the pruning being measured.
+    val layDirB = s"$dataDir/code_files_by_part_${numParts}_b$changed"
+    if (!new java.io.File(s"$layDirB/_SUCCESS").exists()) {
+      val hit = col("__part") < changed
+      dfP.withColumn("content",
+          when(hit, concat(col("content"), lit(" edited"))).otherwise(col("content")))
+        .withColumn("content_sha256",
+          when(hit, sha2(concat(col("content")), 256)).otherwise(col("content_sha256")))
+        .write.mode("overwrite").partitionBy("__part").parquet(layDirB)
+    }
+    val dfB = spark.read.parquet(layDirB)
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def tmp() = java.nio.file.Files.createTempDirectory("graft_incprobe").toString
+
+    // validate snapshot A once (not part of the timed comparison)
+    val dirInc = tmp()
+    Checkpoint.runResumable(spark, engine, dfP, dirInc, "snapA", batches = 8,
+      fingerprints = true, fingerprintCols = thin)
+
+    // contender 1: full re-validation of B in a fresh dir
+    val dirFull = tmp()
+    val (_, fullS) = timed {
+      Checkpoint.runResumable(spark, engine, dfB, dirFull, "snapB", batches = 8,
+        fingerprints = true, fingerprintCols = thin)
+    }
+    // contender 2: incremental against snapA
+    val (rep, incS) = timed {
+      Checkpoint.runIncremental(spark, engine, dfB, dirInc, "snapB", "snapA",
+        batches = 8, fingerprintCols = thin)
+    }
+    // outcome equality (not timed)
+    def totals(d: String) = Checkpoint.verdicts(spark, d, "snapB", engine.suiteHash)
+      .groupBy("rule").agg(sum("violations").as("v")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(totals(dirInc) == totals(dirFull), "incremental != full verdicts")
+
+    println(
+      s"""{"probe":"incremental","rows":${dfP.count()},"num_parts":$numParts,""" +
+      s""""changed_parts":$changed,"inherited_parts":${rep.inheritedParts},""" +
+      s""""full_revalidate_sec":${f"$fullS%.2f"},"incremental_sec":${f"$incS%.2f"},""" +
+      s""""speedup":${f"${fullS / incS}%.2f"},"layout":"partitioned","fp_cols":"thin"}""")
+    spark.stop()
+  }
+}

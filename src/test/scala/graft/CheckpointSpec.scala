@@ -189,6 +189,59 @@ class CheckpointSpec extends SparkSpec {
     assert(again.inheritedParts === 0 && again.run.ranBatches === 0)
   }
 
+  test("fingerprints are null-sensitive: a value migrating across columns changes the hash") {
+    import spark.implicits._
+    // same non-null value sequence, different column placement — xxhash64
+    // alone would hash these identically (it skips null args)
+    val a = Seq(("r1", Option("x"), Option.empty[String])).toDF("repo", "path", "lang")
+    val b = Seq(("r1", Option.empty[String], Option("x"))).toDF("repo", "path", "lang")
+    val eng = new ValidationEngine(RuleSuite(Seq(Required("r", "repo"))),
+      EngineConfig(numParts = 4))
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Checkpoint.partFingerprints(eng, df).select("part", "nRows", "hashSum")
+        .collect().map(_.toString).toSet
+    assert(fp(a) !== fp(b))
+    // and identical content fingerprints match, regardless of row order
+    val c1 = Seq(("r1", "p1", "s"), ("r2", "p2", "t")).toDF("repo", "path", "lang")
+    val c2 = Seq(("r2", "p2", "t"), ("r1", "p1", "s")).toDF("repo", "path", "lang")
+    assert(fp(c1) === fp(c2))
+  }
+
+  test("pre-partitioned input + thin fingerprint columns: incremental equals full, sets never cross-match") {
+    val lay = Files.createTempDirectory("graft_lay").toString
+    val baseEngine = new ValidationEngine(suite, EngineConfig(numParts = 16))
+    baseEngine.partitioned(df).write.partitionBy("__part").parquet(s"$lay/t")
+    val dfP = spark.read.parquet(s"$lay/t")
+    val eng = new ValidationEngine(suite,
+      EngineConfig(numParts = 16, partColumn = Some("__part")))
+    eng.checkPartColumn(dfP, sampleFraction = 1.0) // full audit on test data
+    // thin set: witnesses identity/path changes without touching content
+    val thin = Seq("repo", "path", "commit")
+    val dirInc = Files.createTempDirectory("graft_inc2").toString
+    Checkpoint.runResumable(spark, eng, dfP, dirInc, "snapA", batches = 4,
+      fingerprints = true, fingerprintCols = thin)
+    // snapshot B: one repo's PATH changes — inside the thin set's scope
+    val someRepo = dfP.select("repo").where(col("repo").startsWith("org")).head().getString(0)
+    val dfB = dfP.withColumn("path",
+      when(col("repo") === someRepo, concat(col("path"), lit(".moved")))
+        .otherwise(col("path")))
+    val inc = Checkpoint.runIncremental(spark, eng, dfB, dirInc, "snapB", "snapA",
+      batches = 4, fingerprintCols = thin)
+    assert(inc.inheritedParts > 0)
+    val dirFull = Files.createTempDirectory("graft_inc2_full").toString
+    Checkpoint.runResumable(spark, eng, dfB, dirFull, "snapB", batches = 4,
+      fingerprints = true, fingerprintCols = thin)
+    def verd(d: String) = Checkpoint.verdicts(spark, d, "snapB", eng.suiteHash)
+      .select("part", "rule", "evaluated", "violations").collect()
+      .map(_.toString).sorted.toSeq
+    assert(verd(dirInc) === verd(dirFull))
+    // a DIFFERENT fingerprint set must never match the stored one: the
+    // default (all columns) finds no comparable prior rows → zero inherits
+    val incWrong = Checkpoint.runIncremental(spark, eng, dfB, dirInc, "snapC", "snapA",
+      batches = 4)
+    assert(incWrong.inheritedParts === 0)
+  }
+
   test("a different rule-set hash re-validates from scratch") {
     val dir = Files.createTempDirectory("graft_ckpt2").toString
     Checkpoint.runResumable(spark, engine, df, dir, "snap1", batches = 2)

@@ -125,15 +125,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("word repetition and secret scan are shuffle-free pruned projections") {
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val rep = docs.withColumn("st", graft.ops.TextAnalysis.wordRunStats(col("text")))
-      .select(col("doc_id"), col("st.maxrun").as("m"), col("st.distinct").as("d"))
+    // PlanSpec's own parquet (the sf0.001 documents table is cached whole by
+    // other suites in the shared session; a matching read would reuse the
+    // InMemoryRelation and hide the scan-level pruning this test asserts)
+    val rep = df.withColumn("st", graft.ops.TextAnalysis.wordRunStats(col("content")))
+      .select(col("path"), col("st.maxrun").as("m"), col("st.distinct").as("d"))
     val p1 = plan(rep)
     assert(!p1.contains("Exchange"), s"repetition shuffles:\n$p1")
     val rs = p1.linesIterator.filter(_.contains("ReadSchema")).mkString
-    assert(rs.contains("doc_id") && rs.contains("text") && !rs.contains("lang"),
-      s"repetition reads more than (doc_id, text): $rs")
-    val p2 = plan(graft.ops.CodeScan.findings(docs, "doc_id", "text"))
+    assert(rs.contains("path") && rs.contains("content") && !rs.contains("lang"),
+      s"repetition reads more than (path, content): $rs")
+    val p2 = plan(graft.ops.CodeScan.findings(df, "path", "content"))
     assert(!p2.contains("Exchange"), s"secret scan shuffles:\n$p2")
   }
 
