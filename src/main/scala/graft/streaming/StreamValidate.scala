@@ -173,6 +173,66 @@ object StreamValidate {
         col("to").as("evaluated"))
   }
 
+  /** Streaming JSD drift: per event-time window, the Jensen–Shannon
+    * divergence (nats) of the window's category distribution against a
+    * STATIC baseline — the streaming face of the batch JsdDrift check.
+    *
+    * Unlike chi² and PSI, JSD's mixture log m = (pc+pb)/2 puts the window
+    * total inside the logarithm, so it does NOT decompose into
+    * total-independent sums. Instead the roll-up collects the window's
+    * category histogram into a map (state bounded by the column's NDV —
+    * the same bounded-state shape as [[ksDriftStream]]'s bin map) and one
+    * final projection folds over the BASELINE as a literal array:
+    * matched categories read their window count via element_at; baseline
+    * categories absent from the window contribute 0.5·pb·ln2; and the
+    * window-only categories contribute 0.5·pc·ln2 each, which sums to
+    * 0.5·ln2·(to − matched)/to — linear, so no second fold is needed.
+    */
+  def jsdDriftStream(stream: DataFrame, column: String, tsCol: String,
+                     windowDuration: String, watermark: String,
+                     baseline: Seq[(Option[String], Long)]): DataFrame = {
+    val dedup = baseline.toMap.toSeq
+    val tb = dedup.map(_._2).sum.toDouble
+    require(tb > 0, "empty baseline histogram for streaming JSD")
+    // zero-count baseline entries stay OUT of the fold: pb=0 would put
+    // ln(0) into the matched branch (NaN); their categories route through
+    // the window-only mass instead, which is exactly jsdFromHist's term
+    val baseArr = array(dedup.filter(_._2 > 0).map { case (v, c) =>
+      struct(lit(v.getOrElse(NullKey)).as("value"), lit(c.toDouble / tb).as("pb"))
+    }: _*)
+    val ln2 = math.log(2.0)
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration),
+        coalesce(col(column).cast("string"), lit(NullKey)).as("value"))
+      .agg(count(lit(1)).as("o"))
+      .groupBy(window(window_time(col("window")), windowDuration).as("window"))
+      .agg(map_from_entries(collect_list(struct(col("value"), col("o")))).as("m"),
+        sum(col("o")).as("to"))
+      .select(col("window"), {
+        val acc0 = struct(lit(0.0).as("stat"), lit(0.0).as("oMatched"))
+        val folded = aggregate(baseArr, acc0, (acc, e) => {
+          val o = coalesce(element_at(col("m"), e.getField("value")), lit(0L))
+            .cast("double")
+          val pc = o / col("to")
+          val pb = e.getField("pb")
+          val m2 = (pc + pb) / lit(2.0)
+          val term =
+            when(o > 0, lit(0.5) * pc * log(pc / m2) + lit(0.5) * pb * log(pb / m2))
+              .otherwise(lit(0.5) * pb * lit(ln2))
+          struct((acc.getField("stat") + term).as("stat"),
+            (acc.getField("oMatched") + o).as("oMatched"))
+        })
+        // window-only categories: each contributes 0.5·pc·ln2; their sum is
+        // linear in the unmatched mass
+        (folded.getField("stat") +
+          lit(0.5 * ln2) * (col("to") - folded.getField("oMatched")) / col("to"))
+          .as("jsd")
+      },
+        lit(dedup.size.toLong).as("baseline_categories"),
+        col("to").as("evaluated"))
+  }
+
   /** Streaming KS drift: per event-time window, the binned-CDF
     * Kolmogorov–Smirnov distance of a numeric column against a STATIC
     * baseline histogram — the streaming face of the batch KsDrift check.

@@ -174,6 +174,44 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming JSD drift matches the batch statistic per closed window") {
+    implicit val sq = spark.sqlContext
+    // baseline includes a category the windows never send (go) — its
+    // 0.5·pb·ln2 term must still appear, and window-only categories (rust
+    // in w1 only? no — go baseline-only, zig window-only) fold via the
+    // unmatched mass
+    val baseline = Seq(Option("scala") -> 3L, Option("rust") -> 1L, Option("go") -> 2L)
+    val mem = MemoryStream[FileEvent]
+    val q = StreamValidate.jsdDriftStream(mem.toDF(), "lang", "ts",
+      "1 minute", "0 seconds", baseline)
+      .writeStream.format("memory").queryName("jsddrift").outputMode("append").start()
+    // window 1 (0-60s): scala:1 rust:2 zig:1 (zig = window-only category)
+    // window 2 (60-120s): scala:3 rust:1 go:2 — exactly the baseline mix
+    mem.addData(
+      ev("a", "00000001", "scala", 1), ev("b", "00000002", "rust", 2),
+      ev("c", "00000003", "rust", 3), ev("d", "00000004", "zig", 4),
+      ev("e", "00000005", "scala", 61), ev("f", "00000006", "scala", 62),
+      ev("g", "00000007", "scala", 63), ev("h", "00000008", "rust", 64),
+      ev("i", "00000009", "go", 65), ev("j", "00000010", "go", 66))
+    q.processAllAvailable()
+    mem.addData(ev("z", "00000011", "scala", 200)) // advance watermark
+    q.processAllAvailable()
+    val rows = spark.table("jsddrift")
+      .select(col("window.start").cast("long").as("s"), col("jsd"), col("evaluated"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length === 2)
+    def batchJsd(hist: Seq[(Option[String], Long)]) =
+      graft.checks.Drift.jsdFromHist(hist, baseline)
+    val w1 = batchJsd(Seq(Option("scala") -> 1L, Option("rust") -> 2L, Option("zig") -> 1L))
+    val w2 = batchJsd(Seq(Option("scala") -> 3L, Option("rust") -> 1L, Option("go") -> 2L))
+    assert(math.abs(rows(0)._2 - w1.statistic) < 1e-9, s"${rows(0)._2} vs ${w1.statistic}")
+    assert(math.abs(rows(1)._2 - w2.statistic) < 1e-9, s"${rows(1)._2} vs ${w2.statistic}")
+    assert(math.abs(rows(1)._2) < 1e-12) // identical mix → zero divergence
+    assert(rows(0)._3 === 4L && rows(1)._3 === 6L)
+    q.stop()
+  }
+
   test("streaming chi-square drift accepts a NUMERIC column (sentinel coalesce casts first)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
