@@ -81,7 +81,14 @@ object Checkpoint {
         .where(col(engine.PartCol) % batches === b && col(engine.PartCol).isin(parts: _*))
       // one heavy scan per batch: violations; verdicts derive from them
       val violDf = engine.rowViolations(spark, slice).toDF().persist()
+      // repartition by part before the write: without it every input task
+      // that saw a violation writes its own file into every partition dir
+      // it touched (measured ~180 files per part dir on the 20 M-row probe
+      // — a small-files explosion that taxes every later read, copy, and
+      // object-store listing); after it each part dir holds one file per
+      // batch. The extra shuffle moves only violation rows (the rare case).
       violDf.select(col("*") +: lineage: _*)
+        .repartition(col("part"))
         .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
         .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/violations")
       val verdictDf = engine.verdictGrid(spark, violDf, engine.partTotals(slice))
@@ -191,7 +198,9 @@ object Checkpoint {
       .withColumn("fpCols", lit(dataCols.mkString(",")))
   }
 
-  final case class IncrementalReport(inheritedParts: Int, run: RunReport)
+  final case class IncrementalReport(inheritedParts: Int, run: RunReport,
+                                     detectSec: Double = 0.0, copySec: Double = 0.0,
+                                     residualSec: Double = 0.0)
 
   /** Incremental validation of `snapshotId` against a previously validated
     * `priorSnapshotId` in the same checkpoint dir: parts whose content
@@ -230,15 +239,20 @@ object Checkpoint {
       .select(col("part"), col("nRows").as("pRows"), col("hashSum").as("pHash"))
     val priorDone = completedParts(spark, dir, priorSnapshotId, hash)
     val alreadyDone = completedParts(spark, dir, snapshotId, hash)
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
     // single action below — no persist (the re-run parts recompute their
     // fingerprints inside runResumable, riding the slice scan they pay anyway)
     val curFp = partFingerprints(engine, df, fingerprintCols)
     // tiny collect: ≤ numParts rows by construction
-    val unchanged = curFp.join(priorFp, Seq("part"))
-      .where(col("nRows") === col("pRows") && col("hashSum") === col("pHash"))
-      .select("part").collect().map(_.getInt(0)).toSet
+    val (unchanged, detectSec) = timed {
+      curFp.join(priorFp, Seq("part"))
+        .where(col("nRows") === col("pRows") && col("hashSum") === col("pHash"))
+        .select("part").collect().map(_.getInt(0)).toSet
+    }
     val inherit = (unchanged intersect priorDone).diff(alreadyDone).toSeq.sorted
-    if (inherit.nonEmpty) {
+    val (_, copySec) = timed { if (inherit.nonEmpty) {
       // copy the prior snapshot's result partitions forward under the new
       // snapshotId as a FILE-LEVEL copy of the partition directories — no
       // Spark job, no decode/re-encode of the parquet: inheriting results
@@ -283,7 +297,7 @@ object Checkpoint {
         .withColumn("snapshotId", lit(snapshotId))
         .localCheckpoint(true)
       mrows.write.mode(SaveMode.Append).parquet(s"$dir/manifest")
-    }
+    } }
     // residual batching: with (say) 3 of 256 parts left, 8 batch slices
     // would mean 8 near-empty passes over the input — shrink the batch
     // count proportionally to the remaining work (checkpoint granularity
@@ -291,10 +305,12 @@ object Checkpoint {
     val remaining = engine.config.numParts - inherit.size - alreadyDone.size
     val residualBatches = math.max(1, math.min(batches,
       math.ceil(batches.toDouble * remaining / engine.config.numParts).toInt))
-    val rep = runResumable(spark, engine, df, dir, snapshotId, residualBatches,
-      failAfterBatches = None, statsColumns = statsColumns, fingerprints = true,
-      fingerprintCols = fingerprintCols)
-    IncrementalReport(inherit.size, rep)
+    val (rep, residualSec) = timed {
+      runResumable(spark, engine, df, dir, snapshotId, residualBatches,
+        failAfterBatches = None, statsColumns = statsColumns, fingerprints = true,
+        fingerprintCols = fingerprintCols)
+    }
+    IncrementalReport(inherit.size, rep, detectSec, copySec, residualSec)
   }
 
   /** Whole-table stats merged from the per-part sketches a resumable run

@@ -42,11 +42,15 @@ object IncrementalProbe {
     val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
     val thin = Seq("repo", "path", "commit", "content_sha256")
 
-    // one-time: materialize the part-partitioned layout next to the flat one
-    val layDir = s"$dataDir/code_files_by_part_$numParts"
+    // one-time: materialize the part-partitioned layout next to the flat
+    // one, COMPACTED to one file per partition (without the repartition the
+    // 512-file input fans out to ~250 files per partition dir — 65 k tiny
+    // files whose footer reads then dominate every scan of the layout)
+    val layDir = s"$dataDir/code_files_by_part_${numParts}_c"
     val flatEngine = new ValidationEngine(suite, EngineConfig(numParts = numParts))
     if (!new java.io.File(s"$layDir/_SUCCESS").exists()) {
       flatEngine.partitioned(spark.read.parquet(s"$dataDir/code_files"))
+        .repartition(col("__part"))
         .write.mode("overwrite").partitionBy("__part").parquet(layDir)
     }
     val dfP = spark.read.parquet(layDir)
@@ -60,13 +64,14 @@ object IncrementalProbe {
     // MATERIALIZED like a real snapshot: computing it lazily would make the
     // "thin" fingerprint scan read the fat content column through the
     // conditional sha expression and hide exactly the pruning being measured.
-    val layDirB = s"$dataDir/code_files_by_part_${numParts}_b$changed"
+    val layDirB = s"$dataDir/code_files_by_part_${numParts}_bc$changed"
     if (!new java.io.File(s"$layDirB/_SUCCESS").exists()) {
       val hit = col("__part") < changed
       dfP.withColumn("content",
           when(hit, concat(col("content"), lit(" edited"))).otherwise(col("content")))
         .withColumn("content_sha256",
           when(hit, sha2(concat(col("content")), 256)).otherwise(col("content_sha256")))
+        .repartition(col("__part"))
         .write.mode("overwrite").partitionBy("__part").parquet(layDirB)
     }
     val dfB = spark.read.parquet(layDirB)
@@ -102,6 +107,8 @@ object IncrementalProbe {
       s"""{"probe":"incremental","rows":${dfP.count()},"num_parts":$numParts,""" +
       s""""changed_parts":$changed,"inherited_parts":${rep.inheritedParts},""" +
       s""""full_revalidate_sec":${f"$fullS%.2f"},"incremental_sec":${f"$incS%.2f"},""" +
+      s""""detect_sec":${f"${rep.detectSec}%.2f"},"copy_sec":${f"${rep.copySec}%.2f"},""" +
+      s""""residual_sec":${f"${rep.residualSec}%.2f"},""" +
       s""""speedup":${f"${fullS / incS}%.2f"},"layout":"partitioned","fp_cols":"thin"}""")
     spark.stop()
   }
