@@ -218,6 +218,16 @@ object QueriesPipeline {
           round(col("st.maxrun").cast("double") / col("n"), 6).as("top_word_frac"))
         .orderBy("doc_id")),
 
+    // text analysis: character-distribution Shannon entropy (nats) — the
+    // gibberish/binary gate; sorted-run fold per row, oracle recomputes it
+    // relationally over a per-character GROUP BY
+    "q_char_entropy" -> ((s, dir) =>
+      // length > 0 on BOTH sides: the oracle's unnest drops empty docs
+      // while charEntropy nulls them — filtering keeps the row sets equal
+      t(s, dir, "documents").where(length(col("text")) > 0)
+        .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("entropy"))
+        .orderBy("doc_id")),
+
     // code scan: credential/secret findings over content with secrets
     // planted deterministically from doc_id (the corpus is word soup, so
     // every finding is a plant; the oracle replays the identical plants and
@@ -609,7 +619,20 @@ object QueriesPipeline {
        |ORDER BY doc_id, kind""".stripMargin
   }
 
+  private val charEntropyOracle =
+    """WITH x AS (SELECT doc_id, length(text) AS n,
+      |    unnest(list_transform(generate_series(1, length(text)),
+      |                          i -> ascii(substr(text, i, 1)))) AS ch
+      |  FROM documents WHERE length(text) > 0),
+      | g AS (SELECT doc_id, any_value(n) AS n, ch, CAST(count(*) AS DOUBLE) AS c
+      |       FROM x GROUP BY doc_id, ch),
+      | a AS (SELECT doc_id, any_value(n) AS n, sum(c * ln(c)) AS s
+      |       FROM g GROUP BY doc_id)
+      |SELECT doc_id, round(ln(CAST(n AS DOUBLE)) - s / n, 6) AS entropy
+      |FROM a ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_char_entropy" -> charEntropyOracle,
     "q_repetition" -> repetitionOracle,
     "q_secret_scan" -> secretScanOracle,
     "q_stratified_sample" -> stratifiedOracle,

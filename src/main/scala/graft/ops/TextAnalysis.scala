@@ -77,6 +77,32 @@ object TextAnalysis {
   /** Document fingerprint: the rolling hash of the whole text. */
   def fingerprint(c: Column): Column = polyHash(c)
 
+  /** Shannon entropy (nats) of the character distribution — the classic
+    * gibberish/binary detector of a text-quality pipeline. Uses the identity
+    * H = ln n − (Σ cnt·ln cnt)/n over per-character run counts, computed
+    * with the same sorted-run fold as [[wordRunStats]]: equal codepoints are
+    * adjacent after array_sort, one O(n log n) pass per row, zero shuffle.
+    * Null for empty documents.
+    */
+  def charEntropy(c: Column): Column = {
+    val sorted = array_sort(chars(c))
+    val runLogSum = aggregate(
+      sorted,
+      struct(lit(-1).as("prev"), lit(0.0).as("run"), lit(0.0).as("acc")),
+      (acc, ch) => {
+        val same = acc.getField("prev") === ch
+        val run = when(same, acc.getField("run") + 1.0).otherwise(lit(1.0))
+        val flushed = when(same, acc.getField("acc")).otherwise(
+          acc.getField("acc") + when(acc.getField("run") > 0,
+            acc.getField("run") * log(acc.getField("run"))).otherwise(lit(0.0)))
+        struct(ch.as("prev"), run.as("run"), flushed.as("acc"))
+      },
+      a => a.getField("acc") + when(a.getField("run") > 0,
+        a.getField("run") * log(a.getField("run"))).otherwise(lit(0.0)))
+    val n = length(c).cast("double")
+    when(n > 0, round(log(n) - runLogSum / n, 6)).otherwise(lit(null).cast("double"))
+  }
+
   /** Word-repetition signals (the Gopher-style "repetitive document" quality
     * gates): returns struct(maxrun, distinct) where `maxrun` is the highest
     * occurrence count of any single word and `distinct` the distinct-word

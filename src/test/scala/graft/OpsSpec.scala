@@ -399,6 +399,32 @@ class OpsSpec extends SparkSpec {
     assert(cleanIds === Set(1L, 6L))
   }
 
+  test("char entropy: hand values, bounds, and corpus parity with the relational formula") {
+    val hand = Seq("aaaa", "abab", "abcd").toDF("text")
+      .select(col("text"), TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(hand("aaaa") === 0.0)
+    assert(math.abs(hand("abab") - math.log(2.0)) < 1e-6)
+    assert(math.abs(hand("abcd") - math.log(4.0)) < 1e-6)
+    // corpus: fold equals the explode → groupBy computation, within ulp
+    val fold = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), TextAnalysis.charEntropy(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val relational = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).cast("double").as("n"),
+        explode(TextAnalysis.chars(col("text"))).as("ch"))
+      .groupBy("doc_id", "n", "ch").count()
+      .groupBy("doc_id", "n")
+      .agg(sum(col("count").cast("double") * log(col("count").cast("double"))).as("s"))
+      .select(col("doc_id"), round(log(col("n")) - col("s") / col("n"), 6).as("h"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(fold.keySet === relational.keySet)
+    fold.foreach { case (id, h) =>
+      assert(math.abs(h - relational(id)) < 1e-5, s"doc $id: $h vs ${relational(id)}")
+      assert(h >= 0.0 && h <= math.log(256.0))
+    }
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
