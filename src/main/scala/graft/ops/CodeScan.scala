@@ -20,11 +20,22 @@ import org.apache.spark.sql.functions._
   */
 object CodeScan {
 
-  /** (kind, pattern) detectors — shared with the oracle SQL verbatim. */
+  /** (kind, pattern) detectors — shared with the oracle SQL verbatim.
+    *
+    * hex_secret_40 requires assignment/secret CONTEXT (a secret-ish word
+    * within 40 chars on the same line) before the 40-hex run: a bare
+    * `\b[0-9a-f]{40}\b` matches every git commit SHA embedded in content —
+    * docs, lockfiles, submodule refs — which on a source-code corpus makes
+    * the NoSecrets rule fail large numbers of legitimate rows. The context
+    * group is case-insensitive via the scoped `(?i:…)` flag (supported
+    * identically by Java regex and RE2, so the DuckDB oracle replays it
+    * verbatim); the hex run itself stays strictly lowercase.
+    */
   val Detectors: Seq[(String, String)] = Seq(
     "aws_access_key" -> "AKIA[0-9A-Z]{16}",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "hex_secret_40" -> "\\b[0-9a-f]{40}\\b",
+    "hex_secret_40" ->
+      "(?i:secret|token|passwd|password|credential|auth|api[_-]?key)[^\\n]{0,40}\\b[0-9a-f]{40}\\b",
     "private_key_block" -> "-----BEGIN [A-Z ]*PRIVATE KEY-----")
 
   /** array<struct<kind, n_hits>> — one entry per detector. */
