@@ -114,7 +114,11 @@ object Checkpoint {
             hll_sketch_agg(col(c).cast("string")).as(s"${c}__hll"),
             kll_sketch_agg_double(expr(s"try_cast(`$c` AS DOUBLE)")).as(s"${c}__kll"))
         }
+        // the stats column set is lineage (like fpCols on fingerprints):
+        // incremental inheritance must not present stats built from a
+        // DIFFERENT column set as this run's — runIncremental compares it
         slice.groupBy(col(engine.PartCol).as("part")).agg(aggs.head, aggs.tail: _*)
+          .withColumn("statsCols", lit(statsColumns.mkString(",")))
           .select(col("*") +: lineage: _*)
           .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
           .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/stats")
@@ -149,6 +153,26 @@ object Checkpoint {
       manifestRows.write.mode(SaveMode.Append).parquet(s"$dir/manifest")
       verdictDf.unpersist()
       ran += 1
+    }
+    // Row-count conservation audit (stored-part-id layouts only): a row
+    // whose stored part id is null or outside [0, numParts) matches no
+    // part/batch slice above — it would be silently never validated while
+    // the manifest still marks every part complete. The derived-partExpr
+    // path cannot lose rows (pmod(xxhash64) is total), so the audit runs
+    // only when partColumn is set, and only once the snapshot is fully
+    // complete: the manifest's evaluated sum must equal the input count
+    // (a metadata-cheap count on columnar sources).
+    if (ran > 0 && engine.config.partColumn.isDefined &&
+        completedParts(spark, dir, snapshotId, hash).size == numParts) {
+      val evaluated = spark.read.parquet(s"$dir/manifest")
+        .where(col("snapshotId") === snapshotId && col("ruleSetHash") === hash)
+        .dropDuplicates("part")
+        .agg(coalesce(sum("evaluated"), lit(0L))).collect()(0).getLong(0)
+      val input = df.count()
+      require(evaluated == input,
+        s"row-count conservation violated for snapshot '$snapshotId': manifest " +
+          s"evaluated=$evaluated vs input rows=$input — stored part ids in " +
+          s"'${engine.config.partColumn.get}' null or outside [0, ${numParts})?")
     }
     RunReport(ran, done.size, numParts)
   }
@@ -251,7 +275,37 @@ object Checkpoint {
         .where(col("nRows") === col("pRows") && col("hashSum") === col("pHash"))
         .select("part").collect().map(_.getInt(0)).toSet
     }
-    val inherit = (unchanged intersect priorDone).diff(alreadyDone).toSeq.sorted
+    // Stats-column-set lineage guard (mirrors fpCols): a part may only
+    // inherit when the prior snapshot's stats rows were built from the SAME
+    // statsColumns set this run requests — otherwise the inherited stats
+    // plane (and mergedStats over it) would be silently incomplete or
+    // mismatched. Parts excluded here simply fall through to residual
+    // revalidation. A part with NO prior stats row is still inheritable iff
+    // the prior manifest marks it evaluated=0 (hash-empty parts legitimately
+    // write no stats row).
+    val statsOk: Set[Int] =
+      if (statsColumns.isEmpty) unchanged
+      else {
+        val sPath = s"$dir/stats"
+        val withStats =
+          if (!exists(spark, sPath)) Set.empty[Int]
+          else {
+            val sdf = spark.read.option("mergeSchema", "true").parquet(sPath)
+              .where(col("snapshotId") === priorSnapshotId && col("ruleSetHash") === hash)
+            // pre-lineage batches lack the statsCols column entirely:
+            // unknown set, never matched (conservative revalidation)
+            if (!sdf.columns.contains("statsCols")) Set.empty[Int]
+            else sdf.where(col("statsCols") === statsColumns.mkString(","))
+              .select("part").distinct().collect().map(_.getInt(0)).toSet
+          }
+        val emptyParts = spark.read.parquet(s"$dir/manifest")
+          .where(col("snapshotId") === priorSnapshotId && col("ruleSetHash") === hash &&
+            col("evaluated") === 0L)
+          .select("part").distinct().collect().map(_.getInt(0)).toSet
+        withStats ++ emptyParts
+      }
+    val inherit = (unchanged intersect priorDone intersect statsOk)
+      .diff(alreadyDone).toSeq.sorted
     val (_, copySec) = timed { if (inherit.nonEmpty) {
       // copy the prior snapshot's result partitions forward under the new
       // snapshotId as a FILE-LEVEL copy of the partition directories — no
@@ -277,17 +331,55 @@ object Checkpoint {
         }
       }
       // the (plane × part) copies are independent — run them on a bounded
-      // pool (serial driver-side streaming measured 3x slower than the
-      // residual validation itself on the 20 M-row probe)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val copies = for {
+      // driver pool (serial driver-side streaming measured 3x slower than
+      // the residual validation itself on the 20 M-row probe). At 100k+
+      // parts on an object store the DRIVER pool becomes the bottleneck:
+      // spark.graft.distributedInheritanceCopy=true routes the same copies
+      // through a Spark job instead — each executor task performs the
+      // FileUtil.copy (server-side on S3) for its slice of the pairs, so
+      // copy throughput scales with the cluster, not one host's pool.
+      val pairs = for {
         plane <- Seq("verdicts", "violations", "stats", "fingerprints")
         part <- inherit
-      } yield scala.concurrent.Future(copyOne(plane, part))(ec)
-      try copies.foreach(f =>
-        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
-      finally pool.shutdown()
+      } yield (plane, part)
+      val distributed = spark.conf
+        .getOption("spark.graft.distributedInheritanceCopy").contains("true")
+      if (distributed) {
+        // Hadoop Configuration is not serializable: ship the explicit
+        // entries and rebuild (defaults + entries) inside each task
+        val confEntries = {
+          val it = conf.iterator()
+          val b = Seq.newBuilder[(String, String)]
+          while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+          b.result()
+        }
+        val (dirL, hashL, priorL, snapL) = (dir, hash, priorSnapshotId, snapshotId)
+        spark.sparkContext
+          .parallelize(pairs, math.max(1, math.min(pairs.size, 256)))
+          .foreach { case (plane, part) =>
+            val c = new org.apache.hadoop.conf.Configuration()
+            confEntries.foreach { case (k, v) => c.set(k, v) }
+            val fsx = new Path(dirL).getFileSystem(c)
+            val src = new Path(
+              s"$dirL/$plane/snapshotId=$priorL/ruleSetHash=$hashL/part=$part")
+            if (fsx.exists(src)) {
+              val dst = new Path(
+                s"$dirL/$plane/snapshotId=$snapL/ruleSetHash=$hashL/part=$part")
+              if (fsx.exists(dst)) fsx.delete(dst, true)
+              org.apache.hadoop.fs.FileUtil.copy(fsx, src, fsx, dst, false, c)
+              ()
+            }
+          }
+      } else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+        val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val copies = pairs.map { case (plane, part) =>
+          scala.concurrent.Future(copyOne(plane, part))(ec)
+        }
+        try copies.foreach(f =>
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        finally pool.shutdown()
+      }
       // manifest rows mark the inherited parts completed for the NEW
       // snapshot — runResumable's anti-join then skips them natively
       val mrows = spark.read.parquet(s"$dir/manifest")

@@ -189,6 +189,58 @@ class CheckpointSpec extends SparkSpec {
     assert(again.inheritedParts === 0 && again.run.ranBatches === 0)
   }
 
+  test("distributed inheritance copy produces bit-equal results to the driver pool") {
+    def runOnce(distributed: Boolean): (Seq[String], Seq[String]) = {
+      val dir = Files.createTempDirectory(s"graft_dcopy_$distributed").toString
+      val eng = new ValidationEngine(suite, EngineConfig(numParts = 16))
+      Checkpoint.runResumable(spark, eng, df, dir, "snapA", batches = 4,
+        statsColumns = Seq("lang"), fingerprints = true)
+      val someRepo = df.select("repo").where(col("repo").startsWith("org")).head().getString(0)
+      val dfB = df.withColumn("lang",
+        when(col("repo") === someRepo, lit("moved")).otherwise(col("lang")))
+      val prev = spark.conf.getOption("spark.graft.distributedInheritanceCopy")
+      spark.conf.set("spark.graft.distributedInheritanceCopy", distributed.toString)
+      try {
+        val inc = Checkpoint.runIncremental(spark, eng, dfB, dir, "snapB", "snapA",
+          batches = 4, statsColumns = Seq("lang"))
+        assert(inc.inheritedParts > 0) // the copy path actually ran
+      } finally {
+        prev match {
+          case Some(v) => spark.conf.set("spark.graft.distributedInheritanceCopy", v)
+          case None => spark.conf.unset("spark.graft.distributedInheritanceCopy")
+        }
+      }
+      val eng2 = new ValidationEngine(suite, EngineConfig(numParts = 16))
+      (Checkpoint.verdicts(spark, dir, "snapB", eng2.suiteHash)
+         .select("part", "rule", "evaluated", "violations").collect()
+         .map(_.toString).sorted.toSeq,
+       Checkpoint.mergedStats(spark, dir, "snapB", eng2.suiteHash, Seq("lang"))
+         .select("column", "count", "nulls").collect().map(_.toString).sorted.toSeq)
+    }
+    assert(runOnce(distributed = true) === runOnce(distributed = false))
+  }
+
+  test("stats-column lineage: a different prior statsColumns set blocks inheritance") {
+    val dir = Files.createTempDirectory("graft_statslin").toString
+    val eng = new ValidationEngine(suite, EngineConfig(numParts = 16))
+    // snapshot A's stats were built over (lang); the incremental run asks
+    // for (lang, path) — inherited parts would present the wrong stats set
+    Checkpoint.runResumable(spark, eng, df, dir, "snapA", batches = 4,
+      statsColumns = Seq("lang"), fingerprints = true)
+    val inc = Checkpoint.runIncremental(spark, eng, df, dir, "snapB", "snapA",
+      batches = 4, statsColumns = Seq("lang", "path"))
+    assert(inc.inheritedParts === 0) // lineage mismatch → full residual revalidation
+    // and the fresh snapshot's stats really carry both columns
+    val cols = Checkpoint.mergedStats(spark, dir, "snapB", eng.suiteHash,
+      Seq("lang", "path")).select("column").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(cols === Set("lang", "path"))
+    // matching set (the original) still inherits
+    val inc2 = Checkpoint.runIncremental(spark, eng, df, dir, "snapC", "snapA",
+      batches = 4, statsColumns = Seq("lang"))
+    assert(inc2.inheritedParts > 0)
+  }
+
   test("fingerprints are null-sensitive: a value migrating across columns changes the hash") {
     import spark.implicits._
     // same non-null value sequence, different column placement — xxhash64
