@@ -169,7 +169,7 @@ object Bench {
     val qColdJson = perQueryCold.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val totalSec = perQuery.map(_._2).sum
     val totalCold = perQueryCold.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"total","value":${f"$totalSec%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
       s""""value_cold":${f"$totalCold%.3f"},"queries_cold":$qColdJson,""" +
       s""""files_per_sec":${f"$rate4N%.0f"},"bench_rows":$benchRows,""" +
@@ -179,6 +179,16 @@ object Bench {
       s""""efficiency_band":[${effBand.map(e => f"$e%.3f").mkString(",")}],""" +
       s""""samples_n":[${samples(levels.head).map(s => f"${s._1}%.2f").mkString(",")}],""" +
       s""""samples_4n":[${samples(levels.last).map(s => f"${s._1}%.2f").mkString(",")}],""" +
-      s""""stages_n":${stagesJson(stagesN)},"stages_4n":${stagesJson(stages4N)}}}""")
+      s""""stages_n":${stagesJson(stagesN)},"stages_4n":${stagesJson(stages4N)}}}"""
+    println(json)
+    // machine-readable contract copy: the stdout line drowns in sbt/log4j
+    // noise (every BENCH_r*.json so far has "parsed": null) — a file the
+    // driver (or anyone) can parse directly is the fix
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (json + "\n").getBytes("UTF-8"))
+      println(s"[bench] json written to $out")
+    } catch { case e: Exception => System.err.println(s"[bench] write $out: ${e.getMessage}") }
   }
 }
