@@ -20,26 +20,119 @@ object Drift {
   final case class Psi(statistic: Double, categories: Int, excluded: Long)
   final case class Jsd(statistic: Double, categories: Int)
 
-  /** Per-category (observed, baseline) counts over the union of both sides'
-    * categories — the shared first stage of every categorical drift check.
-    * Two map-side-combined groupBys + one tiny full_outer join (<= #categories
-    * rows by definition of a categorical check), collected in ONE job; the
-    * heavy work is the groupBys, never the collect.
-    *
-    * NULL is a first-class category: it maps to a sentinel so the equi-join
-    * matches it (a full_outer join never matches null keys, which would
-    * split one category into two phantom ones).
+  /** Thrown when a categorical check's category table would collect more
+    * driver rows than allowed — the categorical twin of
+    * [[HistogramTooLarge]]. Callers should route the column through the
+    * exact distributed variants ([[chiSquareExact]]/[[psiExact]]/
+    * [[jsdExact]]), which compute the SAME statistics with no driver
+    * collect of category rows, or (for continuous columns) the binned
+    * variants.
     */
-  private def categoryCounts(current: DataFrame, baselineDf: DataFrame,
-                             column: String): Array[(Long, Long)] = {
+  final case class TooManyCategories(column: String, maxCats: Int) extends RuntimeException(
+    s"categorical drift check on '$column' has > $maxCats categories (a " +
+      s"continuous high-NDV column?) — use the exact distributed or binned " +
+      "chi2/psi/jsd variants instead")
+
+  /** Default driver-side category cap shared by the categorical checks. */
+  val DefaultMaxCategories: Int = 100000
+
+  /** Per-category (observed, baseline) counts as a distributed DataFrame —
+    * the shared first stage of every categorical drift check: two map-side-
+    * combined groupBys + one NDV-row full_outer join that never touches the
+    * driver. NULL is a first-class category: it maps to a sentinel so the
+    * equi-join matches it (a full_outer join never matches null keys, which
+    * would split one category into two phantom ones).
+    */
+  private def categoryCountsDf(current: DataFrame, baselineDf: DataFrame,
+                               column: String): DataFrame = {
     def cat(df: DataFrame) = df.select(
       coalesce(col(column).cast("string"), lit("\u0000NULL")).as("v"))
     val cur = cat(current).groupBy(col("v")).agg(count(lit(1)).as("o"))
     val base = cat(baselineDf).groupBy(col("v")).agg(count(lit(1)).as("b"))
     cur.join(base, Seq("v"), "full_outer")
       .select(coalesce(col("o"), lit(0L)).as("o"), coalesce(col("b"), lit(0L)).as("b"))
+  }
+
+  private def categoryCounts(current: DataFrame, baselineDf: DataFrame,
+                             column: String,
+                             maxCats: Int = DefaultMaxCategories): Array[(Long, Long)] = {
+    val rows = categoryCountsDf(current, baselineDf, column)
+      .limit(maxCats + 1) // driver-safety: bound the collect before it happens
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+    if (rows.length > maxCats) throw TooManyCategories(column, maxCats)
+    rows.map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  /** Exact distributed faces of the categorical checks, for columns whose
+    * NDV exceeds the driver-side category cap: the SAME statistics as
+    * [[chiSquare]]/[[psi]]/[[jsd]], computed by aggregating the per-category
+    * terms in Spark — the (o, b) category table is persisted across two tiny
+    * jobs (side totals, then the statistic sum) and never collected, so NDV
+    * bounds executor memory per partition, not the driver. Used by the
+    * engine as the [[TooManyCategories]] fallback: precision never degrades
+    * on a high-NDV column, only the constant factor (two jobs over a
+    * persisted shuffle output instead of one bounded collect).
+    */
+  def chiSquareExact(current: DataFrame, baselineDf: DataFrame, column: String): ChiSquare =
+    withCategoryAggs(current, baselineDf, column, s"chi-square on '$column'") {
+      (joined, to, tb) =>
+        val r = to / tb
+        val row = joined.agg(
+          coalesce(sum(when(col("b") > 0,
+            pow(col("o") - col("b") * r, 2) / (col("b") * r))), lit(0.0)).as("stat"),
+          coalesce(sum(when(col("b") > 0, 1L)), lit(0L)).as("k"),
+          coalesce(sum(when(col("b") === 0 && col("o") > 0, 1L)), lit(0L)).as("newCats")
+        ).collect()(0)
+        ChiSquare(row.getDouble(0), math.max(row.getLong(1).toInt - 1, 0), row.getLong(2))
+    }
+
+  def psiExact(current: DataFrame, baselineDf: DataFrame, column: String): Psi =
+    withCategoryAggs(current, baselineDf, column, s"PSI on '$column'") {
+      (joined, to, tb) =>
+        val pc = col("o") / to
+        val pb = col("b") / tb
+        val both = col("o") > 0 && col("b") > 0
+        val row = joined.agg(
+          coalesce(sum(when(both, (pc - pb) * log(pc / pb))), lit(0.0)).as("stat"),
+          coalesce(sum(when(both, 1L)), lit(0L)).as("k"),
+          coalesce(sum(when(!both, 1L)), lit(0L)).as("excluded")
+        ).collect()(0)
+        Psi(row.getDouble(0), row.getLong(1).toInt, row.getLong(2))
+    }
+
+  def jsdExact(current: DataFrame, baselineDf: DataFrame, column: String): Jsd =
+    withCategoryAggs(current, baselineDf, column, s"JSD on '$column'") {
+      (joined, to, tb) =>
+        val pc = col("o") / to
+        val pb = col("b") / tb
+        val m = (pc + pb) / 2.0
+        val row = joined.agg(
+          coalesce(sum(
+            when(col("o") > 0, lit(0.5) * pc * log(pc / m)).otherwise(0.0) +
+            when(col("b") > 0, lit(0.5) * pb * log(pb / m)).otherwise(0.0)), lit(0.0)).as("stat"),
+          count(lit(1)).as("k")
+        ).collect()(0)
+        Jsd(row.getDouble(0), row.getLong(1).toInt)
+    }
+
+  /** Persist the category table, resolve side totals, run the statistic
+    * aggregation, unpersist — the shared two-job scaffold of the exact
+    * distributed variants. Throws the same empty-snapshot requires as the
+    * collected faces.
+    */
+  private def withCategoryAggs[T](current: DataFrame, baselineDf: DataFrame,
+                                  column: String, what: String)
+                                 (stat: (DataFrame, Double, Double) => T): T = {
+    val joined = categoryCountsDf(current, baselineDf, column).persist()
+    try {
+      val totals = joined.agg(
+        coalesce(sum("o"), lit(0L)).as("to"),
+        coalesce(sum("b"), lit(0L)).as("tb")).collect()(0)
+      val (to, tb) = (totals.getLong(0).toDouble, totals.getLong(1).toDouble)
+      require(to > 0 && tb > 0,
+        s"empty snapshot for $what (current=$to, baseline=$tb rows)")
+      stat(joined, to, tb)
+    } finally { joined.unpersist(); () }
   }
 
   /** Pearson chi-square over a categorical column. Expected counts are the
@@ -47,11 +140,20 @@ object Drift {
     * from the baseline have expected 0 (chi-square undefined) — they are
     * excluded from the statistic and reported via `newCategories`.
     */
-  def chiSquare(current: DataFrame, baselineDf: DataFrame, column: String): ChiSquare = {
-    val joined = categoryCounts(current, baselineDf, column)
+  def chiSquare(current: DataFrame, baselineDf: DataFrame, column: String,
+                maxCats: Int = DefaultMaxCategories): ChiSquare = {
+    val joined = categoryCounts(current, baselineDf, column, maxCats)
+    require(joined.map(_._2).sum > 0, s"empty baseline for chi-square on '$column' (0 rows)")
+    chiSquareOf(joined.toSeq)
+  }
+
+  /** The chi-square arithmetic over joined (observed, baseline) counts —
+    * shared by the categorical, fused-histogram, and binned faces.
+    */
+  private def chiSquareOf(joined: Seq[(Long, Long)]): ChiSquare = {
     val to = joined.map(_._1).sum.toDouble
     val tb = joined.map(_._2).sum.toDouble
-    require(tb > 0, s"empty baseline for chi-square on '$column' (0 rows)")
+    require(tb > 0, "empty baseline histogram for chi-square (all-null or zero rows)")
     var stat = 0.0; var k = 0; var newCats = 0L
     joined.foreach { case (oL, bL) =>
       val o = oL.toDouble
@@ -70,12 +172,18 @@ object Drift {
     * the sum and reported via `excluded`. Same two-groupBy + tiny-join shape
     * as [[chiSquare]] — at 100 TB the cost is two map-side-combined scans.
     */
-  def psi(current: DataFrame, baselineDf: DataFrame, column: String): Psi = {
-    val joined = categoryCounts(current, baselineDf, column)
+  def psi(current: DataFrame, baselineDf: DataFrame, column: String,
+          maxCats: Int = DefaultMaxCategories): Psi = {
+    val joined = categoryCounts(current, baselineDf, column, maxCats)
+    psiOf(joined.toSeq, s"PSI on '$column'")
+  }
+
+  /** The PSI arithmetic over joined (observed, baseline) counts. */
+  private def psiOf(joined: Seq[(Long, Long)], what: String): Psi = {
     val to = joined.map(_._1).sum.toDouble
     val tb = joined.map(_._2).sum.toDouble
     require(to > 0 && tb > 0,
-      s"empty snapshot for PSI on '$column' (current=$to, baseline=$tb rows)")
+      s"empty snapshot for $what (current=$to, baseline=$tb rows)")
     var stat = 0.0; var k = 0; var excluded = 0L
     joined.foreach { case (o, b) =>
       if (o > 0 && b > 0) {
@@ -92,12 +200,18 @@ object Drift {
     * PSI it is defined for one-sided categories (0*ln0 = 0, and m > 0
     * whenever either side is present), symmetric, and bounded by ln 2.
     */
-  def jsd(current: DataFrame, baselineDf: DataFrame, column: String): Jsd = {
-    val joined = categoryCounts(current, baselineDf, column)
+  def jsd(current: DataFrame, baselineDf: DataFrame, column: String,
+          maxCats: Int = DefaultMaxCategories): Jsd = {
+    val joined = categoryCounts(current, baselineDf, column, maxCats)
+    jsdOf(joined.toSeq, s"JSD on '$column'")
+  }
+
+  /** The JSD arithmetic over joined (observed, baseline) counts. */
+  private def jsdOf(joined: Seq[(Long, Long)], what: String): Jsd = {
     val to = joined.map(_._1).sum.toDouble
     val tb = joined.map(_._2).sum.toDouble
     require(to > 0 && tb > 0,
-      s"empty snapshot for JSD on '$column' (current=$to, baseline=$tb rows)")
+      s"empty snapshot for $what (current=$to, baseline=$tb rows)")
     var stat = 0.0
     joined.foreach { case (o, b) =>
       val pc = o / to; val pb = b / tb
@@ -107,6 +221,30 @@ object Drift {
     }
     Jsd(stat, joined.length)
   }
+
+  /** Binned faces of the categorical checks, for columns whose NDV exceeds
+    * the driver-side category cap: values are discretized into `bins`
+    * equal-width bins by the shared distributed [[binnedJoint]] stage (two
+    * thin scans, tiny bounded collect) and the bins become the categories.
+    * Unlike the categorical faces these treat the column as CONTINUOUS —
+    * nulls and unparseable strings are excluded, matching [[ks]]/
+    * [[wasserstein]] — which is the right semantics for exactly the
+    * high-NDV columns that trip [[TooManyCategories]].
+    */
+  def chiSquareBinned(current: DataFrame, baselineDf: DataFrame, column: String,
+                      bins: Int = 1000): ChiSquare =
+    chiSquareOf(binnedJoint(current, baselineDf, column, bins, "chi-square")
+      ._1.toSeq.map { case (_, c, b) => (c.toLong, b.toLong) })
+
+  def psiBinned(current: DataFrame, baselineDf: DataFrame, column: String,
+                bins: Int = 1000): Psi =
+    psiOf(binnedJoint(current, baselineDf, column, bins, "PSI")
+      ._1.toSeq.map { case (_, c, b) => (c.toLong, b.toLong) }, s"binned PSI on '$column'")
+
+  def jsdBinned(current: DataFrame, baselineDf: DataFrame, column: String,
+                bins: Int = 1000): Jsd =
+    jsdOf(binnedJoint(current, baselineDf, column, bins, "JSD")
+      ._1.toSeq.map { case (_, c, b) => (c.toLong, b.toLong) }, s"binned JSD on '$column'")
 
   /** Shared distributed stage of the numeric two-snapshot checks: per-bin
     * (current, baseline) counts over `bins` equal-width bins spanning the
@@ -245,22 +383,8 @@ object Drift {
 
   /** Chi-square from per-value histograms — same math as [[chiSquare]]. */
   def chiSquareFromHist(cur: Seq[(Option[String], Long)],
-                        base: Seq[(Option[String], Long)]): ChiSquare = {
-    val curM = cur.toMap.withDefaultValue(0L)
-    val baseM = base.toMap.withDefaultValue(0L)
-    val keys = (curM.keySet ++ baseM.keySet).toSeq
-    val to = curM.values.sum.toDouble
-    val tb = baseM.values.sum.toDouble
-    require(tb > 0, "empty baseline histogram for chi-square (all-null or zero rows)")
-    var stat = 0.0; var k = 0; var newCats = 0L
-    keys.foreach { key =>
-      val o = curM(key).toDouble
-      val e = baseM(key).toDouble * (to / tb)
-      if (e > 0) { stat += (o - e) * (o - e) / e; k += 1 }
-      else if (o > 0) newCats += 1
-    }
-    ChiSquare(stat, math.max(k - 1, 0), newCats)
-  }
+                        base: Seq[(Option[String], Long)]): ChiSquare =
+    chiSquareOf(histCounts(cur, base))
 
   /** Binned-CDF KS from per-value histograms — same binning arithmetic as
     * [[ks]] (nulls excluded, combined min/max bounds, equal-width bins).
@@ -335,37 +459,11 @@ object Drift {
 
   /** PSI from per-value histograms — same math as [[psi]]. */
   def psiFromHist(cur: Seq[(Option[String], Long)],
-                  base: Seq[(Option[String], Long)]): Psi = {
-    val joined = histCounts(cur, base)
-    val to = joined.map(_._1).sum.toDouble
-    val tb = joined.map(_._2).sum.toDouble
-    require(to > 0 && tb > 0,
-      s"empty snapshot histogram for PSI (current=$to, baseline=$tb rows)")
-    var stat = 0.0; var k = 0; var excluded = 0L
-    joined.foreach { case (o, b) =>
-      if (o > 0 && b > 0) {
-        val pc = o / to; val pb = b / tb
-        stat += (pc - pb) * math.log(pc / pb); k += 1
-      } else excluded += 1
-    }
-    Psi(stat, k, excluded)
-  }
+                  base: Seq[(Option[String], Long)]): Psi =
+    psiOf(histCounts(cur, base), "PSI histogram")
 
   /** JSD from per-value histograms — same math as [[jsd]]. */
   def jsdFromHist(cur: Seq[(Option[String], Long)],
-                  base: Seq[(Option[String], Long)]): Jsd = {
-    val joined = histCounts(cur, base)
-    val to = joined.map(_._1).sum.toDouble
-    val tb = joined.map(_._2).sum.toDouble
-    require(to > 0 && tb > 0,
-      s"empty snapshot histogram for JSD (current=$to, baseline=$tb rows)")
-    var stat = 0.0
-    joined.foreach { case (o, b) =>
-      val pc = o / to; val pb = b / tb
-      val m = (pc + pb) / 2.0
-      if (o > 0) stat += 0.5 * pc * math.log(pc / m)
-      if (b > 0) stat += 0.5 * pb * math.log(pb / m)
-    }
-    Jsd(stat, joined.length)
-  }
+                  base: Seq[(Option[String], Long)]): Jsd =
+    jsdOf(histCounts(cur, base), "JSD histogram")
 }

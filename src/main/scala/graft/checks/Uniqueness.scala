@@ -39,15 +39,29 @@ object Uniqueness {
   def duplicateKeys(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
     val keyCols = keys.map(col)
     val h1 = xxhash64(keyCols: _*)
-    val compact = df.select(h1.as("__h1"),
-      (spark_partition_id() % salts).as("__salt"))
-    val dupHashes = compact
-      .groupBy(col("__salt"), col("__h1"))
-      .agg(count(lit(1)).as("__partial"))
-      .groupBy(col("__h1"))
-      .agg(sum(col("__partial")).as("__occ"))
-      .where(col("__occ") > 1)
-      .select("__h1")
+    // Candidate-hash phase. salts <= 1 selects the DIRECT single-shuffle
+    // count: for a pure count, map-side partial aggregation already
+    // collapses a hot key inside each task before the shuffle, so the
+    // extra (salt, h1) pre-aggregation round costs a second ~N-row shuffle
+    // and a second N-entry hash build on a near-unique key space while
+    // protecting against a skew that counting never exhibits (and xxhash64
+    // distributes reducer load uniformly regardless of key skew). The
+    // salted two-phase stays for aggregations whose per-key PAYLOADS
+    // (exemplars, collect_list) cannot partial-combine.
+    val dupHashes =
+      if (salts <= 1)
+        df.select(h1.as("__h1"))
+          .groupBy(col("__h1")).agg(count(lit(1)).as("__occ"))
+          .where(col("__occ") > 1)
+          .select("__h1")
+      else
+        df.select(h1.as("__h1"), (spark_partition_id() % salts).as("__salt"))
+          .groupBy(col("__salt"), col("__h1"))
+          .agg(count(lit(1)).as("__partial"))
+          .groupBy(col("__h1"))
+          .agg(sum(col("__partial")).as("__occ"))
+          .where(col("__occ") > 1)
+          .select("__h1")
     df.join(broadcast(dupHashes), h1 === col("__h1"), "inner")
       .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("occurrences"))

@@ -93,14 +93,23 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
   /** Audit a pre-partitioned input's stored part ids against the derived
     * expression on a row sample; throws on the first mismatch. One cheap
     * job — call it once per new snapshot layout, not per run.
+    *
+    * Null and out-of-range ids are flagged EXPLICITLY: `stored =!= derived`
+    * alone evaluates to null for a null stored id (never true), yet such
+    * rows match no part/batch slice downstream and would silently never be
+    * validated. [[Checkpoint.runResumable]]'s row-count conservation audit
+    * is the run-time backstop for the same failure.
     */
   def checkPartColumn(df: DataFrame, sampleFraction: Double = 0.001): Unit =
     cfg.partColumn.foreach { c =>
+      val stored = col(c).cast("int")
       val bad = df.sample(sampleFraction)
-        .where(col(c).cast("int") =!= partExpr)
+        .where(stored.isNull || stored < 0 || stored >= cfg.numParts ||
+          stored =!= partExpr)
         .limit(1).count()
       require(bad == 0L,
-        s"partColumn '$c' disagrees with pmod(xxhash64(${cfg.partitionKey}), ${cfg.numParts})")
+        s"partColumn '$c' disagrees with pmod(xxhash64(${cfg.partitionKey}), ${cfg.numParts}) " +
+          "(null, out-of-range, or mismatched part ids found)")
     }
 
   private def rowRef(df: DataFrame): Column =
@@ -156,12 +165,24 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
       .as[Verdict]
   }
 
-  /** Violation rows for all row rules in ONE scan. */
-  def rowViolations(spark: SparkSession, df: DataFrame): Dataset[Violation] = {
+  /** Violation rows for all row rules in ONE scan.
+    *
+    * `observeWith`: an optional (Observation, metric exprs) pair attached
+    * BELOW the fails-anything prefilter — the metrics (row count, null
+    * counts…) then aggregate over every input row DURING the scan, at the
+    * cost of a CollectMetrics node in the plan and zero extra passes. Used
+    * by [[runConcurrent]] for its row-count conservation audit.
+    */
+  def rowViolations(spark: SparkSession, df: DataFrame,
+                    observeWith: Option[(org.apache.spark.sql.Observation, Seq[Column])] = None
+                   ): Dataset[Violation] = {
     import spark.implicits._
     val compiled = RuleCompiler.compile(suite.rowRules)
     if (compiled.isEmpty) return spark.emptyDataset[Violation]
-    val pdf = partitioned(df)
+    val pdf = observeWith match {
+      case Some((obs, exprs)) => partitioned(df).observe(obs, exprs.head, exprs.tail: _*)
+      case None => partitioned(df)
+    }
     val anyFail = !compiled.map(_.pred).reduce(_ && _)
     val failed = array(compiled.map(c =>
       when(!c.pred, struct(lit(c.rule.name).as("rule"), c.detail.as("detail")))): _*)
@@ -263,11 +284,20 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
           try Some((Drift.valueHistograms(df, cols, cfg.driftHistMaxRows),
             Drift.valueHistograms(b, cols, cfg.driftHistMaxRows)))
           catch { case _: Drift.HistogramTooLarge => None }
+        // The two-pass categorical fallbacks are themselves bounded: a
+        // column whose NDV exceeds the driver cap (so categoryCounts throws
+        // TooManyCategories) routes to the EXACT distributed chi2/psi/jsd
+        // faces — the same statistics aggregated in Spark with no driver
+        // collect of category rows, so a high-NDV column costs one more tiny
+        // job, never the driver and never precision.
         val verdicts = driftRules.map {
           case ChiSquareDrift(name, c, maxStat) =>
             val r = fused match {
               case Some((curH, baseH)) => Drift.chiSquareFromHist(curH(c), baseH(c))
-              case None => Drift.chiSquare(df, b, c)
+              case None =>
+                try Drift.chiSquare(df, b, c, cfg.driftHistMaxRows)
+                catch { case _: Drift.TooManyCategories =>
+                  Drift.chiSquareExact(df, b, c) }
             }
             driftVerdict(name, r.dof.toLong + 1, r.statistic <= maxStat)
           case KsDrift(name, c, bins, maxStat) =>
@@ -279,13 +309,19 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
           case PsiDrift(name, c, maxStat) =>
             val r = fused match {
               case Some((curH, baseH)) => Drift.psiFromHist(curH(c), baseH(c))
-              case None => Drift.psi(df, b, c)
+              case None =>
+                try Drift.psi(df, b, c, cfg.driftHistMaxRows)
+                catch { case _: Drift.TooManyCategories =>
+                  Drift.psiExact(df, b, c) }
             }
             driftVerdict(name, r.categories.toLong, r.statistic <= maxStat)
           case JsdDrift(name, c, maxStat) =>
             val r = fused match {
               case Some((curH, baseH)) => Drift.jsdFromHist(curH(c), baseH(c))
-              case None => Drift.jsd(df, b, c)
+              case None =>
+                try Drift.jsd(df, b, c, cfg.driftHistMaxRows)
+                catch { case _: Drift.TooManyCategories =>
+                  Drift.jsdExact(df, b, c) }
             }
             driftVerdict(name, r.categories.toLong, r.statistic <= maxStat)
           case WassersteinDrift(name, c, bins, maxStat) =>
@@ -351,7 +387,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     // from it + a key-pruned totals scan — predicates run once per row, ever.
     val rviol = rowViolations(spark, df).toDF().persist()
     val rv = verdictGrid(spark, rviol, partTotals(df))
-    val stats = StatsCollector.collect(partitioned(df), statsCols, PartCol)
+    val stats = StatsCollector.collectSplit(partitioned(df), statsCols, PartCol)
     val (tv, tviol, tablePersisted) = tableChecks(spark, df, dims, baseline)
     import spark.implicits._
     RunResult(rv.unionByName(tv), rviol.as[Violation].unionByName(tviol), stats,
@@ -384,8 +420,16 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     val pool = Executors.newFixedThreadPool(math.max(4, suite.tableRules.size + 3))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
-      val rviol = rowViolations(spark, df).toDF().persist()
-      val statsDf = StatsCollector.collect(partitioned(df), statsCols, PartCol).persist()
+      // Conservation metrics RIDE the violations scan (observe/CollectMetrics
+      // — SURVEY §4.3's zero-extra-pass collection mechanism): the total row
+      // count the heavy scan saw, compared below against the stats plane's
+      // total. The two heavy passes proving they read the same row universe
+      // is the cross-plane integrity check a silently mis-partitioned input
+      // (ADVICE r4 #1) would otherwise slip past.
+      val obs = new org.apache.spark.sql.Observation(s"graft_conservation_${System.nanoTime()}")
+      val rviol = rowViolations(spark, df,
+        observeWith = Some((obs, Seq(count(lit(1)).as("rows"))))).toDF().persist()
+      val statsDf = StatsCollector.collectSplit(partitioned(df), statsCols, PartCol).persist()
       // Part totals come FREE from the stats pass: count(col)+nulls(col) of
       // any one stats column is the row count per partition — no extra scan.
       val totals =
@@ -405,6 +449,19 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
       }
       val built = Await.result(Future.sequence(fTable), Duration.Inf)
       Await.result(fHeavy, Duration.Inf); Await.result(fStats, Duration.Inf)
+      // conservation: rows observed by the violations scan == rows counted
+      // by the stats plane (both all-input aggregations; a disagreement
+      // means one plane validated a different row universe than the other).
+      // Skipped when there are no row rules: the empty violations plane
+      // carries no scan for the observation to ride.
+      if (suite.rowRules.nonEmpty) {
+        val observedRows = obs.get("rows").asInstanceOf[Long]
+        val statsRows = totals.agg(coalesce(sum("evaluated"), lit(0L)))
+          .collect()(0).getLong(0)
+        require(observedRows == statsRows,
+          s"row-count conservation violated: violations scan saw $observedRows rows, " +
+            s"stats plane counted $statsRows")
+      }
       import spark.implicits._
       val result = timed("assemble") {
         val rv = verdictGrid(spark, rviol, totals)

@@ -24,26 +24,46 @@ import org.apache.spark.sql.types._
   */
 object StatsCollector {
 
-  def aggExprs(schema: StructType, columns: Seq[String],
-               rsd: Double = 0.05, quantAccuracy: Int = 2500): Seq[Column] = {
-    def isNumeric(c: String) = schema(c).dataType match {
-      case _: NumericType => true
-      case _ => false
-    }
+  private def isNumeric(schema: StructType, c: String) = schema(c).dataType match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** The codegen-able half of the stats: count / null-count / min / max.
+    * These are DeclarativeAggregates — an aggregation carrying ONLY these
+    * stays inside whole-stage codegen (HashAggregateExec).
+    */
+  def basicAggExprs(columns: Seq[String]): Seq[Column] =
     columns.flatMap { c =>
       Seq(
         count(col(c)).as(s"${c}__count"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
         min(col(c)).cast(StringType).as(s"${c}__min"),
-        max(col(c)).cast(StringType).as(s"${c}__max"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__adist")) :+
-      (if (isNumeric(c))
+        max(col(c)).cast(StringType).as(s"${c}__max"))
+    }
+
+  /** The sketch half: HLL++ NDV + GK quantiles. TypedImperativeAggregates —
+    * ANY aggregation containing one runs as ObjectHashAggregateExec, outside
+    * codegen, so these are kept in their own pass with nothing else riding
+    * along (the measured cost of fusing codegen-able work into this pass is
+    * the engine's documented 15× anti-fusion result).
+    */
+  def sketchAggExprs(schema: StructType, columns: Seq[String],
+                     rsd: Double = 0.05, quantAccuracy: Int = 2500): Seq[Column] =
+    columns.flatMap { c =>
+      Seq(approx_count_distinct(col(c), rsd).as(s"${c}__adist")) :+
+      (if (isNumeric(schema, c))
         percentile_approx(col(c).cast(DoubleType),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(quantAccuracy)).as(s"${c}__q")
       else
         array(lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)).as(s"${c}__q"))
     }
-  }
+
+  def aggExprs(schema: StructType, columns: Seq[String],
+               rsd: Double = 0.05, quantAccuracy: Int = 2500): Seq[Column] =
+    columns.flatMap { c =>
+      basicAggExprs(Seq(c)) ++ sketchAggExprs(schema, Seq(c), rsd, quantAccuracy)
+    }
 
   /** Long-format reshape of a wide (per-part) stats frame. The wide frame is
     * tiny (P rows), so this is free.
@@ -65,11 +85,33 @@ object StatsCollector {
       .select(col("part"), col("s.*"))
   }
 
-  /** Standalone collection (engine path fuses instead — see aggExprs). */
+  /** One-pass collection: a single ObjectHashAggregate carrying both the
+    * codegen-able and the sketch aggregates. Prefer [[collectSplit]] — one
+    * TypedImperativeAggregate forces the WHOLE aggregation out of codegen,
+    * so the basic stats here evaluate interpreted.
+    */
   def collect(df: DataFrame, columns: Seq[String], partCol: String = "__part",
               rsd: Double = 0.05, quantAccuracy: Int = 2500): DataFrame = {
     val aggs = aggExprs(df.schema, columns, rsd, quantAccuracy)
     val wide = df.groupBy(col(partCol).as("part")).agg(aggs.head, aggs.tail: _*)
     reshape(wide, columns)
+  }
+
+  /** Split collection: the same stats as [[collect]] from TWO specialized
+    * aggregations over the same thin projection — pass A (count/nulls/min/
+    * max) stays in whole-stage codegen (HashAggregateExec), pass B carries
+    * ONLY the sketch buffers (ObjectHashAggregateExec with half the
+    * aggregate list and none of the interpreted basic-stat evaluation).
+    * The two tiny wide frames (P rows each) join on part before reshape.
+    * Results are identical to [[collect]] — the pass structure, not the
+    * arithmetic, is what changes.
+    */
+  def collectSplit(df: DataFrame, columns: Seq[String], partCol: String = "__part",
+                   rsd: Double = 0.05, quantAccuracy: Int = 2500): DataFrame = {
+    val basic = basicAggExprs(columns)
+    val sketch = sketchAggExprs(df.schema, columns, rsd, quantAccuracy)
+    val wideA = df.groupBy(col(partCol).as("part")).agg(basic.head, basic.tail: _*)
+    val wideB = df.groupBy(col(partCol).as("part")).agg(sketch.head, sketch.tail: _*)
+    reshape(wideA.join(wideB, Seq("part")), columns, "part")
   }
 }

@@ -1,0 +1,65 @@
+package graft.tools
+
+import graft.checks.Uniqueness
+import graft.run.{EngineConfig, ValidationEngine}
+import graft.stats.StatsCollector
+import graft.suite.SuiteLoader
+import org.apache.spark.sql.{Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe for the round-5 engine levers, interleaved at 8 and 32 cores:
+  *   stats one-pass ObjectHash vs split (codegen basics + sketch-only),
+  *   uniqueness salted two-phase vs direct single-shuffle count,
+  *   violations scan with vs without the conservation observe().
+  * Usage: SplitProbe <dataDir> [reps]
+  */
+object SplitProbe {
+  def main(args: Array[String]): Unit = {
+    val dataDir = args(0)
+    val reps = args.lift(1).map(_.toInt).getOrElse(2)
+    val statsCols = Seq("repo", "path", "commit", "lang", "content_len")
+    val keys = Seq("repo", "path", "commit")
+
+    def session(cores: Int): SparkSession = {
+      val s = SparkSession.builder().master(s"local[$cores]")
+        .appName(s"splitprobe-$cores")
+        .config("spark.sql.shuffle.partitions", cores)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "32m")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+
+    def runLevel(cores: Int, rep: Int): Unit = {
+      val spark = session(cores)
+      val df = spark.read.parquet(s"$dataDir/code_files")
+      val pdfAll = df.withColumn("__part", pmod(xxhash64(col("repo")), lit(64)).cast("int"))
+      val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
+      val engine = new ValidationEngine(suite, EngineConfig(numParts = 64,
+        statsColumns = statsCols))
+      def t(name: String)(f: => Any): Unit = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"[split $cores rep$rep] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
+      }
+      t("stats_onepass") { StatsCollector.collect(pdfAll, statsCols).count() }
+      t("stats_split") { StatsCollector.collectSplit(pdfAll, statsCols).count() }
+      t("uniq_salted16") { Uniqueness.duplicateRows(
+        pdfAll.select(("__part" +: keys).map(col): _*), keys, 16).count() }
+      t("uniq_direct") { Uniqueness.duplicateRows(
+        pdfAll.select(("__part" +: keys).map(col): _*), keys, 1).count() }
+      t("viol_plain") { engine.rowViolations(spark, df).count() }
+      t("viol_observed") {
+        val obs = new Observation(s"probe_${cores}_${rep}_${System.nanoTime()}")
+        val n = engine.rowViolations(spark, df,
+          Some((obs, Seq(count(lit(1)).as("rows"))))).count()
+        (n, obs.get("rows"))
+      }
+      spark.stop()
+    }
+
+    runLevel(8, 0); runLevel(32, 0) // warm-up both levels
+    for (rep <- 1 to reps; cores <- Seq(8, 32)) runLevel(cores, rep)
+  }
+}

@@ -205,6 +205,33 @@ class EngineSpec extends SparkSpec {
     assert(math.abs(Drift.jsd(base, cur, "v").statistic - j.statistic) < 1e-12)
   }
 
+  test("exact distributed chi2/psi/jsd reproduce the collected faces") {
+    val base = Synth.baseline(spark, 2000, 100)
+    val drifted = Synth.drifted(spark, 2000, 100)
+    val chi = Drift.chiSquare(drifted, base, "lang")
+    val chiX = Drift.chiSquareExact(drifted, base, "lang")
+    assert(math.abs(chiX.statistic - chi.statistic) < 1e-9)
+    assert(chiX.dof === chi.dof && chiX.newCategories === chi.newCategories)
+    val p = Drift.psi(drifted, base, "lang")
+    val pX = Drift.psiExact(drifted, base, "lang")
+    assert(math.abs(pX.statistic - p.statistic) < 1e-12)
+    assert(pX.categories === p.categories && pX.excluded === p.excluded)
+    val j = Drift.jsd(drifted, base, "lang")
+    val jX = Drift.jsdExact(drifted, base, "lang")
+    assert(math.abs(jX.statistic - j.statistic) < 1e-12)
+    assert(jX.categories === j.categories)
+    // one-sided categories and null categories survive the distributed face
+    import spark.implicits._
+    val cur2 = Seq(Some("a"), Some("a"), Some("b"), None).toDF("v")
+    val base2 = Seq(Some("a"), Some("b"), Some("d"), None).toDF("v")
+    val p2 = Drift.psi(cur2, base2, "v"); val p2X = Drift.psiExact(cur2, base2, "v")
+    assert(math.abs(p2X.statistic - p2.statistic) < 1e-12 &&
+      p2X.categories === p2.categories && p2X.excluded === p2.excluded)
+    val c2 = Drift.chiSquare(cur2, base2, "v"); val c2X = Drift.chiSquareExact(cur2, base2, "v")
+    assert(math.abs(c2X.statistic - c2.statistic) < 1e-12 &&
+      c2X.dof === c2.dof && c2X.newCategories === c2.newCategories)
+  }
+
   test("runConcurrent produces identical verdicts/violations/stats to run") {
     val dims = Map("dim_repos" -> Synth.dimRepos(spark, 100))
     val base = Synth.baseline(spark, 2000, 100).withColumn("len", length(col("content")))
