@@ -583,11 +583,46 @@ object Queries {
       plan.map(u => (u.template, u.kind, u.target, u.tag.orNull, u.nEndpoints.toLong))
         .toDF("template", "kind", "target", "tag", "n_endpoints")
         .orderBy("template", "tag")
+    }),
+
+    // §2.9 DISTRIBUTED multi-document extraction: the same per-pk
+    // construction rules as q_endpoints_by_tag, split across MultiDocCount
+    // documents (doc_id = pk % MultiDocCount). Each document's JSON text is
+    // synthesized in the EXECUTORS (groupByKey → mapGroups, one jackson
+    // build per doc) and the extraction walk also runs in the executors
+    // (OpenapiExtract.extractEndpointRows) — no driver collect of row data
+    // anywhere, so a corpus of N OpenAPI specs scales like any table. The
+    // oracle replays the construction arithmetic per (doc, tag).
+    "q_endpoints_multi" -> ((s, dir) => {
+      import graft.suite.OpenapiExtract
+      import s.implicits._
+      val rows = t(s, dir, "part").where(col("p_partkey") < EndpointsPkCap)
+        .select(col("p_partkey"), col("p_brand")).as[(Long, String)]
+      val docs = rows.groupByKey(_._1 % MultiDocCount).mapGroups { (docId, it) =>
+        (docId, endpointsDoc(it.toSeq.sortBy(_._1)).toString)
+      }
+      val inv = OpenapiExtract.extractEndpointRows(docs).toDF()
+      val pk = regexp_extract(col("path"), "^/items/r(\\d+)$", 1).cast("long")
+      inv.select(col("doc_id"), col("tag"),
+          when(col("operation") =!= concat(lit("op"), pk), 1L).otherwise(0L).as("fallback"),
+          when(col("has_body"), 1L).otherwise(0L).as("with_body"),
+          when(col("success_status") === 204, 1L).otherwise(0L).as("s204"),
+          when(col("vnd"), 1L).otherwise(0L).as("vnd"))
+        .groupBy("doc_id", "tag").agg(
+          count(lit(1)).as("n_endpoints"),
+          sum("fallback").as("n_fallback"),
+          sum("with_body").as("n_with_body"),
+          sum("s204").as("n_success_204"),
+          sum("vnd").as("n_vnd"))
+        .orderBy("doc_id", "tag")
     })
   )
 
   /** q_endpoints_by_tag construction constants (shared with the oracle). */
   val EndpointsPkCap = 1200L
+
+  /** q_endpoints_multi: documents in the synthesized corpus. */
+  val MultiDocCount = 128L
 
   /** One OpenAPI document from (p_partkey, p_brand) rows: method = pk%5 of
     * [get,put,post,delete,patch]; path /items/r<pk>; explicit operationId
@@ -951,6 +986,20 @@ object Queries {
          | CAST(sum(s204) AS BIGINT) AS n_success_204,
          | CAST(sum(vnd) AS BIGINT) AS n_vnd
          |FROM e GROUP BY tag ORDER BY tag""".stripMargin,
+    "q_endpoints_multi" ->
+      s"""WITH e AS (SELECT p_partkey % $MultiDocCount AS doc_id,
+         |  CASE WHEN p_partkey % 4 <> 0 THEN p_brand ELSE 'default' END AS tag,
+         |  CASE WHEN p_partkey % 3 <> 0 THEN 1 ELSE 0 END AS fallback,
+         |  CASE WHEN p_partkey % 5 IN (1, 2) THEN 1 ELSE 0 END AS with_body,
+         |  CASE WHEN p_partkey % 2 = 0 THEN 1 ELSE 0 END AS s204,
+         |  CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 0 END AS vnd
+         | FROM part WHERE p_partkey < $EndpointsPkCap)
+         |SELECT doc_id, tag, count(*) AS n_endpoints,
+         | CAST(sum(fallback) AS BIGINT) AS n_fallback,
+         | CAST(sum(with_body) AS BIGINT) AS n_with_body,
+         | CAST(sum(s204) AS BIGINT) AS n_success_204,
+         | CAST(sum(vnd) AS BIGINT) AS n_vnd
+         |FROM e GROUP BY doc_id, tag ORDER BY doc_id, tag""".stripMargin,
     "q_render_units" ->
       s"""WITH e AS (SELECT
          |  CASE WHEN p_partkey % 4 <> 0 THEN p_brand ELSE 'default' END AS tag

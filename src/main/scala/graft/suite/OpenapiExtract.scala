@@ -444,4 +444,45 @@ object OpenapiExtract {
     Endpoint(path, method, operation, originalOperation, descOpt(data), tags,
       params, requestBody, responses, security, x)
   }
+
+  /** One inventory row per extracted endpoint — the output schema of the
+    * distributed face ([[extractEndpointRows]]).
+    */
+  final case class EndpointRow(doc_id: Long, path: String, method: String,
+      operation: String, tag: String, has_body: Boolean,
+      success_status: Int, vnd: Boolean)
+
+  /** Distributed multi-document extraction: a CORPUS of OpenAPI documents
+    * (one per row: id, JSON text) walked into endpoint inventory rows
+    * INSIDE the executors — no driver collect of row data, so N documents
+    * scale across the cluster like any other table. The walk itself is the
+    * same pure JsonNode => Openapi function [[extract]] runs driver-side
+    * for the single-document chain; it rides ONE documented mapPartitions
+    * codec seam (like Multimodal's): parsing arbitrary JSON documents is
+    * inherently row-imperative, while everything downstream of the emitted
+    * inventory stays Column algebra (the caller aggregates the returned
+    * Dataset declaratively).
+    *
+    * Documents that fail to parse or extract are surfaced, not dropped:
+    * the walk throws, failing the task — at 100 TB a quarantine variant
+    * would wrap this with try/Either rows, which composes on top.
+    */
+  def extractEndpointRows(docs: org.apache.spark.sql.Dataset[(Long, String)],
+                          opts: Options = Options()
+                         ): org.apache.spark.sql.Dataset[EndpointRow] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      // one mapper per partition: jackson parse state never crosses rows
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.flatMap { case (docId, text) =>
+        extract(mapper.readTree(text), opts).endpoints.map { e =>
+          EndpointRow(docId, e.path, e.method, e.operation,
+            e.tags.headOption.getOrElse("default"),
+            e.requestBody.isDefined,
+            e.responses.success.map(_.statusCode).getOrElse(-1),
+            e.responses.success.exists(_.models.exists(_.list.exists(_.vnd.isDefined))))
+        }
+      }
+    }
+  }
 }
