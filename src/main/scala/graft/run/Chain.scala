@@ -234,10 +234,11 @@ object Chain {
         body
       // `codegen openapi` — the reference's codegen command
       // (cli codegen.rs:91-140): dereference → extraction walk → discovered
-      // templates → render plan. Each rendered unit writes ONE REPORT FILE
-      // into --target-dir at its resolved filename (the Tera text back-end
-      // is out of the engine's scope — SURVEY §2.10 — so the file carries
-      // the unit's report row instead of rendered template text).
+      // templates → render → one file per unit. Rendering goes through the
+      // TeraLite text back-end (renderer.rs:36-110 semantics; empty trimmed
+      // output writes no file); `--plan-only` falls back to writing each
+      // unit's REPORT ROW instead of rendered text (the pre-round-5 mode,
+      // useful when templates use Tera features outside the subset).
       case Seq("codegen", "openapi", _, flags @ _*) =>
         val templateSpecs = flags.sliding(2).collect {
           case Seq("--template", t) => t }.toSeq
@@ -268,22 +269,35 @@ object Chain {
         val discovered = new Discovery().resolve(templateSpecs)
         val templates = Templates.fromDiscovered(discovered.templates)
         require(templates.nonEmpty, "no templates discovered") // CodegenTemplatesDirectoryError
-        val plan = Templates.renderPlan(templates, openapi, container)
-        plan.foreach { u =>
-          val target = Paths.get(targetDir, u.target)
-          Option(target.getParent).foreach(Files.createDirectories(_))
-          val row = SchemaDocs.json.createObjectNode()
-          row.put("template", u.template); row.put("kind", u.kind)
-          u.tag.foreach(t => row.put("tag", t))
-          row.put("nEndpoints", u.nEndpoints); row.put("nModels", u.nModels)
-          Files.write(target, (row.toString + "\n").getBytes("UTF-8")); ()
-        }
+        val written: Seq[Templates.RenderUnit] =
+          if (flags.contains("--plan-only")) {
+            val plan = Templates.renderPlan(templates, openapi, container)
+            plan.foreach { u =>
+              val target = Paths.get(targetDir, u.target)
+              Option(target.getParent).foreach(Files.createDirectories(_))
+              val row = SchemaDocs.json.createObjectNode()
+              row.put("template", u.template); row.put("kind", u.kind)
+              u.tag.foreach(t => row.put("tag", t))
+              row.put("nEndpoints", u.nEndpoints); row.put("nModels", u.nModels)
+              Files.write(target, (row.toString + "\n").getBytes("UTF-8")); ()
+            }
+            plan
+          } else {
+            Templates.renderAll(templates, openapi, container).flatMap {
+              case Templates.Rendered(u, Some(text)) =>
+                val target = Paths.get(targetDir, u.target)
+                Option(target.getParent).foreach(Files.createDirectories(_))
+                Files.write(target, text.getBytes("UTF-8"))
+                Some(u)
+              case Templates.Rendered(_, None) => None // empty render → no file
+            }
+          }
         // --format runs an external formatter once per written file, the
         // file path appended to the command's arguments; a non-zero exit
         // fails the chain (templates.rs:271-293 Template::format)
         flags.sliding(2).collectFirst { case Seq("--format", cmd) => cmd }.foreach { cmd =>
           val cmdParts = splitArgs(cmd)
-          plan.foreach { u =>
+          written.foreach { u =>
             val proc = new ProcessBuilder((cmdParts :+
               Paths.get(targetDir, u.target).toString): _*).redirectErrorStream(true).start()
             val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
@@ -291,7 +305,7 @@ object Chain {
               s"codegen formatting command failed on ${u.target}: $out")
           }
         }
-        println(s"[graft-chain]   codegen openapi: ${plan.size} unit(s), " +
+        println(s"[graft-chain]   codegen openapi: ${written.size} unit(s), " +
           s"${openapi.endpoints.size} endpoint(s), ${openapi.models.models.size} model(s)")
         body
       case Seq("output", outFile, _*) =>

@@ -95,7 +95,8 @@ object Templates {
       filename: Filename,
       contentType: String,
       condition: Option[Condition],
-      groupBy: Option[String])
+      groupBy: Option[String],
+      body: String = "")
 
   /** templates.rs:216-269 `Template::from_content`: first line, leading
     * '#'s stripped, must open with `{# `; params parsed; `min_version`
@@ -133,7 +134,8 @@ object Templates {
     } else None
     Template(relative, kind, filename,
       str("content_type").getOrElse("application/json"),
-      str("if").map(Condition), groupBy)
+      str("if").map(Condition), groupBy,
+      body = content) // full text: the header line is a Tera comment, dropped by the renderer
   }
 
   /** Load every discovered `.j2` template, silently skipping non-template
@@ -207,6 +209,270 @@ object Templates {
             if (passes(c))
               Seq(RenderUnit(t.relative, t.kind, t.filename.resolve(c), g,
                 kept.size, 0))
+            else Nil
+          }
+      }
+    }
+
+  // --------------------------------------------------------- text rendering
+
+  private val JF = com.fasterxml.jackson.databind.node.JsonNodeFactory.instance
+  private type ObjNode = com.fasterxml.jackson.databind.node.ObjectNode
+
+  /** Serde-shaped JSON faces of the extraction model — the field names the
+    * reference's Tera templates see (`serde_json::to_value(openapi)` in
+    * process_render, templates.rs:624-640), so templates written against
+    * the reference render unchanged: Endpoint fields snake-verbatim
+    * (endpoint.rs:18-31), Responses/MediaModel camelCase
+    * (responses.rs:18-34, openapi/mod.rs:48-68), Parameters' five buckets
+    * (parameters.rs:16-31), SecurityScheme's renames (security.rs:28-44),
+    * MediaModelsContainer's count-dependent {default, all,
+    * multipleContentTypes} shape (openapi/mod.rs:88-120). The `model` field
+    * carries the lean inventory {name, key} — the typed FlatModel plane is
+    * documented out of scope (SURVEY §2.10).
+    */
+  object Context {
+    import OpenapiExtract._
+
+    private def opt(s: Option[String]): JsonNode =
+      s.map(TextNodeOf).getOrElse(JF.nullNode())
+    private def TextNodeOf(s: String): JsonNode = JF.textNode(s)
+
+    private def securityScheme(s: SecurityScheme): ObjNode = {
+      val o = JF.objectNode()
+      o.put("scheme_name", s.schemeName)
+      o.put("type", s.tpe)
+      o.set[JsonNode]("scheme", opt(s.scheme))
+      o.set[JsonNode]("in", opt(s.in))
+      o.set[JsonNode]("name", opt(s.name))
+      o
+    }
+
+    private def parameter(p: Parameter): ObjNode = {
+      val o = JF.objectNode()
+      p.modelName match {
+        case Some(n) =>
+          val m = o.putObject("model"); m.put("name", n); ()
+        case None => o.set[JsonNode]("model", JF.nullNode()); ()
+      }
+      o.put("required", p.required)
+      o.put("name", p.name)
+      o.set[JsonNode]("description", opt(p.description))
+      o.set[JsonNode]("style", opt(p.style))
+      p.explode match {
+        case Some(b) => o.put("explode", b); ()
+        case None => o.set[JsonNode]("explode", JF.nullNode()); ()
+      }
+      o.put("kind", p.kind)
+      o
+    }
+
+    private def parameters(ps: Parameters): ObjNode = {
+      val o = JF.objectNode()
+      for ((k, seq) <- Seq("path" -> ps.path, "header" -> ps.header,
+          "cookie" -> ps.cookie, "query" -> ps.query, "all" -> ps.all)) {
+        val a = o.putArray(k); seq.foreach(p => a.add(parameter(p)))
+      }
+      o
+    }
+
+    private def mediaModel(m: MediaModel): ObjNode = {
+      val o = JF.objectNode()
+      val lean = o.putObject("model")
+      lean.put("name", m.modelName); lean.put("key", m.modelKey)
+      o.put("contentType", m.contentType)
+      o.put("isUnique", m.isUnique)
+      o.put("alternativeContentType", m.alternativeContentType)
+      m.vnd match {
+        case Some(v) =>
+          val vn = o.putObject("vnd"); vn.put("base", v.base); vn.put("vnd", v.vnd); ()
+        case None => o.set[JsonNode]("vnd", JF.nullNode()); ()
+      }
+      o
+    }
+
+    /** openapi/mod.rs:88-120 MediaModelsContainer::serialize: model-deduped
+      * list; none → null, one → itself as default, many → the entry whose
+      * contentType equals the preferred default (or null).
+      */
+    private def mediaModels(mm: MediaModels, contentType: String): JsonNode = {
+      val deduped = mm.list.foldLeft(Vector.empty[MediaModel]) { (acc, m) =>
+        if (acc.lastOption.exists(_.modelKey == m.modelKey)) acc else acc :+ m
+      }
+      if (deduped.isEmpty) JF.nullNode()
+      else {
+        val o = JF.objectNode()
+        val default =
+          if (deduped.size == 1) Some(deduped.head)
+          else deduped.find(_.contentType == contentType)
+        default match {
+          case Some(d) => o.set[JsonNode]("default", mediaModel(d)); ()
+          case None => o.set[JsonNode]("default", JF.nullNode()); ()
+        }
+        val a = o.putArray("all"); deduped.foreach(m => a.add(mediaModel(m)))
+        o.put("multipleContentTypes", mm.multipleContentTypes)
+        o
+      }
+    }
+
+    private def response(r: Response, contentType: String): ObjNode = {
+      val o = JF.objectNode()
+      o.put("statusCode", r.statusCode)
+      o.set[JsonNode]("models", r.models.map(mediaModels(_, contentType))
+        .getOrElse(JF.nullNode()))
+      o.set[JsonNode]("description", opt(r.description))
+      if (r.headers.nonEmpty) {
+        val a = o.putArray("headers"); r.headers.foreach(h => a.add(parameter(h)))
+      } else o.set[JsonNode]("headers", JF.nullNode())
+      o
+    }
+
+    def endpoint(e: Endpoint, contentType: String): ObjNode = {
+      val o = JF.objectNode()
+      val sec = o.putArray("security"); e.security.foreach(s => sec.add(securityScheme(s)))
+      o.put("path", e.path)
+      o.put("method", e.method)
+      o.put("operation", e.operation)
+      e.originalOperation.foreach(oo => o.put("original_operation", oo))
+      o.set[JsonNode]("description", opt(e.description))
+      val tags = o.putArray("tags"); e.tags.foreach(tags.add)
+      o.set[JsonNode]("parameters", parameters(e.parameters))
+      o.set[JsonNode]("requestbody", e.requestBody.map { rb =>
+        val b = JF.objectNode()
+        b.set[JsonNode]("models", rb.models.map(mediaModels(_, contentType))
+          .getOrElse(JF.nullNode()))
+        b.put("required", rb.required)
+        b.set[JsonNode]("description", opt(rb.description))
+        b: JsonNode
+      }.getOrElse(JF.nullNode()))
+      val resp = JF.objectNode()
+      resp.set[JsonNode]("success", e.responses.success.map(response(_, contentType))
+        .getOrElse(JF.nullNode()))
+      val allR = resp.putArray("all")
+      e.responses.all.foreach(r => allR.add(response(r, contentType)))
+      o.set[JsonNode]("responses", resp)
+      val x = o.putObject("x")
+      e.x.foreach { case (k, v) => x.set[JsonNode](k, v); () }
+      o
+    }
+
+    /** The lean models plane: {regexps, formats, models} with each model as
+      * the inventory row (name, kind, properties) — jsonschema/mod.rs:38-48
+      * field names, lean payload.
+      */
+    def models(mc: Models.ModelContainer): ObjNode = {
+      val o = JF.objectNode()
+      o.putArray("regexps")
+      o.putArray("formats")
+      val arr = o.putArray("models")
+      mc.models.foreach { m =>
+        val mo = JF.objectNode()
+        mo.put("name", m.name)
+        mo.put("kind", m.kind)
+        val props = mo.putArray("properties")
+        m.properties.foreach { p =>
+          val po = JF.objectNode()
+          po.put("name", p.name)
+          po.put("nullable", p.nullable)
+          po.set[JsonNode]("model", opt(p.modelName))
+          props.add(po)
+        }
+        arr.add(mo)
+      }
+      o
+    }
+
+    /** openapi/mod.rs:123-129 field order: models, endpoints, security, tags. */
+    def openapi(o: Openapi, contentType: String,
+                endpoints: Seq[Endpoint]): ObjNode = {
+      val node = JF.objectNode()
+      node.set[JsonNode]("models", models(o.models))
+      val eps = node.putArray("endpoints")
+      endpoints.foreach(e => eps.add(endpoint(e, contentType)))
+      val sec = node.putObject("security")
+      val d = sec.putArray("default"); o.security.default.foreach(s => d.add(securityScheme(s)))
+      val a = sec.putArray("all"); o.security.all.foreach(s => a.add(securityScheme(s)))
+      val tags = node.putArray("tags"); o.tags.foreach(tags.add)
+      node
+    }
+  }
+
+  /** Merge the container's fields into a data context — process_render's
+    * second loop (templates.rs:632-637): every container key becomes a
+    * top-level template variable alongside the data's own fields.
+    */
+  private def withContainer(data: ObjNode, container: JsonNode): ObjNode = {
+    container.fields().forEachRemaining { e =>
+      data.set[JsonNode](e.getKey, e.getValue); ()
+    }
+    data
+  }
+
+  /** One rendered unit: the plan row plus the Tera-rendered text (None when
+    * the trimmed output is empty — the reference writes no file then,
+    * renderer process_render templates.rs:640-644).
+    */
+  final case class Rendered(unit: RenderUnit, text: Option[String])
+
+  /** The renderer.rs:36-110 walk with the TEXT back-end: the same grouping /
+    * condition / filename decisions as [[renderPlan]], each surviving unit
+    * rendered through [[TeraLite]] against the serde-shaped context the
+    * reference passes to Tera — endpoints templates see the (per-group)
+    * openapi, models templates the model container, tags templates the
+    * endpoint-less openapi plus a `tags` array of {tag, endpoints} groups,
+    * static templates only the container.
+    */
+  def renderAll(templates: Seq[Template], openapi: Openapi,
+                container: JsonNode): Seq[Rendered] =
+    templates.flatMap { t =>
+      def passes(c: JsonNode): Boolean = t.condition.forall(_.check(c))
+      def emit(unit: RenderUnit, ctx: ObjNode): Rendered = {
+        val text = TeraLite.render(t.body, ctx)
+        Rendered(unit, if (text.trim.isEmpty) None else Some(text))
+      }
+      t.kind match {
+        case "static" =>
+          if (passes(container))
+            Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None, 0, 0),
+              withContainer(JF.objectNode(), container)))
+          else Nil
+        case "models" =>
+          if (passes(container))
+            Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None,
+                0, openapi.models.models.size),
+              withContainer(Context.models(openapi.models), container)))
+          else Nil
+        case "tags" =>
+          // one unit carrying every tag group (templates.rs:434-516):
+          // data = openapi with endpoints emptied; container gains `tags`
+          if (passes(container)) {
+            val data = Context.openapi(openapi, t.contentType, Nil)
+            val tagsArr = JF.arrayNode()
+            tagGroups(openapi.endpoints).foreach { tag =>
+              val tg = JF.objectNode()
+              tg.put("tag", pascal(tag))
+              val eps = tg.putArray("endpoints")
+              openapi.endpoints.filter(_.tags.contains(tag))
+                .foreach(e => eps.add(Context.endpoint(e, t.contentType)))
+              tagsArr.add(tg)
+            }
+            val ctx = withContainer(data, container)
+            ctx.set[JsonNode]("tags", tagsArr)
+            Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None, 0, 0),
+              ctx))
+          } else Nil
+        case "endpoints" =>
+          val groups: Seq[Option[String]] =
+            if (t.groupBy.isDefined) tagGroups(openapi.endpoints).map(Some(_))
+            else Seq(None)
+          groups.flatMap { g =>
+            val c = g.map(tag => withData(container, "tag" -> pascal(tag)))
+              .getOrElse(container)
+            val kept = g.map(tag => openapi.endpoints.filter(_.tags.contains(tag)))
+              .getOrElse(openapi.endpoints)
+            if (passes(c))
+              Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(c), g, kept.size, 0),
+                withContainer(Context.openapi(openapi, t.contentType, kept), c)))
             else Nil
           }
       }

@@ -1,0 +1,394 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, BooleanNode, JsonNodeFactory, TextNode}
+import graft.ops.{CaseConv, Naming}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Minimal Tera-subset template evaluator — the TEXT back-end of the
+  * codegen render plane, so `chain codegen openapi` emits real file content
+  * the way the reference renders via Tera (renderer.rs:36-110, process_render
+  * templates.rs:624-660). Deliberately a SUBSET, covering what the
+  * reference's template vocabulary uses:
+  *
+  *   - `{{ expr }}` interpolation, `{# … #}` comments (the header line),
+  *   - `{% for x in expr %} … {% endfor %}` over arrays,
+  *   - `{% if c %} … {% elif c %} … {% else %} … {% endif %}`,
+  *   - expressions: dotted paths, string/number/bool literals, `not`,
+  *     `==` / `!=`, and `|` filter chains with `k=v` kwargs,
+  *   - the reference's full filter registry (filters.rs:68-142):
+  *     camelcase pascalcase snakecase upper_snakecase kebabcase traincase
+  *     titlecase lcfirst ucfirst nospaces plural path_parts when_numeric
+  *     filter_not filter_startswith filter_inarray filter_not_inarray —
+  *     all delegating to the SAME CaseConv/Naming rules the distributed
+  *     Column chains use (one word-split rule set, two faces),
+  *   - a few Tera builtins templates lean on: upper lower length join
+  *     first last default trim,
+  *   - the bucket-counter functions (filters.rs bucket_counter):
+  *     `get_bucket_count(name=…, bucket=…)` / `clear_bucket(bucket=…)`,
+  *     one [[Templates.MultiBucketCounter]] per render.
+  *
+  * Rendering is a driver-plane activity (file emission); the evaluator is
+  * pure JVM, no Spark. Unknown filters/functions and malformed blocks
+  * throw IllegalArgumentException with the template position.
+  */
+object TeraLite {
+
+  private val F = JsonNodeFactory.instance
+
+  // ------------------------------------------------------------- parse
+
+  private sealed trait Node
+  private final case class Text(s: String) extends Node
+  private final case class Interp(expr: String) extends Node
+  private final case class For(v: String, expr: String, body: Seq[Node]) extends Node
+  private final case class If(branches: Seq[(String, Seq[Node])],
+                              otherwise: Seq[Node]) extends Node
+
+  private val Token = "(?s)\\{\\{.*?\\}\\}|\\{%.*?%\\}|\\{#.*?#\\}".r
+
+  /** Split raw template text into text/expr/stmt tokens, then fold the
+    * statement stream into a block tree.
+    */
+  private def parse(template: String): Seq[Node] = {
+    // lex
+    val toks = mutable.ArrayBuffer[(String, String)]() // (kind, payload)
+    var last = 0
+    for (m <- Token.findAllMatchIn(template)) {
+      if (m.start > last) toks += (("text", template.substring(last, m.start)))
+      val t = m.matched
+      if (t.startsWith("{{")) toks += (("expr", t.substring(2, t.length - 2).trim))
+      else if (t.startsWith("{%")) toks += (("stmt", t.substring(2, t.length - 2).trim))
+      // {# comments #} drop
+      last = m.end
+    }
+    if (last < template.length) toks += (("text", template.substring(last)))
+
+    // fold into tree
+    var i = 0
+    def block(stop: Set[String]): (Seq[Node], String) = {
+      val out = mutable.ArrayBuffer[Node]()
+      while (i < toks.length) {
+        val (kind, s) = toks(i)
+        kind match {
+          case "text" => out += Text(s); i += 1
+          case "expr" => out += Interp(s); i += 1
+          case "stmt" =>
+            val word = s.split("\\s+", 2)(0)
+            if (stop.contains(word)) return (out.toSeq, s)
+            i += 1
+            word match {
+              case "for" =>
+                s.split("\\s+", 4) match {
+                  case Array("for", v, "in", e) =>
+                    val (body, end) = block(Set("endfor"))
+                    require(end == "endfor", s"unclosed for: $s")
+                    i += 1
+                    out += For(v, e, body)
+                  case _ => throw new IllegalArgumentException(s"bad for: {% $s %}")
+                }
+              case "if" =>
+                val branches = mutable.ArrayBuffer[(String, Seq[Node])]()
+                var cond = s.stripPrefix("if").trim
+                var els: Seq[Node] = Nil
+                var open = true
+                while (open) {
+                  val (body, end) = block(Set("elif", "else", "endif"))
+                  branches += ((cond, body))
+                  if (end.startsWith("elif")) { cond = end.stripPrefix("elif").trim; i += 1 }
+                  else if (end == "else") {
+                    i += 1
+                    val (eb, end2) = block(Set("endif"))
+                    require(end2 == "endif", "unclosed if/else")
+                    els = eb; i += 1; open = false
+                  } else { require(end == "endif", "unclosed if"); i += 1; open = false }
+                }
+                out += If(branches.toSeq, els)
+              case other =>
+                throw new IllegalArgumentException(s"unsupported statement: {% $other … %}")
+            }
+        }
+      }
+      (out.toSeq, "")
+    }
+    val (nodes, leftover) = block(Set.empty)
+    require(leftover.isEmpty, s"dangling {% $leftover %}")
+    nodes
+  }
+
+  // -------------------------------------------------------- expressions
+
+  private final class Lexer(s: String) {
+    private var pos = 0
+    def peek: Option[String] = { val p = pos; val t = nextTok(); pos = p; t }
+    def next(): Option[String] = nextTok()
+    def expect(t: String): Unit =
+      require(next().contains(t), s"expected '$t' in expression: $s")
+    private def nextTok(): Option[String] = {
+      while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
+      if (pos >= s.length) return None
+      val c = s.charAt(pos)
+      if (c == '"' || c == '\'') {
+        val end = s.indexOf(c, pos + 1)
+        require(end >= 0, s"unterminated string in: $s")
+        val t = s.substring(pos, end + 1); pos = end + 1; Some(t)
+      } else if (c.isDigit || (c == '-' && pos + 1 < s.length && s.charAt(pos + 1).isDigit)) {
+        val st = pos; pos += 1
+        while (pos < s.length && (s.charAt(pos).isDigit || s.charAt(pos) == '.')) pos += 1
+        Some(s.substring(st, pos))
+      } else if (c.isLetter || c == '_') {
+        val st = pos
+        while (pos < s.length && (s.charAt(pos).isLetterOrDigit ||
+          s.charAt(pos) == '_' || s.charAt(pos) == '.')) pos += 1
+        Some(s.substring(st, pos))
+      } else if ((c == '=' || c == '!') && pos + 1 < s.length && s.charAt(pos + 1) == '=') {
+        pos += 2; Some(s"$c=")
+      } else { pos += 1; Some(c.toString) }
+    }
+  }
+
+  private def isStringTok(t: String) = t.length >= 2 &&
+    (t.head == '"' || t.head == '\'') && t.last == t.head
+  private def isNumberTok(t: String) = t.nonEmpty &&
+    (t.head.isDigit || (t.head == '-' && t.length > 1))
+
+  /** Evaluate one expression against the scope stack. */
+  private def evalExpr(expr: String, scopes: List[JsonNode],
+                       counter: Templates.MultiBucketCounter): JsonNode = {
+    val lx = new Lexer(expr)
+    val v = evalCmp(lx, scopes, counter)
+    require(lx.peek.isEmpty, s"trailing tokens in expression: $expr")
+    v
+  }
+
+  private def evalCmp(lx: Lexer, scopes: List[JsonNode],
+                      counter: Templates.MultiBucketCounter): JsonNode = {
+    val l = evalUnary(lx, scopes, counter)
+    lx.peek match {
+      case Some("==") => lx.next(); val r = evalUnary(lx, scopes, counter)
+        BooleanNode.valueOf(jsonEq(l, r))
+      case Some("!=") => lx.next(); val r = evalUnary(lx, scopes, counter)
+        BooleanNode.valueOf(!jsonEq(l, r))
+      case _ => l
+    }
+  }
+
+  private def evalUnary(lx: Lexer, scopes: List[JsonNode],
+                        counter: Templates.MultiBucketCounter): JsonNode =
+    lx.peek match {
+      case Some("not") => lx.next(); BooleanNode.valueOf(!truthy(evalUnary(lx, scopes, counter)))
+      case _ => evalPostfix(lx, scopes, counter)
+    }
+
+  private def evalPostfix(lx: Lexer, scopes: List[JsonNode],
+                          counter: Templates.MultiBucketCounter): JsonNode = {
+    var v = evalPrimary(lx, scopes, counter)
+    while (lx.peek.contains("|")) {
+      lx.next()
+      val name = lx.next().getOrElse(throw new IllegalArgumentException("filter name expected"))
+      val kwargs = if (lx.peek.contains("(")) parseKwargs(lx, scopes, counter) else Map.empty[String, JsonNode]
+      v = applyFilter(name, v, kwargs)
+    }
+    v
+  }
+
+  private def parseKwargs(lx: Lexer, scopes: List[JsonNode],
+                          counter: Templates.MultiBucketCounter): Map[String, JsonNode] = {
+    lx.expect("(")
+    val m = mutable.LinkedHashMap[String, JsonNode]()
+    while (!lx.peek.contains(")")) {
+      val k = lx.next().getOrElse(throw new IllegalArgumentException("kwarg name expected"))
+      lx.expect("=")
+      m(k) = evalCmp(lx, scopes, counter)
+      if (lx.peek.contains(",")) lx.next()
+    }
+    lx.expect(")")
+    m.toMap
+  }
+
+  private def evalPrimary(lx: Lexer, scopes: List[JsonNode],
+                          counter: Templates.MultiBucketCounter): JsonNode =
+    lx.next() match {
+      case Some(t) if isStringTok(t) => TextNode.valueOf(t.substring(1, t.length - 1))
+      case Some(t) if isNumberTok(t) =>
+        if (t.contains('.')) F.numberNode(t.toDouble) else F.numberNode(t.toLong)
+      case Some("true") => BooleanNode.TRUE
+      case Some("false") => BooleanNode.FALSE
+      case Some("(") =>
+        val v = evalCmp(lx, scopes, counter); lx.expect(")"); v
+      case Some("[") => // array literal, e.g. filter_inarray(values=['a','b'])
+        val arr = F.arrayNode()
+        while (!lx.peek.contains("]")) {
+          arr.add(evalCmp(lx, scopes, counter))
+          if (lx.peek.contains(",")) lx.next()
+        }
+        lx.expect("]")
+        arr
+      case Some(t) if t.nonEmpty && (t.head.isLetter || t.head == '_') =>
+        if (lx.peek.contains("(")) { // function call
+          val kwargs = parseKwargs(lx, scopes, counter)
+          callFunction(t, kwargs, counter)
+        } else lookup(t, scopes)
+      case other => throw new IllegalArgumentException(s"unexpected token: $other")
+    }
+
+  private def lookup(path: String, scopes: List[JsonNode]): JsonNode = {
+    val parts = path.split("\\.")
+    scopes.iterator.map { scope =>
+      var n: JsonNode = scope
+      for (p <- parts if n != null && !n.isMissingNode) {
+        n = if (n.isArray && p.forall(_.isDigit)) n.get(p.toInt)
+            else if (n.isObject) n.get(p)
+            else null
+      }
+      n
+    }.find(n => n != null && !n.isMissingNode)
+      .getOrElse(F.nullNode())
+  }
+
+  // ------------------------------------------------------------ values
+
+  private def jsonEq(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isNumber && b.isNumber) a.decimalValue().compareTo(b.decimalValue()) == 0
+    else a == b
+
+  private def truthy(n: JsonNode): Boolean = n match {
+    case null => false
+    case _ if n.isNull || n.isMissingNode => false
+    case _ if n.isBoolean => n.asBoolean()
+    case _ if n.isNumber => n.asDouble() != 0.0
+    case _ if n.isTextual => n.asText().nonEmpty
+    case _ if n.isArray => n.size() > 0
+    case _ => true
+  }
+
+  private def str(n: JsonNode): String = n match {
+    case null => ""
+    case _ if n.isNull || n.isMissingNode => ""
+    case _ if n.isTextual => n.asText()
+    case _ if n.isIntegralNumber => n.asLong().toString
+    case _ if n.isNumber =>
+      val d = n.asDouble()
+      if (d == math.rint(d) && !d.isInfinite) d.toLong.toString else d.toString
+    case _ => n.toString
+  }
+
+  // ----------------------------------------------------------- filters
+
+  private def kwStr(kwargs: Map[String, JsonNode], k: String, filter: String): String =
+    str(kwargs.getOrElse(k,
+      throw new IllegalArgumentException(s"filter $filter needs `$k=` argument")))
+
+  private def arrayFilter(v: JsonNode)(keep: JsonNode => Boolean): JsonNode = {
+    val out = F.arrayNode()
+    if (v != null && v.isArray) v.elements().asScala.filter(keep).foreach(out.add)
+    out
+  }
+
+  private def attrOf(n: JsonNode, path: String): JsonNode = {
+    var c = n
+    for (p <- path.split("\\.") if c != null) c = c.get(p)
+    if (c == null) F.nullNode() else c
+  }
+
+  private def applyFilter(name: String, v: JsonNode,
+                          kwargs: Map[String, JsonNode]): JsonNode = name match {
+    case "camelcase" => TextNode.valueOf(CaseConv.camel(str(v)))
+    case "pascalcase" => TextNode.valueOf(CaseConv.pascal(str(v)))
+    case "snakecase" => TextNode.valueOf(CaseConv.snake(str(v)))
+    case "upper_snakecase" => TextNode.valueOf(CaseConv.screamingSnake(str(v)))
+    case "kebabcase" => TextNode.valueOf(CaseConv.kebab(str(v)))
+    case "traincase" => TextNode.valueOf(CaseConv.train(str(v)))
+    case "titlecase" => TextNode.valueOf(CaseConv.title(str(v)))
+    case "lcfirst" => TextNode.valueOf(CaseConv.lcfirst(str(v)))
+    case "ucfirst" => TextNode.valueOf(CaseConv.ucfirst(str(v)))
+    case "nospaces" => TextNode.valueOf(CaseConv.nospaces(str(v)))
+    case "plural" => TextNode.valueOf(Naming.pluralize(str(v)))
+    // filters.rs:144-152: {param} path segments replaced with `to`
+    case "path_parts" =>
+      TextNode.valueOf(str(v).replaceAll("\\{[A-Za-z0-9\\-]+\\}", kwStr(kwargs, "to", name)))
+    // filters.rs:154-162: numeric-leading identifiers get a prefix
+    case "when_numeric" =>
+      val s = str(v)
+      TextNode.valueOf(
+        if (s.nonEmpty && s.head.isDigit) kwStr(kwargs, "prefix", name) + s else s)
+    case "filter_not" =>
+      val key = kwStr(kwargs, "attribute", name)
+      val expected = kwargs.getOrElse("value", F.nullNode())
+      arrayFilter(v)(e => !jsonEq(attrOf(e, key), expected))
+    case "filter_startswith" =>
+      val key = kwStr(kwargs, "attribute", name)
+      val value = kwStr(kwargs, "value", name)
+      val matches = kwargs.get("match").forall(truthy)
+      arrayFilter(v) { e =>
+        val a = attrOf(e, key)
+        if (a.isTextual) a.asText().startsWith(value) == matches else matches
+      }
+    case "filter_inarray" | "filter_not_inarray" =>
+      val key = kwStr(kwargs, "attribute", name)
+      val values = kwargs.getOrElse("values",
+        throw new IllegalArgumentException(s"filter $name needs `values=` array"))
+      require(values.isArray, s"filter $name needs `values=` array")
+      val accepted = values.elements().asScala.toSeq
+      val in = name == "filter_inarray"
+      arrayFilter(v)(e => accepted.exists(jsonEq(_, attrOf(e, key))) == in)
+    // tera builtins the templates lean on
+    case "upper" => TextNode.valueOf(str(v).toUpperCase)
+    case "lower" => TextNode.valueOf(str(v).toLowerCase)
+    case "trim" => TextNode.valueOf(str(v).trim)
+    case "length" => F.numberNode(if (v != null && (v.isArray || v.isObject)) v.size().toLong
+      else str(v).length.toLong)
+    case "join" =>
+      val sep = str(kwargs.getOrElse("sep", TextNode.valueOf("")))
+      TextNode.valueOf(
+        if (v != null && v.isArray) v.elements().asScala.map(str).mkString(sep) else str(v))
+    case "first" => if (v != null && v.isArray && v.size() > 0) v.get(0) else F.nullNode()
+    case "last" => if (v != null && v.isArray && v.size() > 0) v.get(v.size() - 1) else F.nullNode()
+    case "default" =>
+      if (truthy(v) || (v != null && v.isNumber) || (v != null && v.isBoolean)) v
+      else kwargs.getOrElse("value", F.nullNode())
+    case other => throw new IllegalArgumentException(s"unknown filter: $other")
+  }
+
+  private def callFunction(name: String, kwargs: Map[String, JsonNode],
+                           counter: Templates.MultiBucketCounter): JsonNode = name match {
+    // filters.rs bucket_counter: first sight renders empty, k-th renders k
+    case "get_bucket_count" =>
+      val n = kwStr(kwargs, "name", name)
+      val bucket = kwargs.get("bucket").map(str).getOrElse("default")
+      counter.next(n, bucket).map(k => F.numberNode(k): JsonNode).getOrElse(F.nullNode())
+    case "clear_bucket" =>
+      counter.clear(kwStr(kwargs, "bucket", name)); F.nullNode()
+    case other => throw new IllegalArgumentException(s"unknown function: $other")
+  }
+
+  // ------------------------------------------------------------ render
+
+  /** Render `template` against `context` (an object node whose fields are
+    * the top-level template variables). One bucket counter per render, as
+    * the reference registers one per Tera instance.
+    */
+  def render(template: String, context: JsonNode): String = {
+    val counter = new Templates.MultiBucketCounter
+    val sb = new StringBuilder
+    def run(nodes: Seq[Node], scopes: List[JsonNode]): Unit = nodes.foreach {
+      case Text(s) => sb.append(s); ()
+      case Interp(e) => sb.append(str(evalExpr(e, scopes, counter))); ()
+      case For(v, e, body) =>
+        val arr = evalExpr(e, scopes, counter)
+        if (arr.isArray) arr.elements().asScala.foreach { item =>
+          val scope = F.objectNode()
+          scope.set[JsonNode](v, item)
+          run(body, scope :: scopes)
+        }
+      case If(branches, otherwise) =>
+        branches.find { case (c, _) => truthy(evalExpr(c, scopes, counter)) } match {
+          case Some((_, body)) => run(body, scopes)
+          case None => run(otherwise, scopes)
+        }
+    }
+    run(parse(template), List(context))
+    sb.toString
+  }
+}

@@ -150,6 +150,33 @@ class ChainSpec extends AnyFunSuite {
     assert(bumped("0.5.0") === "0.0.8") // nothing increased -> unchanged
   }
 
+  test("codegen openapi renders template TEXT per unit (TeraLite back-end)") {
+    val dir = Files.createTempDirectory("graft-codegen-text")
+    val tplDir = dir.resolve("templates"); Files.createDirectories(tplDir)
+    Files.write(tplDir.resolve("api.j2"),
+      ("{# type=endpoints,filename=%tag%_api.rs,group_by=tag,min_version=0.1.0 #}\n" +
+        "pub mod {{ tag | snakecase }};\n" +
+        "{% for endpoint in endpoints %}pub async fn {{ endpoint.operation | snakecase }}();" +
+        " // {{ endpoint.method | upper }} {{ endpoint.path }}\n{% endfor %}")
+        .getBytes("UTF-8"))
+    val doc = dir.resolve("api.json")
+    Files.write(doc,
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{
+        | "/a":{"get":{"operationId":"getA","tags":["pets"],
+        |   "responses":{"200":{"description":"ok"}}}},
+        | "/b":{"get":{"operationId":"getB","tags":["pets"],
+        |   "responses":{"200":{"description":"ok"}}}}}}""".stripMargin.getBytes("UTF-8"))
+    val out = dir.resolve("out").toString
+    Chain.run(Seq(s"codegen openapi $doc --template $tplDir --target-dir $out"))
+    val text = Files.readString(Paths.get(out, "Pets_api.rs")).stripPrefix("\n")
+    assert(text ===
+      """pub mod pets;
+        |pub async fn get_a(); // GET /a
+        |pub async fn get_b(); // GET /b
+        |""".stripMargin)
+  }
+
   test("codegen openapi step: extract → discover templates → render units to target-dir") {
     val dir = Files.createTempDirectory("graft-codegen")
     val tplDir = dir.resolve("templates"); Files.createDirectories(tplDir)
@@ -173,7 +200,7 @@ class ChainSpec extends AnyFunSuite {
     val out = dir.resolve("out").toString
     Chain.run(Seq(
       s"codegen openapi $doc --template $tplDir --target-dir $out " +
-        "--skip-endpoint getC -o pkg=api"))
+        "--skip-endpoint getC -o pkg=api --plan-only"))
     // getC skipped → only the pets tag group remains; static resolves pkg
     assert(Files.exists(Paths.get(out, "Pets_api.rs")))
     assert(!Files.exists(Paths.get(out, "Stores_api.rs")))
@@ -187,7 +214,7 @@ class ChainSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-codegen-fmt")
     val tplDir = dir.resolve("tpl"); Files.createDirectories(tplDir)
     Files.write(tplDir.resolve("s.j2"),
-      "{# type=static,filename=out.txt,min_version=0.1.0 #}\n".getBytes("UTF-8"))
+      "{# type=static,filename=out.txt,min_version=0.1.0 #}\nstatic body\n".getBytes("UTF-8"))
     val doc = dir.resolve("api.json")
     Files.write(doc,
       """{"openapi":"3.0.0","info":{"title":"T","version":"1"},"paths":{}}"""

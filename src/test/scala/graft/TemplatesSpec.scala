@@ -139,4 +139,132 @@ class TemplatesSpec extends AnyFunSuite {
     assert(c.next("Pet", bucket = "other") === None)
     assert(c.next("Pet") === Some(4L))
   }
+
+  // ------------------------------------------------------- TeraLite (text)
+
+  import graft.suite.TeraLite
+
+  test("TeraLite: interpolation, comments, for, if/elif/else") {
+    val ctx = j("""{"name":"pet store","items":["a","b","c"],"n":2}""")
+    assert(TeraLite.render("Hello {{ name }}!", ctx) === "Hello pet store!")
+    assert(TeraLite.render("{# a header comment #}x", ctx) === "x")
+    assert(TeraLite.render("{% for i in items %}[{{ i }}]{% endfor %}", ctx) === "[a][b][c]")
+    assert(TeraLite.render(
+      "{% if n == 1 %}one{% elif n == 2 %}two{% else %}many{% endif %}", ctx) === "two")
+    assert(TeraLite.render(
+      "{% if n == 1 %}one{% elif n == 9 %}nine{% else %}many{% endif %}", ctx) === "many")
+    assert(TeraLite.render("{% if missing %}y{% endif %}no", ctx) === "no")
+    assert(TeraLite.render("{% if not missing %}y{% endif %}", ctx) === "y")
+    // dotted paths and nested scopes
+    val ctx2 = j("""{"o":{"p":{"q":"deep"}},"rows":[{"v":1},{"v":2}]}""")
+    assert(TeraLite.render("{{ o.p.q }}", ctx2) === "deep")
+    assert(TeraLite.render("{% for r in rows %}{{ r.v }};{% endfor %}", ctx2) === "1;2;")
+  }
+
+  test("TeraLite: the reference filter registry delegates to CaseConv/Naming") {
+    val ctx = j("""{"s":"user account","p":"/pets/{petId}/toys","n":"2fast","arr":[
+      {"kind":"path","name":"id"},{"kind":"query","name":"page"}]}""")
+    assert(TeraLite.render("{{ s | camelcase }}", ctx) === "userAccount")
+    assert(TeraLite.render("{{ s | pascalcase }}", ctx) === "UserAccount")
+    assert(TeraLite.render("{{ s | snakecase }}", ctx) === "user_account")
+    assert(TeraLite.render("{{ s | upper_snakecase }}", ctx) === "USER_ACCOUNT")
+    assert(TeraLite.render("{{ s | kebabcase }}", ctx) === "user-account")
+    assert(TeraLite.render("{{ s | nospaces }}", ctx) === "useraccount")
+    assert(TeraLite.render("{{ 'toy' | plural }}", ctx) === "toys")
+    assert(TeraLite.render("{{ p | path_parts(to='x') }}", ctx) === "/pets/x/toys")
+    assert(TeraLite.render("{{ n | when_numeric(prefix='N') }}", ctx) === "N2fast")
+    assert(TeraLite.render("{{ s | when_numeric(prefix='N') }}", ctx) === "user account")
+    // array filters keep/drop by attribute
+    assert(TeraLite.render(
+      "{% for a in arr | filter_not(attribute='kind', value='query') %}{{ a.name }}{% endfor %}",
+      ctx) === "id")
+    assert(TeraLite.render(
+      "{% for a in arr | filter_inarray(attribute='kind', values=['path']) %}{{ a.name }}{% endfor %}",
+      ctx) === "id")
+    assert(TeraLite.render(
+      "{% for a in arr | filter_not_inarray(attribute='kind', values=['path']) %}{{ a.name }}{% endfor %}",
+      ctx) === "page")
+    // tera builtins
+    assert(TeraLite.render("{{ s | upper }}", ctx) === "USER ACCOUNT")
+    assert(TeraLite.render("{{ arr | length }}", ctx) === "2")
+    assert(TeraLite.render("{{ missing | default(value='dflt') }}", ctx) === "dflt")
+    // bucket counter functions (one counter per render)
+    assert(TeraLite.render(
+      "{{ get_bucket_count(name='Pet') }}|{{ get_bucket_count(name='Pet') }}",
+      ctx) === "|2")
+    // unknown filter is an error, not silence
+    intercept[IllegalArgumentException](TeraLite.render("{{ s | nosuch }}", ctx))
+  }
+
+  test("renderAll: endpoints template over the 01-simple.yaml fixture emits real text") {
+    val doc = SchemaDocs.loadUrl(SchemaDocs.pathToUrl(
+      "/root/reference/crates/schematools/resources/test/openapi/01-simple.yaml"))
+    val openapi = OpenapiExtract.extract(doc)
+    val t = fromContent("api.j2",
+      s"""{# type=endpoints,filename=api.rs,$minOk #}
+         |{% for endpoint in endpoints %}pub async fn {{ endpoint.operation | snakecase }}() {} // {{ endpoint.method | upper }} {{ endpoint.path }}
+         |{% endfor %}""".stripMargin)
+    val out = Templates.renderAll(Seq(t), openapi, j("""{"options":{}}"""))
+    assert(out.size === 1)
+    // the header comment drops but its trailing newline is template text
+    val text = out.head.text.get.stripPrefix("\n")
+    assert(text ===
+      """pub async fn resource_create_v2() {} // POST /v2/resources
+        |pub async fn resource_get() {} // GET /v2/resources/{id}
+        |pub async fn resource_update_v2() {} // PATCH /v2/resources/{id}
+        |""".stripMargin)
+  }
+
+  test("renderAll: serde context shape — parameters, responses, requestbody, container vars") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{
+        | "/pets/{petId}":{"get":{"operationId":"petGet","tags":["pets"],
+        |   "parameters":[{"name":"petId","in":"path","required":true,
+        |     "schema":{"type":"string"}}],
+        |   "responses":{"200":{"description":"ok","content":{"application/json":{
+        |     "schema":{"type":"object","properties":{"id":{"type":"string"}},
+        |       "title":"Pet"}}}}}}},
+        | "/pets":{"post":{"operationId":"petCreate","tags":["pets"],
+        |   "requestBody":{"required":true,"content":{"application/json":{
+        |     "schema":{"type":"object","properties":{"id":{"type":"string"}},
+        |       "title":"Pet"}}}},
+        |   "responses":{"201":{"description":"created"}}}}}}""".stripMargin)
+    val openapi = OpenapiExtract.extract(doc)
+    val t = fromContent("d.j2",
+      s"""{# type=endpoints,filename=%tag%.rs,group_by=tag,$minOk #}
+         |mod {{ tag | snakecase }}; // from container
+         |{% for endpoint in endpoints %}{{ endpoint.operation }}: path params {{ endpoint.parameters.path | length }}, status {{ endpoint.responses.success.statusCode }}{% if endpoint.requestbody %}, body required={{ endpoint.requestbody.required }}{% endif %}{% if endpoint.responses.success.models %}, model {{ endpoint.responses.success.models.default.model.name }}{% endif %}
+         |{% endfor %}""".stripMargin)
+    val out = Templates.renderAll(Seq(t), openapi, j("""{"options":{}}"""))
+    assert(out.size === 1 && out.head.unit.tag === Some("pets"))
+    val text = out.head.text.get.stripPrefix("\n")
+    assert(text.startsWith("mod pets; // from container\n"))
+    assert(text.contains("petCreate: path params 0, status 201, body required=true"))
+    assert(text.contains("petGet: path params 1, status 200, model Pet"))
+  }
+
+  test("renderAll: models/static kinds and the empty-render no-file rule") {
+    val doc = j(
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{"/a":{"get":{"operationId":"getA",
+        |  "responses":{"200":{"description":"ok","content":{"application/json":{
+        |    "schema":{"type":"object","properties":{"x":{"type":"string"}},
+        |      "title":"Thing"}}}}}}}}}""".stripMargin)
+    val openapi = OpenapiExtract.extract(doc)
+    val container = j("""{"options":{"pkg":"api"}}""")
+    val ts = Seq(
+      fromContent("models.j2",
+        s"{# type=models,filename=models.rs,$minOk #}\n" +
+          "{% for model in models %}struct {{ model.name }};{% endfor %}"),
+      fromContent("mod.j2",
+        s"{# type=static,filename=%options.pkg%.rs,$minOk #}\npkg {{ options.pkg }}"),
+      fromContent("empty.j2", s"{# type=static,filename=never.rs,$minOk #}\n  \n"))
+    val out = Templates.renderAll(ts, openapi, container)
+    val byTpl = out.map(r => r.unit.template -> r).toMap
+    assert(byTpl("models.j2").text.get.contains("struct Thing;"))
+    assert(byTpl("mod.j2").text.get.trim === "pkg api")
+    assert(byTpl("mod.j2").unit.target === "api.rs")
+    assert(byTpl("empty.j2").text === None) // trimmed-empty → no file
+  }
 }
