@@ -19,7 +19,8 @@ import scala.jdk.CollectionConverters._
   *                    — the explicit repo-hash repartitioning the north rule
   *                    asks for. At 100 TB this would be sized ~2-4× the
   *                    executor-core count; verdict rows are numParts × rules.
-  * @param salts       salt fan-out for the skewed uniqueness aggregation.
+  * @param salts       uniqueness counting strategy: 1 = direct single-shuffle
+  *                    count (default), >1 = salted two-phase fan-out.
   * @param broadcastMaxRows dimension-size threshold for broadcast vs
   *                    sort-merge referential joins.
   */
@@ -27,7 +28,11 @@ final case class EngineConfig(
     partitionKey: String = "repo",
     rowRefCols: Seq[String] = Seq("repo", "path", "commit"),
     numParts: Int = 64,
-    salts: Int = 16,
+    // 1 = direct single-shuffle duplicate counting (the measured-fastest
+    // default: map-side combine already collapses hot keys for pure counts);
+    // >1 selects the salted two-phase for payload aggregations that cannot
+    // partial-combine (see Uniqueness.duplicateKeys)
+    salts: Int = 1,
     broadcastMaxRows: Long = 10000000L,
     statsColumns: Seq[String] = Nil,
     // driver-safety cap on the fused drift histogram collect; beyond it the

@@ -1,0 +1,1236 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** The typed FlatModel extraction algebra — the model plane the reference's
+  * templates consume, mirroring codegen/jsonschema/types.rs:50-330 (the
+  * `ModelType` ADT + `FlatModel`), the per-keyword extractors
+  * (properties.rs, items.rs, const_.rs, enum_.rs:9-96, allof.rs,
+  * additionalproperties.rs, patternproperties.rs, anyoneof/mod.rs +
+  * anyoneof/extractor.rs), the extract_type dispatch and
+  * add_validation_and_nullable of jsonschema/mod.rs:262-556, and the
+  * scope/namer machinery of scope.rs.
+  *
+  * This is the driver-plane (document) face: extraction walks ONE document
+  * tree, which is inherently recursive-imperative — it pairs with the
+  * distributed faces ([[OpenapiExtract.extractEndpointRows]] runs whole
+  * walks per corpus row inside executors; model INVENTORIES aggregate as
+  * DataFrames). Structural hashing reuses [[Models.canonical]]'s
+  * title/description-stripped canonical form (the reference hashes the same
+  * content via DefaultHasher — jsonschema/mod.rs:399-443; only equality of
+  * hashes matters, not the hash value itself).
+  */
+object FlatModels {
+
+  private val F = JsonNodeFactory.instance
+
+  // ------------------------------------------------------------ scope.rs
+
+  sealed trait Space
+  object Space {
+    final case class Tag(v: String) extends Space
+    final case class Operation(v: String) extends Space
+    final case class Id(v: String) extends Space
+    case object Parameter extends Space
+  }
+
+  private sealed trait Part
+  private object Part {
+    final case class Index(i: Int) extends Part
+    final case class Property(s: String) extends Part
+    final case class Entity(s: String) extends Part
+    final case class Form(s: String) extends Part
+    final case class Definition(s: String) extends Part
+    final case class Reference(s: String) extends Part
+    final case class Any(s: String) extends Part
+    final case class Glue(s: String) extends Part
+  }
+
+  /** scope.rs BasicNamer: PascalCase name assembly from scope parts. */
+  final class BasicNamer private[FlatModels] (parts: Vector[Part]) {
+    import Part._
+
+    def simple(): String = build(this.parts())
+
+    def build(ps: Seq[String]): String =
+      ps.map(s => if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1))
+        .mkString("")
+
+    def convert(original: String): String = build(split(original))
+
+    def decorate(extra: Seq[String]): String = build(this.parts() ++ extra)
+
+    /** scope.rs:74-163 `parts`: the oneOf/anyOf (OptionN) / allOf (PartialN)
+      * suffix, then the last non-form/index/reference part — entity name,
+      * or entity+property/definition, or glued parts.
+      */
+    private def parts(): Seq[String] = {
+      require(parts.nonEmpty, "namer: empty scope")
+      val form: Option[String] =
+        if (parts.length < 2) None
+        else parts(parts.length - 2) match {
+          case Form(f) if f == "oneOf" || f == "anyOf" =>
+            parts.last match { case Index(i) => Some(s"Option${i + 1}"); case _ => None }
+          case Form("allOf") =>
+            parts.last match { case Index(i) => Some(s"Partial${i + 1}"); case _ => None }
+          case _ => None
+        }
+      val last = parts.reverse.find {
+        case Form(_) | Index(_) | Reference(_) => false
+        case _ => true
+      }.getOrElse(throw new IllegalArgumentException(s"namer: no nameable part in $parts"))
+      last match {
+        case Entity(name) =>
+          split(form.map(f => s"$name$f").getOrElse(name))
+        case Property(l) =>
+          entityParts(l)
+        case Definition(l) =>
+          entityParts(l)
+        case _ =>
+          val glued = parts.collect { case Glue(t) => t }
+          require(glued.nonEmpty, s"namer: cannot retrieve name from $parts")
+          glued.flatMap(split)
+      }
+    }
+
+    private def entityParts(last: String): Seq[String] = {
+      val entity = parts.collect { case Entity(t) => t }.lastOption
+        .getOrElse(throw new IllegalArgumentException(s"namer: property without entity in $parts"))
+      split(entity) ++ split(last)
+    }
+
+    /** scope.rs:165-183 `split`: space before each [A-Z_], keep
+      * alphanumerics+spaces, split on spaces.
+      */
+    private def split(phrase: String): Seq[String] = {
+      val spaced = phrase.replaceAll("([A-Z_])", " $1")
+      spaced.filter(c => c.isLetterOrDigit && c < 128 || c == ' ')
+        .split(' ').filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** scope.rs SchemaScope: the walk position (for naming + mapping keys)
+    * and the space stack (tag/operation/id provenance).
+    */
+  final class SchemaScope {
+    import Part._
+    private val scope = mutable.ArrayBuffer[Part]()
+    private val spaceStack = mutable.ArrayBuffer[Space]()
+
+    def index(i: Int): this.type = { scope += Index(i); this }
+    def pop(): this.type = { if (scope.nonEmpty) scope.remove(scope.length - 1); this }
+    def reduce(n: Int): this.type = { scope.dropRightInPlace(n); this }
+    def len: Int = scope.length
+    def property(p: String): this.type = { scope += Property(p); this }
+    def entity(t: String): this.type = { scope += Entity(t); this }
+    def form(f: String): this.type = { scope += Form(f); this }
+    def definition(d: String): this.type = { scope += Definition(d); this }
+    def reference(r: String): this.type = { scope += Reference(r); this }
+    def any(a: String): this.type = { scope += Any(a); this }
+    def glue(g: String): this.type = { scope += Glue(g); this }
+
+    def addSpace(s: Space): this.type = { spaceStack += s; this }
+    def popSpace(): this.type = {
+      if (spaceStack.nonEmpty) spaceStack.remove(spaceStack.length - 1); this
+    }
+    def clearSpaces(): this.type = { spaceStack.clear(); this }
+    def getSpaces: Seq[Space] = spaceStack.toSeq
+
+    def namer(): BasicNamer = new BasicNamer(scope.toVector)
+
+    /** scope.rs:299-326 `path`: from the LAST reference onwards when one
+      * exists (so the same $ref target maps to one model), the whole display
+      * path otherwise.
+      */
+    def path(): String = {
+      val lastRef = scope.lastIndexWhere(_.isInstanceOf[Reference])
+      if (lastRef >= 0) {
+        val Reference(r) = scope(lastRef): @unchecked
+        (r +: scope.drop(lastRef + 1).flatMap(partToString)).mkString("/")
+      } else display
+    }
+
+    /** scope.rs:327-338: directly under a oneOf/anyOf form. */
+    def isAmbiguous: Boolean =
+      scope.length >= 2 && (scope(scope.length - 2) match {
+        case Form(f) => f == "oneOf" || f == "anyOf"
+        case _ => false
+      })
+
+    /** scope.rs:339-352: the top reference appears twice → circular. */
+    def recurse: Boolean = scope.lastOption match {
+      case Some(Reference(r)) => scope.count { case Reference(x) => x == r; case _ => false } == 2
+      case _ => false
+    }
+
+    private def partToString(p: Part): Option[String] = (p match {
+      case Entity(_) | Glue(_) => None
+      case Property(v) => Some(v)
+      case Any(v) => Some(v)
+      case Form(v) => Some(v)
+      case Definition(v) => Some(v)
+      case Reference(t) => Some(t)
+      case Index(i) => Some(i.toString)
+    }).map(_.replace("/", "~1"))
+
+    def display: String = "/" + scope.flatMap(partToString).mkString("/")
+    override def toString: String = display
+  }
+
+  // ------------------------------------------------------------ types.rs
+
+  /** types.rs:425-445 Attributes. Equality intentionally skips description
+    * and schemaHash (types.rs PartialEq impl).
+    */
+  final case class Attributes(
+      description: Option[String] = None,
+      default: Option[JsonNode] = None,
+      nullable: Boolean = false,
+      required: Boolean = true,
+      reference: Boolean = false,
+      validation: Option[Map[String, JsonNode]] = None,
+      schema: Option[JsonNode] = None,
+      x: Map[String, JsonNode] = Map.empty,
+      schemaHash: Option[Long] = None) {
+    def likeEq(o: Attributes): Boolean =
+      default == o.default && nullable == o.nullable && required == o.required &&
+        reference == o.reference && validation == o.validation &&
+        schema == o.schema && x == o.x
+  }
+
+  /** types.rs:86-95 FlatModel — the per-site flattened reference to a model
+    * (leaf types inline; named types point into the container via
+    * `original`).
+    */
+  final case class FlatModel(
+      name: Option[String] = None,
+      tpe: String = "",
+      model: Option[FlatModel] = None,
+      attributes: Attributes = Attributes(),
+      spaces: Seq[Space] = Nil,
+      original: Option[Int] = None) {
+    /** Structural equality with the reference's PartialEq semantics: spaces
+      * always equal, attributes skip description/schemaHash.
+      */
+    def likeEq(o: FlatModel): Boolean =
+      name == o.name && tpe == o.tpe && original == o.original &&
+        attributes.likeEq(o.attributes) &&
+        ((model, o.model) match {
+          case (Some(a), Some(b)) => a.likeEq(b)
+          case (None, None) => true
+          case _ => false
+        })
+
+    /** types.rs:452-457 customize_attributes. */
+    def customizeAttributes(a: Attributes): FlatModel =
+      copy(attributes = attributes.copy(required = a.required, nullable = a.nullable))
+  }
+
+  sealed trait ModelType {
+    /** Structural equality matching the reference's derived PartialEq with
+      * the custom FlatModel/Attributes rules.
+      */
+    def likeEq(o: ModelType): Boolean = (this, o) match {
+      case (PrimitiveType(n1, t1), PrimitiveType(n2, t2)) => n1 == n2 && t1 == t2
+      case (ObjectType(n1, p1, a1), ObjectType(n2, p2, a2)) =>
+        n1 == n2 && a1 == a2 && p1.length == p2.length &&
+          p1.zip(p2).forall { case (a, b) => a.likeEq(b) }
+      case (ArrayType(n1, m1), ArrayType(n2, m2)) => n1 == n2 && m1.likeEq(m2)
+      case (EnumType(n1, t1, v1), EnumType(n2, t2, v2)) => n1 == n2 && t1 == t2 && v1 == v2
+      case (ConstType(n1, t1, v1), ConstType(n2, t2, v2)) => n1 == n2 && t1 == t2 && v1 == v2
+      case (MapType(n1, m1), MapType(n2, m2)) => n1 == n2 && m1.likeEq(m2)
+      case (AnyType, AnyType) => true
+      case (WrapperType(n1, m1, k1, s1), WrapperType(n2, m2, k2, s2)) =>
+        n1 == n2 && k1 == k2 && s1 == s2 && m1.length == m2.length &&
+          m1.zip(m2).forall { case (a, b) => a.likeEq(b) }
+      case (NullableOptionalWrapperType(n1, m1), NullableOptionalWrapperType(n2, m2)) =>
+        n1 == n2 && m1.likeEq(m2)
+      case (FlatRef(f1), FlatRef(f2)) => f1.likeEq(f2)
+      case _ => false
+    }
+  }
+  final case class PrimitiveType(name: Option[String], tpe: String) extends ModelType
+  final case class ObjectType(name: String, properties: Seq[FlatModel],
+      additional: Boolean) extends ModelType
+  final case class ArrayType(name: Option[String], model: FlatModel) extends ModelType
+  final case class EnumType(name: String, tpe: String, variants: Seq[String]) extends ModelType
+  final case class ConstType(name: String, tpe: String, value: String) extends ModelType
+  final case class MapType(name: Option[String], model: FlatModel) extends ModelType
+  case object AnyType extends ModelType
+  final case class WrapperType(name: String, models: Seq[FlatModel],
+      kind: String = "oneOf", // allOf | oneOf
+      strategy: WrapperStrategy = BruteForce) extends ModelType
+  final case class NullableOptionalWrapperType(name: String, model: FlatModel) extends ModelType
+  /** ModelType::FlatModel — an already-flat site (patternProperties maps). */
+  final case class FlatRef(flat: FlatModel) extends ModelType
+
+  sealed trait WrapperStrategy
+  case object BruteForce extends WrapperStrategy
+  final case class Internally(property: String) extends WrapperStrategy
+  case object Externally extends WrapperStrategy
+
+  final case class RegexpType(name: String, pattern: String)
+
+  /** types.rs:9-48 Model: a typed node + attributes + provenance spaces. */
+  final class Model(
+      var inner: ModelType,
+      var attributes: Attributes = Attributes(),
+      val spaces: mutable.LinkedHashSet[Space] = mutable.LinkedHashSet.empty) {
+
+    def withAttributes(a: Attributes): Model = { attributes = a; this }
+
+    /** types.rs:28-34 is_like: schema-hash equality when both carry one,
+      * else structural (spaces always compare equal).
+      */
+    def isLike(o: Model): Boolean = (attributes.schemaHash, o.attributes.schemaHash) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => inner.likeEq(o.inner) && attributes.likeEq(o.attributes)
+    }
+
+    def addSpaces(scope: SchemaScope): Unit = { spaces ++= scope.getSpaces; () }
+
+    /** types.rs:341-377 name. */
+    def name: String = inner match {
+      case ObjectType(n, _, _) => n
+      case EnumType(n, _, _) => n
+      case ConstType(n, _, _) => n
+      case WrapperType(n, _, _, _) => n
+      case NullableOptionalWrapperType(n, _) => n
+      case PrimitiveType(Some(n), _) => n
+      case ArrayType(Some(n), _) => n
+      case MapType(Some(n), _) => n
+      case other => throw new IllegalArgumentException(s"model has no name: $other")
+    }
+
+    /** types.rs:379-416 rename. */
+    def rename(n: String): Model = {
+      val renamed = inner match {
+        case o: ObjectType => o.copy(name = n)
+        case e: EnumType => e.copy(name = n)
+        case c: ConstType => c.copy(name = n)
+        case w: WrapperType => w.copy(name = n)
+        case s: NullableOptionalWrapperType => s.copy(name = n)
+        case p: PrimitiveType => p.copy(name = Some(n))
+        case a: ArrayType => a.copy(name = Some(n))
+        case m: MapType => m.copy(name = Some(n))
+        case other => throw new IllegalArgumentException(s"unsupported rename: $other")
+      }
+      val result = new Model(renamed, attributes)
+      result.spaces ++= spaces
+      result
+    }
+
+    /** types.rs:467-490 children: transitive `original` ids. */
+    def children(container: ModelContainer): Seq[Int] = {
+      val direct = inner match {
+        case ArrayType(_, m) => m.original.toSeq
+        case MapType(_, m) => m.original.toSeq
+        case ObjectType(_, props, _) => props.flatMap(_.original)
+        case WrapperType(_, models, _, _) => models.flatMap(_.original)
+        case NullableOptionalWrapperType(_, m) => m.original.toSeq
+        case _ => Nil
+      }
+      direct ++ direct.flatMap(id => container.model(id).children(container))
+    }
+
+    /** types.rs:492-516 flatten: leaf types inline; named types register in
+      * the container and come back as references. The result picks up the
+      * model's spaces and customizes required/nullable from its attributes.
+      */
+    def flatten(container: ModelContainer, scope: SchemaScope): FlatModel = {
+      val flat = inner match {
+        case PrimitiveType(n, t) =>
+          FlatModel(name = n, tpe = t, attributes = attributes)
+        case AnyType =>
+          FlatModel(name = None, tpe = "any", attributes = attributes)
+        case ArrayType(_, m) =>
+          FlatModel(tpe = "array", model = Some(m), original = m.original,
+            attributes = attributes.copy(required = true, reference = m.attributes.reference))
+        case MapType(_, m) =>
+          FlatModel(tpe = "map", model = Some(m), original = m.original,
+            attributes = attributes.copy(required = true))
+        case _: ObjectType =>
+          val (id, added) = container.add(scope, this)
+          val linked = added.inner.asInstanceOf[ObjectType]
+          FlatModel(name = None, tpe = "object",
+            model = Some(FlatModel(name = Some(linked.name), tpe = linked.name)),
+            attributes = added.attributes.copy(reference = true), original = id)
+        case _: EnumType =>
+          val (id, added) = container.add(scope, this)
+          val linked = added.inner.asInstanceOf[EnumType]
+          FlatModel(name = None, tpe = "enum",
+            model = Some(FlatModel(name = Some(linked.name), tpe = linked.tpe,
+              original = id,
+              attributes = added.attributes.copy(required = true, nullable = false))),
+            original = id, attributes = added.attributes)
+        case _: ConstType =>
+          val (id, added) = container.add(scope, this)
+          val linked = added.inner.asInstanceOf[ConstType]
+          FlatModel(name = Some(linked.name), tpe = "const",
+            model = Some(FlatModel(name = Some(linked.value), tpe = linked.tpe,
+              attributes = added.attributes.copy(required = true, nullable = false))),
+            original = id, attributes = added.attributes)
+        case _: WrapperType =>
+          val (id, added) = container.add(scope, this)
+          val linked = added.inner.asInstanceOf[WrapperType]
+          FlatModel(name = None, tpe = "wrapper",
+            model = Some(FlatModel(name = Some(linked.name), tpe = "wrapper")),
+            attributes = added.attributes, original = id)
+        case _: NullableOptionalWrapperType =>
+          val (id, added) = container.add(scope, this)
+          val linked = added.inner.asInstanceOf[NullableOptionalWrapperType]
+          FlatModel(name = linked.model.name, tpe = "wrapper",
+            model = Some(linked.model.copy(name = Some(linked.name))),
+            original = id)
+        case FlatRef(f) => f
+      }
+      flat.copy(spaces = spaces.toSeq).customizeAttributes(attributes)
+    }
+  }
+
+  object Model {
+    def apply(inner: ModelType): Model = new Model(inner)
+
+    /** A private copy — what the reference's `model.clone()` does when
+      * extract_type returns a container-resolved model: later attribute /
+      * inner mutations (nullable overrides, variant renames, discriminator
+      * field removal) must never write through to the container entry.
+      */
+    def copyOf(m: Model): Model = {
+      val c = new Model(m.inner, m.attributes)
+      c.spaces ++= m.spaces
+      c
+    }
+  }
+
+  // ----------------------------------------------- mod.rs ModelContainer
+
+  /** jsonschema/mod.rs:64-199 ModelContainer: scope-path mapping first,
+    * then schema-hash candidates, then by-name (identical shape merges,
+    * conflicting shape bumps the suffix and retries).
+    */
+  final class ModelContainer {
+    private val buf = mutable.ArrayBuffer[Model]()
+    private val mapping = mutable.HashMap[String, Int]()
+    private val byName = mutable.HashMap[String, Int]()
+    private val byHash = mutable.HashMap[Long, mutable.ArrayBuffer[Int]]()
+    private val regexpsBuf = mutable.ArrayBuffer[RegexpType]()
+    private val formatsBuf = mutable.ArrayBuffer[String]()
+
+    def models: Seq[Model] = buf.toSeq
+    def model(id: Int): Model = buf(id)
+    def names: Seq[String] = buf.map(_.name).toSeq
+    def regexps: Seq[RegexpType] = regexpsBuf.toSeq
+    def formats: Seq[String] = formatsBuf.toSeq
+
+    def add(scope: SchemaScope, model: Model): (Option[Int], Model) = {
+      if (model.inner == AnyType) return (None, model) // mod.rs:70-73
+      val key = scope.path()
+      mapping.get(key) match {
+        case Some(id) =>
+          buf(id).addSpaces(scope)
+          return (Some(id), buf(id))
+        case None =>
+      }
+      model.attributes.schemaHash.foreach { hash =>
+        byHash.get(hash).flatMap(_.find(id => buf(id).isLike(model))).foreach { id =>
+          buf(id).addSpaces(scope)
+          mapping(key) = id
+          return (Some(id), buf(id))
+        }
+      }
+      val name = model.name
+      byName.get(name) match {
+        case Some(id) if buf(id).isLike(model) =>
+          buf(id).addSpaces(scope)
+          mapping(key) = id
+          (Some(id), buf(id))
+        case Some(_) =>
+          add(scope, model.rename(Models.bumpSuffixNumber(name)))
+        case None =>
+          val id = buf.length
+          buf += model
+          mapping(key) = id
+          byName(name) = id
+          model.attributes.schemaHash.foreach(h =>
+            byHash.getOrElseUpdate(h, mutable.ArrayBuffer()) += id)
+          (Some(id), model)
+      }
+    }
+
+    def exists(model: Model): Boolean =
+      model.attributes.schemaHash match {
+        case Some(h) if byHash.contains(h) => byHash(h).exists(id => buf(id).isLike(model))
+        case _ => buf.exists(_.isLike(model))
+      }
+
+    def retain(f: Model => Boolean): Unit = {
+      val kept = buf.filter(f)
+      buf.clear(); buf ++= kept
+      mapping.clear(); byName.clear(); byHash.clear()
+    }
+
+    /** mod.rs:160-181 resolve: when the scope path is already mapped, tag
+      * the model AND its children with the current spaces and return it.
+      */
+    def resolve(scope: SchemaScope): Option[Model] =
+      mapping.get(scope.path()).map { id =>
+        (buf(id).children(this) :+ id).foreach(a => buf(a).addSpaces(scope))
+        buf(id)
+      }
+
+    /** mod.rs:183-195 upsert_regexp: interning by pattern, names Regexp1… */
+    def upsertRegexp(r: RegexpType): RegexpType =
+      regexpsBuf.find(_.pattern == r.pattern).getOrElse {
+        val named = RegexpType(s"${r.name}${regexpsBuf.length + 1}", r.pattern)
+        regexpsBuf += named
+        named
+      }
+
+    def addFormat(fmt: String): Unit =
+      if (!formatsBuf.contains(fmt)) { formatsBuf += fmt; () }
+  }
+
+  // ------------------------------------------------------------- options
+
+  /** jsonschema/mod.rs:201-210 JsonSchemaExtractOptions (keepSchema is the
+    * keep_schema filter collapsed to its boolean gate).
+    */
+  final case class Options(
+      wrappers: Boolean = false,
+      nestedArraysAsModels: Boolean = false,
+      optionalAndNullableAsModels: Boolean = false,
+      baseName: Option[String] = None,
+      mergeSimilarModels: Boolean = false,
+      allowList: Boolean = false,
+      keepSchema: Boolean = false)
+
+  // ------------------------------------------------------------ resolver
+
+  /** resolver.rs SchemaResolver over internal `#/...` refs of one root
+    * document (the pipeline dereferences external refs upstream —
+    * [[Dereferencer]] — so extraction sees one tree, like the reference's
+    * codegen flow which dereferences before extract). Pushes the pointer as
+    * a scope REFERENCE part so `scope.path()` keys the ref target, follows
+    * ref-to-ref chains recursively, and falls back to the raw node on a
+    * dangling ref (resolver.rs:49-67 logs and continues).
+    */
+  final class Resolver(root: JsonNode) {
+    def resolve[T](node: JsonNode, scope: SchemaScope)(f: (JsonNode, SchemaScope) => T): T = {
+      val ref = Option(node).filter(_.isObject).flatMap(n => Option(n.get("$ref")))
+        .filter(_.isTextual).map(_.asText())
+      ref match {
+        case Some(r) if r.startsWith("#") && root != null =>
+          val pointer = r.stripPrefix("#")
+          val target = root.at(pointer)
+          if (target.isMissingNode) f(node, scope)
+          else {
+            scope.reference(pointer)
+            try resolve(target, scope)(f)
+            finally scope.pop()
+          }
+        case _ => f(node, scope)
+      }
+    }
+  }
+
+  object Resolver { val empty = new Resolver(null) }
+
+  // ----------------------------------------------------------- extractors
+
+  /** title.rs extract_title: explicit title (namer-converted) or the scope
+    * name.
+    */
+  def extractTitle(schema: JsonNode, scope: SchemaScope): String =
+    Option(schema.get("title")) match {
+      case Some(t) if t.isTextual => scope.namer().convert(t.asText())
+      case Some(_) => throw new IllegalArgumentException("Incorrect format of title")
+      case None => scope.namer().simple()
+    }
+
+  /** required.rs extract_required. */
+  def extractRequired(schema: JsonNode): Seq[String] =
+    Option(schema.get("required")).filter(_.isArray)
+      .map(_.elements().asScala.filter(_.isTextual).map(_.asText()).toSeq)
+      .getOrElse(Nil)
+
+  /** properties.rs from_object_with_properties. */
+  def fromObjectWithProperties(schema: JsonNode, container: ModelContainer,
+      scope: SchemaScope, resolver: Resolver, options: Options): Model = {
+    val name = extractTitle(schema, scope)
+    val required = extractRequired(schema)
+    val props = Option(schema.get("properties")).filter(_.isObject)
+      .getOrElse(throw new IllegalArgumentException("properties"))
+    scope.form("properties")
+    val properties = try {
+      props.fields().asScala.map { e =>
+        val pname = e.getKey
+        scope.property(pname)
+        try {
+          val flat0 = extractType(e.getValue, container, scope, resolver, options)
+            .flatten(container, scope)
+          val flat = flat0.copy(name = Some(pname),
+            attributes = flat0.attributes.copy(required = required.contains(pname)))
+          if (flat.attributes.nullable && !flat.attributes.required &&
+              options.optionalAndNullableAsModels)
+            convertToNullableOptionalWrapper(flat, container, scope)
+          else flat
+        } finally { scope.pop(); () }
+      }.toSeq
+    } finally { scope.pop(); () }
+    Model(ObjectType(name, properties,
+      additional = Option(schema.get("additionalProperties")).forall {
+        case b if b.isBoolean => b.asBoolean()
+        case _ => true
+      }))
+  }
+
+  /** properties.rs convert_to_nullable_optional_wrapper. */
+  private def convertToNullableOptionalWrapper(flat0: FlatModel,
+      container: ModelContainer, scope: SchemaScope): FlatModel = {
+    val flat = flat0.copy(attributes =
+      flat0.attributes.copy(required = true, nullable = false))
+    Model(NullableOptionalWrapperType(
+      name = scope.namer().decorate(Seq("optional")), model = flat))
+      .withAttributes(Attributes(required = false, nullable = false))
+      .flatten(container, scope)
+  }
+
+  /** properties.rs from_object: properties → patternProperties →
+    * additionalProperties → any.
+    */
+  def fromObject(schema: JsonNode, container: ModelContainer, scope: SchemaScope,
+      resolver: Resolver, options: Options): Model =
+    attemptChain(
+      () => fromObjectWithProperties(schema, container, scope, resolver, options),
+      () => fromPatternProperties(schema, container, scope, resolver, options),
+      () => fromObjectWithAdditionalProperties(schema, container, scope, resolver, options),
+      () => Model(AnyType))
+
+  /** items.rs from_array. */
+  def fromArray(schema: JsonNode, container: ModelContainer, scope: SchemaScope,
+      resolver: Resolver, options: Options): Model =
+    Option(schema.get("items")) match {
+      case Some(items) if items.isObject =>
+        scope.form("items")
+        try {
+          val name = extractTitle(schema, scope)
+          val model = extractType(items, container, scope, resolver, options)
+            .flatten(container, scope)
+          Model(ArrayType(Some(name), model))
+        } finally { scope.pop(); () }
+      case Some(items) if items.isArray => Model(AnyType) // tuples unsupported (items.rs:29-33)
+      case _ => throw new IllegalArgumentException("items")
+    }
+
+  /** const_.rs from_const. */
+  def fromConst(schema: JsonNode, scope: SchemaScope): Model = {
+    val name = extractTitle(schema, scope)
+    Option(schema.get("const")) match {
+      case Some(v) if v.isTextual => Model(ConstType(name, "string", v.asText()))
+      case Some(v) if v.isNumber => Model(ConstType(name, "number", v.numberValue().toString))
+      case _ => throw new IllegalArgumentException("const")
+    }
+  }
+
+  /** enum_.rs convert_to_enum: only primitive models with compatible
+    * variant types become enums; everything else passes through.
+    */
+  def convertToEnum(model: Model, schema: JsonNode, scope: SchemaScope): Model =
+    Option(schema.get("enum")).filter(_.isArray) match {
+      case Some(values) =>
+        model.inner match {
+          case p: PrimitiveType =>
+            val name =
+              try scope.namer().simple()
+              catch { case _: IllegalArgumentException => return Model(p) }
+            val vs = values.elements().asScala.toSeq
+            val strings = vs.filter(_.isTextual).map(_.asText())
+            val ints = vs.filter(v => v.isNumber && v.isIntegralNumber).map(_.numberValue().toString)
+            val floats = vs.filter(v => v.isNumber && !v.isIntegralNumber).map(_.numberValue().toString)
+            if (strings.nonEmpty) Model(EnumType(name, "string", strings))
+            else if (p.tpe == "integer" && ints.nonEmpty) Model(EnumType(name, "integer", ints))
+            else if (p.tpe == "number" && (ints.nonEmpty || floats.nonEmpty))
+              Model(EnumType(name, "number", ints ++ floats))
+            else Model(p)
+          case _ => model // complex type: enum ignored
+        }
+      case None => model
+    }
+
+  /** allof.rs from_allof. */
+  def fromAllOf(schema: JsonNode, container: ModelContainer, scope: SchemaScope,
+      resolver: Resolver, options: Options): Model =
+    Option(schema.get("allOf")) match {
+      case Some(allOf) if allOf.isArray =>
+        scope.form("allOf")
+        val models = try {
+          allOf.elements().asScala.zipWithIndex.map { case (value, i) =>
+            scope.index(i)
+            try {
+              val f = extractType(value, container, scope, resolver, options)
+                .flatten(container, scope)
+              f.copy(attributes = f.attributes.copy(required = true),
+                name = Some(scope.namer().build(Seq("variant", i.toString))))
+            } finally { scope.pop(); () }
+          }.toSeq
+        } finally { scope.pop(); () }
+        Model(WrapperType(scope.namer().simple(), models, kind = "allOf"))
+      case Some(_) => throw new IllegalArgumentException("allOf")
+      case None => throw new IllegalArgumentException("allOf not available")
+    }
+
+  /** additionalproperties.rs from_object_with_additional_properties. */
+  def fromObjectWithAdditionalProperties(schema: JsonNode, container: ModelContainer,
+      scope: SchemaScope, resolver: Resolver, options: Options): Model = {
+    val name = extractTitle(schema, scope)
+    Option(schema.get("additionalProperties")) match {
+      case Some(v) if v.isObject && !v.fields().hasNext =>
+        Model(ObjectType(name, Nil, additional = true))
+      case Some(v) if v.isObject =>
+        scope.form("additionalProperties")
+        try {
+          val model = extractType(v, container, scope, resolver, options)
+            .flatten(container, scope)
+          Model(MapType(Some(name), model))
+        } finally { scope.pop(); () }
+      case Some(v) if v.isBoolean && v.asBoolean() =>
+        Model(ObjectType(name, Nil, additional = true))
+      case Some(_) => throw new IllegalArgumentException("additionalProperties")
+      case None => Model(ObjectType(name, Nil, additional = true))
+    }
+  }
+
+  /** patternproperties.rs from_pattern_properties: homogeneous value types
+    * collapse to a map of the first type, mixed ones to a map of any.
+    */
+  def fromPatternProperties(schema: JsonNode, container: ModelContainer,
+      scope: SchemaScope, resolver: Resolver, options: Options): Model = {
+    val name = extractTitle(schema, scope)
+    val pp = Option(schema.get("patternProperties")).filter(_.isObject)
+      .getOrElse(throw new IllegalArgumentException("patternProperties"))
+    scope.form("patternProperties")
+    val types = try {
+      pp.fields().asScala.map { e =>
+        scope.form(e.getKey)
+        try extractType(e.getValue, container, scope, resolver, options)
+          .flatten(container, scope)
+        finally { scope.pop(); () }
+      }.toSeq
+    } finally { scope.pop(); () }
+    val firstType = types.headOption.map(_.tpe).getOrElse("string")
+    val model =
+      if (types.exists(_.tpe != firstType)) Model(AnyType).flatten(container, scope)
+      else types.head
+    Model(FlatRef(FlatModel(name = Some(name), tpe = "map", model = Some(model))))
+  }
+
+  // -------------------------------------------- anyoneof (mod + extractor)
+
+  private val DiscriminatorMeta = "_discriminator"
+
+  /** anyoneof/extractor.rs — the per-variant discriminator detection.
+    * `Simple` auto-detects external (single-property) and internal (const
+    * property) tagging; `Discriminator` consumes an explicit OpenAPI
+    * discriminator {propertyName, mapping}.
+    */
+  private sealed trait Extractor {
+    def preprocess(variants: Seq[JsonNode]): Seq[JsonNode] = variants
+    def extract(original: JsonNode, m: Model, container: ModelContainer,
+                scope: SchemaScope): FlatModel
+    def strategy: WrapperStrategy
+  }
+
+  private def discriminatorValue(f: FlatModel): JsonNode = {
+    // extractor.rs:66-86 DiscriminatorValueModel::flat
+    def simple(x: FlatModel): JsonNode = {
+      val o = F.objectNode()
+      o.set[JsonNode]("simple", flatModelJson(x))
+      o
+    }
+    if (f.tpe == "array") simple(f)
+    else f.model.flatMap(inner => inner.name.map { n =>
+      val m = F.objectNode()
+      val v = m.putObject("model")
+      v.put("name", n); v.put("kind", inner.tpe)
+      m: JsonNode
+    }).getOrElse(simple(f))
+  }
+
+  private def discriminatorMeta(property: String, value: JsonNode,
+                                properties: Option[Int]): JsonNode = {
+    val o = F.objectNode()
+    o.put("property", property)
+    properties match {
+      case Some(n) => o.put("properties", n); ()
+      case None => o.set[JsonNode]("properties", F.nullNode()); ()
+    }
+    o.set[JsonNode]("value", value)
+    o
+  }
+
+  private final class SimpleExtractor extends Extractor {
+    private sealed trait Prop
+    private case class Internal(p: String) extends Prop
+    private case class External(p: String) extends Prop
+    private case object Unknown extends Prop
+    private val props = mutable.ArrayBuffer[Prop]()
+
+    override def extract(original: JsonNode, m: Model, container: ModelContainer,
+                         scope: SchemaScope): FlatModel = {
+      val f = m.flatten(container, scope)
+      autodetect(m) match {
+        case Some(meta) => f.copy(attributes = f.attributes.copy(
+          x = f.attributes.x + (DiscriminatorMeta -> meta)))
+        case None => f
+      }
+    }
+
+    private def autodetect(model: Model): Option[JsonNode] = {
+      val meta = model.inner match {
+        case ObjectType(_, properties, _) if properties.length == 1 =>
+          properties.headOption.map { f =>
+            props += External(f.name.get)
+            discriminatorMeta(f.name.get, discriminatorValue(f), Some(properties.length))
+          }
+        case ObjectType(_, properties, _) =>
+          properties.find(_.tpe == "const").map { f =>
+            props += Internal(f.name.get)
+            discriminatorMeta(f.name.get, discriminatorValue(f), Some(properties.length - 1))
+          }
+        case _ => None
+      }
+      if (meta.isEmpty) props += Unknown
+      meta
+    }
+
+    override def strategy: WrapperStrategy =
+      if (props.nonEmpty && props.forall(_.isInstanceOf[External])) Externally
+      else if (props.nonEmpty && props.forall(_.isInstanceOf[Internal]))
+        props.headOption.collect { case Internal(p) => Internally(p) }.getOrElse(BruteForce)
+      else BruteForce
+  }
+
+  private final class DiscriminatorExtractor(property: String,
+      mapping: mutable.Map[String, mutable.ArrayBuffer[String]]) extends Extractor {
+
+    override def preprocess(variants: Seq[JsonNode]): Seq[JsonNode] =
+      variants.flatMap { original =>
+        Option(original.get("$ref")).filter(_.isTextual).map(_.asText())
+          .flatMap(mapping.get) match {
+          case Some(keys) => Seq.fill(keys.length)(original)
+          case None => Nil
+        }
+      }
+
+    override def extract(original: JsonNode, m: Model, container: ModelContainer,
+                         scope: SchemaScope): FlatModel = {
+      val ref = Option(original.get("$ref")).filter(_.isTextual).map(_.asText())
+      ref.flatMap(mapping.get).filter(_.nonEmpty) match {
+        case Some(keys) =>
+          val value = keys.remove(keys.length - 1)
+          val nProps = m.inner match {
+            case o @ ObjectType(_, properties, _) =>
+              // extractor.rs:247-261: drop the discriminator field itself
+              val kept = properties.filterNot(_.name.contains(property))
+              m.inner = o.copy(properties = kept)
+              Some(kept.length)
+            case _ => None
+          }
+          val f = m.flatten(container, scope)
+          val vm = F.objectNode()
+          val v = vm.putObject("model"); v.put("name", value); v.put("kind", "string")
+          f.copy(attributes = f.attributes.copy(
+            x = f.attributes.x + (DiscriminatorMeta ->
+              discriminatorMeta(property, vm, nProps))))
+        case None => m.flatten(container, scope)
+      }
+    }
+
+    override def strategy: WrapperStrategy = Internally(property)
+  }
+
+  private object DiscriminatorExtractor {
+    def fromNode(data: JsonNode): Option[DiscriminatorExtractor] =
+      for {
+        prop <- Option(data.get("propertyName")).filter(_.isTextual).map(_.asText())
+        mapNode <- Option(data.get("mapping")).filter(_.isObject)
+      } yield {
+        val mapping = mutable.Map[String, mutable.ArrayBuffer[String]]()
+        mapNode.fields().asScala.foreach { e =>
+          if (e.getValue.isTextual)
+            mapping.getOrElseUpdate(e.getValue.asText(), mutable.ArrayBuffer()) += e.getKey
+        }
+        new DiscriminatorExtractor(prop, mapping)
+      }
+  }
+
+  /** anyoneof/mod.rs from_one_or_any_of: single-variant and null-pair
+    * simplifications first, then the wrapper walk with discriminator
+    * detection.
+    */
+  def fromOneOrAnyOf(schema: JsonNode, container: ModelContainer, scope: SchemaScope,
+      resolver: Resolver, options: Options): Model = {
+    val extractor: Extractor = Option(schema.get("discriminator"))
+      .flatMap(DiscriminatorExtractor.fromNode)
+      .getOrElse(new SimpleExtractor)
+    val keyStr = if (schema.has("oneOf")) "oneOf" else "anyOf"
+    val oneOf = Option(schema.get(keyStr))
+      .getOrElse(throw new IllegalArgumentException(s"$keyStr not available"))
+    require(oneOf.isArray, keyStr)
+    val variants = oneOf.elements().asScala.toSeq
+
+    simplifyOneOrAnyOf(schema, variants, container, scope, resolver, options)
+      .getOrElse {
+        scope.form(keyStr)
+        val models = try {
+          extractor.preprocess(variants).zipWithIndex.map { case (value, i) =>
+            scope.index(i)
+            try {
+              val m = extractType(value, container, scope, resolver, options)
+              // variant objects renamed to avoid collisions (anyoneof/mod.rs:55-61)
+              m.inner match {
+                case o: ObjectType => m.inner = o.copy(name = s"${o.name}Variant")
+                case _ =>
+              }
+              val f = extractor.extract(value, m, container, scope)
+              f.copy(attributes = f.attributes.copy(required = true),
+                name = Some(scope.namer().build(Seq("variant", i.toString))))
+            } finally { scope.pop(); () }
+          }.toSeq
+        } finally { scope.pop(); () }
+        Model(WrapperType(scope.namer().decorate(Seq("Variant")), models,
+          strategy = extractor.strategy))
+      }
+  }
+
+  /** anyoneof/mod.rs:96-174 simplify_one_or_any_of: 1 variant → the type
+    * itself; 2 variants with {"type":"null"} → the other type, nullable.
+    */
+  private def simplifyOneOrAnyOf(schema: JsonNode, variants: Seq[JsonNode],
+      container: ModelContainer, scope: SchemaScope, resolver: Resolver,
+      options: Options): Option[Model] =
+    variants.length match {
+      case 1 =>
+        Some(resolver.resolve(variants.head, scope) { (node, scope) =>
+          extractType(node, container, scope, resolver, options)
+        })
+      case 2 =>
+        def isNullType(n: JsonNode): Boolean =
+          n.isObject && n.size() == 1 &&
+            Option(n.get("type")).exists(t => t.isTextual && t.asText() == "null")
+        if (!variants.exists(isNullType)) None
+        else variants.find(!isNullType(_)).map { element =>
+          resolver.resolve(element, scope) { (node, scope) =>
+            val model = extractType(node, container, scope, resolver, options)
+            var attributes = model.attributes.copy(nullable = true)
+            // only a TITLED nullable wrapper gets its own hash identity
+            // (anyoneof/mod.rs:141-152) — untitled inline nullables keep the
+            // resolved model's hash so usages merge
+            if (options.mergeSimilarModels && schema.has("title"))
+              attributes = attributes.copy(schemaHash = Some(schemaHash(schema)))
+            var result = addValidationAndNullable(model, node, container, options)
+              .withAttributes(attributes)
+            if (schema.has("title"))
+              result = result.rename(extractTitle(schema, scope))
+            result
+          }
+        }
+      case _ => None
+    }
+
+  // -------------------------------------------------- extract_type driver
+
+  private def attemptChain(attempts: (() => Model)*): Model = {
+    var lastErr: Throwable = null
+    attempts.foreach { a =>
+      try return a()
+      catch { case e: IllegalArgumentException => lastErr = e }
+    }
+    throw lastErr
+  }
+
+  /** jsonschema/mod.rs:399-443 schema_hash via the canonical form (the
+    * title/description-stripped sorted rendering [[Models.canonical]]) —
+    * hash equality is all the container compares.
+    */
+  def schemaHash(schema: JsonNode): Long = {
+    val s = Models.canonical(schema)
+    // 64-bit FNV-1a over the canonical string: stable, well-distributed
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** jsonschema/mod.rs:446-556 add_validation_and_nullable: harvest the
+    * validation keyword subset + x- extensions, intern regexps, register
+    * formats, resolve nullability, rebuild attributes.
+    */
+  def addValidationAndNullable(model: Model, schema: JsonNode,
+      container: ModelContainer, options: Options): Model = {
+    val hash =
+      if (options.mergeSimilarModels)
+        Some(model.attributes.schemaHash.getOrElse(schemaHash(schema)))
+      else None
+    if (model.attributes.validation.isDefined) {
+      model.attributes = model.attributes.copy(schemaHash = hash)
+      return model
+    }
+    val keywords = Set("format", "maximum", "exclusiveMaximum", "minimum",
+      "exclusiveMinimum", "maxLength", "minLength", "pattern", "maxItems",
+      "minItems", "uniqueItems", "maxProperties", "minProperties", "default")
+    var result: Map[String, JsonNode] = schema.fields().asScala
+      .filter(e => keywords.contains(e.getKey))
+      .map(e => e.getKey -> e.getValue).toMap
+    val x = schema.fields().asScala
+      .filter(_.getKey.startsWith("x-"))
+      .map(e => e.getKey.stripPrefix("x-") -> e.getValue).toMap
+    result.get("pattern").filter(_.isTextual).foreach { p =>
+      val interned = container.upsertRegexp(RegexpType("Regexp", p.asText()))
+      val node = F.objectNode()
+      node.put("name", interned.name); node.put("pattern", interned.pattern)
+      result = result + ("pattern" -> node)
+    }
+    result.get("format").filter(_.isTextual).foreach(f => container.addFormat(f.asText()))
+    val nullable = Option(schema.get("nullable")).filter(_.isBoolean)
+      .map(_.asBoolean()).getOrElse(model.attributes.nullable)
+    model.attributes = Attributes(
+      description = Option(schema.get("description")).filter(_.isTextual)
+        .map(_.asText().linesIterator.mkString(" ")),
+      default = Option(schema.get("default")),
+      nullable = nullable,
+      validation = if (result.nonEmpty) Some(result) else None,
+      x = x,
+      schema = if (options.keepSchema) Some(schema) else None,
+      schemaHash = hash)
+    model
+  }
+
+  /** jsonschema/mod.rs:556-599 simplify_type: `type: [..]` arrays collapse
+    * to nullable + single type, or a synthesized oneOf of the variants.
+    */
+  def simplifyType(node: JsonNode): JsonNode = {
+    val types = node.get("type").elements().asScala
+      .filter(_.isTextual).map(_.asText()).toBuffer
+    val nullable = types.contains("null")
+    if (nullable) { types -= "null"; () }
+    val out = node.deepCopy[ObjectNode]()
+    out.put("nullable", nullable)
+    if (types.length == 1) out.put("type", types.head)
+    else {
+      out.remove("type")
+      val oneOf = out.putArray("oneOf")
+      types.foreach { t =>
+        val variant = node.deepCopy[ObjectNode]()
+        variant.put("type", t)
+        oneOf.add(variant)
+      }
+    }
+    out
+  }
+
+  /** jsonschema/mod.rs:262-397 extract_type: the keyword dispatch. */
+  def extractType(node: JsonNode, container: ModelContainer, scope: SchemaScope,
+      resolver: Resolver, options: Options): Model =
+    resolver.resolve(node, scope) { (node, scope) =>
+      container.resolve(scope) match {
+        case Some(model) => Model.copyOf(model)
+        case None if scope.recurse =>
+          Model(AnyType) // circular ref (mod.rs:279-285)
+        case None =>
+          require(node.isObject, "Schema is not an object")
+          val title = extractTitle(node, scope)
+          scope.entity(title)
+          val hasId = Option(node.get("$id")).filter(_.isTextual).exists { id =>
+            scope.addSpace(Space.Id(id.asText())); true
+          }
+          val result = try {
+            Option(node.get("type")) match {
+              case Some(t) if t.isTextual =>
+                val model = t.asText() match {
+                  case "object" => fromObject(node, container, scope, resolver, options)
+                  case "array" => fromArray(node, container, scope, resolver, options)
+                  case _ =>
+                    try fromConst(node, scope)
+                    catch { case _: IllegalArgumentException =>
+                      Model(PrimitiveType(Some(extractTitle(node, scope)), t.asText()))
+                    }
+                }
+                if (node.has("oneOf") || node.has("anyOf"))
+                  fromOneOrAnyOf(node, container, scope, resolver, options)
+                else convertToEnum(model, node, scope)
+              case Some(t) if t.isArray =>
+                extractType(simplifyType(node), container, scope, resolver, options)
+              case Some(_) =>
+                throw new IllegalArgumentException(
+                  "Type has to be an array of string or string")
+              case None =>
+                attemptChain(
+                  () => fromOneOrAnyOf(node, container, scope, resolver, options),
+                  () => fromAllOf(node, container, scope, resolver, options),
+                  () => fromPatternProperties(node, container, scope, resolver, options),
+                  () => fromConst(node, scope),
+                  () => Model(AnyType))
+            }
+          } finally { scope.pop(); () }
+          result.addSpaces(scope)
+          if (hasId) { scope.popSpace(); () }
+          addValidationAndNullable(result, node, container, options)
+      }
+    }
+
+  /** jsonschema/mod.rs:254-260 add_types. */
+  def addTypes(node: JsonNode, container: ModelContainer, scope: SchemaScope,
+      resolver: Resolver, options: Options): Unit = {
+    val model = extractType(node, container, scope, resolver, options)
+    container.add(scope, model)
+    ()
+  }
+
+  /** jsonschema/mod.rs:212-248 extract: one document (or an allow-listed
+    * array of documents) into a typed ModelContainer.
+    */
+  def extract(root: JsonNode, options: Options = Options()): ModelContainer = {
+    val container = new ModelContainer
+    val resolver = new Resolver(root)
+    if (options.allowList && root.isArray) {
+      val scope = new SchemaScope
+      root.elements().asScala.zipWithIndex.foreach { case (body, i) =>
+        scope.index(i)
+        addTypes(body, container, scope, resolver, options)
+        scope.pop()
+      }
+    } else addTypes(root, container, new SchemaScope, resolver, options)
+    container
+  }
+
+  // -------------------------------------------------- serde-shaped JSON
+
+  /** types.rs:420-436 FlatModel serialize — the template-facing shape:
+    * {name, type, model, required, nullable, validation, x, description,
+    * default}.
+    */
+  def flatModelJson(f: FlatModel): ObjectNode = {
+    val o = F.objectNode()
+    f.name match { case Some(n) => o.put("name", n); () case None => o.set[JsonNode]("name", F.nullNode()); () }
+    o.put("type", f.tpe)
+    f.model match {
+      case Some(m) => o.set[JsonNode]("model", flatModelJson(m)); ()
+      case None => o.set[JsonNode]("model", F.nullNode()); ()
+    }
+    o.put("required", f.attributes.required)
+    o.put("nullable", f.attributes.nullable)
+    f.attributes.validation match {
+      case Some(v) =>
+        val vn = o.putObject("validation")
+        v.toSeq.sortBy(_._1).foreach { case (k, n) => vn.set[JsonNode](k, n); () }
+      case None => o.set[JsonNode]("validation", F.nullNode()); ()
+    }
+    val xn = o.putObject("x")
+    f.attributes.x.toSeq.sortBy(_._1).foreach { case (k, n) => xn.set[JsonNode](k, n); () }
+    f.attributes.description match {
+      case Some(d) => o.put("description", d); ()
+      case None => o.set[JsonNode]("description", F.nullNode()); ()
+    }
+    f.attributes.default match {
+      case Some(d) => o.set[JsonNode]("default", d); ()
+      case None => o.set[JsonNode]("default", F.nullNode()); ()
+    }
+    o
+  }
+
+  /** Model serialize: serde's externally-tagged flattened inner — the model
+    * JSON carries one key per variant ("object"/"enum"/…) next to
+    * "attributes" and "spaces" (types.rs Model derive: `#[serde(flatten)]`
+    * inner + attributes + flattened spaces).
+    */
+  def modelJson(m: Model): ObjectNode = {
+    val o = F.objectNode()
+    def flatArr(key: String, models: Seq[FlatModel], into: ObjectNode): Unit = {
+      val a = into.putArray(key)
+      models.foreach(f => a.add(flatModelJson(f)))
+      ()
+    }
+    m.inner match {
+      case PrimitiveType(name, tpe) =>
+        val t = o.putObject("primitive")
+        name.foreach(t.put("name", _)); t.put("type", tpe); ()
+      case ObjectType(name, props, additional) =>
+        val t = o.putObject("object")
+        t.put("name", name); flatArr("properties", props, t); t.put("additional", additional); ()
+      case ArrayType(name, model) =>
+        val t = o.putObject("array")
+        name.foreach(t.put("name", _)); t.set[JsonNode]("models", flatModelJson(model)); ()
+      case EnumType(name, tpe, variants) =>
+        val t = o.putObject("enum")
+        t.put("name", name); t.put("type", tpe)
+        val a = t.putArray("options"); variants.foreach(a.add); ()
+      case ConstType(name, tpe, value) =>
+        val t = o.putObject("const")
+        t.put("name", name); t.put("type", tpe); t.put("value", value); ()
+      case MapType(name, model) =>
+        val t = o.putObject("map")
+        name.foreach(t.put("name", _)); t.set[JsonNode]("model", flatModelJson(model)); ()
+      case AnyType => o.putObject("any"); ()
+      case WrapperType(name, models, kind, strategy) =>
+        val t = o.putObject("wrapper")
+        t.put("name", name); flatArr("models", models, t)
+        t.put("kind", if (kind == "allOf") "AllOf" else "OneOf")
+        strategy match {
+          case BruteForce => t.put("strategy", "bruteForce"); ()
+          case Externally => t.put("strategy", "externally"); ()
+          case Internally(p) =>
+            val s = t.putObject("strategy"); s.put("internally", p); ()
+        }
+      case NullableOptionalWrapperType(name, model) =>
+        val t = o.putObject("optional")
+        t.put("name", name); t.set[JsonNode]("model", flatModelJson(model)); ()
+      case FlatRef(f) =>
+        o.set[JsonNode]("flat", flatModelJson(f)); ()
+    }
+    val attrs = o.putObject("attributes")
+    m.attributes.description match {
+      case Some(d) => attrs.put("description", d); ()
+      case None => attrs.set[JsonNode]("description", F.nullNode()); ()
+    }
+    m.attributes.default match {
+      case Some(d) => attrs.set[JsonNode]("default", d); ()
+      case None => attrs.set[JsonNode]("default", F.nullNode()); ()
+    }
+    attrs.put("nullable", m.attributes.nullable)
+    attrs.put("required", m.attributes.required)
+    attrs.put("reference", m.attributes.reference)
+    m.attributes.validation match {
+      case Some(v) =>
+        val vn = attrs.putObject("validation")
+        v.toSeq.sortBy(_._1).foreach { case (k, n) => vn.set[JsonNode](k, n); () }
+      case None => attrs.set[JsonNode]("validation", F.nullNode()); ()
+    }
+    attrs.set[JsonNode]("schema",
+      m.attributes.schema.getOrElse(F.nullNode()))
+    val xn = attrs.putObject("x")
+    m.attributes.x.toSeq.sortBy(_._1).foreach { case (k, n) => xn.set[JsonNode](k, n); () }
+    o.putArray("spaces")
+    o
+  }
+
+  /** ModelContainer serialize (jsonschema/mod.rs:38-48): {regexps, formats,
+    * models}.
+    */
+  def containerJson(c: ModelContainer): ObjectNode = {
+    val o = F.objectNode()
+    val r = o.putArray("regexps")
+    c.regexps.foreach { re =>
+      val n = F.objectNode(); n.put("name", re.name); n.put("pattern", re.pattern); r.add(n)
+    }
+    val fm = o.putArray("formats")
+    c.formats.foreach(fm.add)
+    val ms = o.putArray("models")
+    c.models.foreach(m => ms.add(modelJson(m)))
+    o
+  }
+}

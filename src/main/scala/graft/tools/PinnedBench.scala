@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.run.{EngineConfig, ValidationEngine}
+import graft.suite.SuiteLoader
+import org.apache.spark.sql.SparkSession
+
+/** Single-level full-suite eval for the cpuset-isolated scaling control:
+  * the process is launched once per parallelism level (the 8-core leg under
+  * `taskset -c 0-7`, the 32-core leg unpinned), so OS-level CPU affinity
+  * actually bounds the whole JVM — GC threads, Netty pools, codegen
+  * compilation — not just Spark's task slots. Prints one clean line per rep:
+  *   PINNED <cores> <rep> <wallSec>
+  * Usage: PinnedBench <cores> <dataDir> [reps]
+  */
+object PinnedBench {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-pinned-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(s"PINNED availableProcessors=${Runtime.getRuntime.availableProcessors()}")
+    val suite = SuiteLoader.parse(graft.run.Main.DefaultSuiteJson)
+    val engine = new ValidationEngine(suite, EngineConfig(numParts = 64,
+      statsColumns = Seq("repo", "path", "commit", "lang", "content_len")))
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    val dims = Map("dim_repos" -> spark.read.parquet(s"$dataDir/dim_repos"))
+    val baseline = spark.read.parquet(s"$dataDir/baseline")
+    def evalOnce(): Double = {
+      val t0 = System.nanoTime()
+      val (r, _) = engine.runConcurrent(spark, df, dims, Some(baseline))
+      r.verdicts.collect()
+      r.violations.write.mode("overwrite").parquet(s"$dataDir/_scratch_pinned")
+      r.stats.collect()
+      r.cleanup()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      sec
+    }
+    evalOnce() // warm-up (JIT + codegen)
+    for (rep <- 1 to reps)
+      println(f"PINNED $cores $rep ${evalOnce()}%.2f")
+    spark.stop()
+  }
+}

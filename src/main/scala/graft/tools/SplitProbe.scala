@@ -43,8 +43,11 @@ object SplitProbe {
         val t0 = System.nanoTime(); val r = f
         println(f"[split $cores rep$rep] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.2fs  ($r)")
       }
-      t("stats_onepass") { StatsCollector.collect(pdfAll, statsCols).count() }
-      t("stats_split") { StatsCollector.collectSplit(pdfAll, statsCols).count() }
+      // collect(), not count(): count() lets Catalyst prune the aggregate
+      // expressions out of the inner agg and the "stats pass" measures a
+      // distinct-parts job instead
+      t("stats_onepass") { StatsCollector.collect(pdfAll, statsCols).collect().length }
+      t("stats_split") { StatsCollector.collectSplit(pdfAll, statsCols).collect().length }
       t("uniq_salted16") { Uniqueness.duplicateRows(
         pdfAll.select(("__part" +: keys).map(col): _*), keys, 16).count() }
       t("uniq_direct") { Uniqueness.duplicateRows(

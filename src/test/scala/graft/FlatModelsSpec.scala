@@ -1,0 +1,368 @@
+package graft
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.suite.FlatModels
+import graft.suite.FlatModels._
+import graft.suite.SchemaDocs
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The typed FlatModel extraction algebra, mirroring the reference's
+  * jsonschema test suites: title.rs, required.rs, properties.rs, items.rs,
+  * const_.rs, enum_.rs, allof.rs, additionalproperties.rs,
+  * patternproperties.rs, anyoneof/mod.rs, and codegen/jsonschema/mod.rs
+  * (simplify_type, nullable-through-ref inheritance, additionalProperties
+  * naming, nullable-after-reference, and both currency-enum-duplication
+  * regressions on the TYPED plane).
+  */
+class FlatModelsSpec extends AnyFunSuite {
+
+  private def j(s: String): JsonNode = SchemaDocs.json.readTree(s)
+
+  private def scopeWith(entity: String): SchemaScope = {
+    val s = new SchemaScope
+    s.entity(entity)
+    s
+  }
+
+  private def assertModel(result: Model, expected: Model): Unit = {
+    assert(result.inner.likeEq(expected.inner),
+      s"inner mismatch:\n  got      ${result.inner}\n  expected ${expected.inner}")
+    assert(result.attributes.likeEq(expected.attributes),
+      s"attributes mismatch:\n  got      ${result.attributes}\n  expected ${expected.attributes}")
+  }
+
+  // ------------------------------------------------------------- title.rs
+
+  test("title: explicit title wins, scope entity otherwise (title.rs tests)") {
+    assert(extractTitle(j("""{"title":"MyTitle"}"""), new SchemaScope) === "MyTitle")
+    assert(extractTitle(j("""{"type":"string"}"""), scopeWith("MySecretTitle"))
+      === "MySecretTitle")
+  }
+
+  test("required: array extracted, missing or malformed is empty (required.rs tests)") {
+    assert(extractRequired(j("""{"required":["a","b","c"]}""")) === Seq("a", "b", "c"))
+    assert(extractRequired(j("""{}""")) === Nil)
+    assert(extractRequired(j("""{"required":"test"}""")) === Nil)
+  }
+
+  // -------------------------------------------------------- properties.rs
+
+  test("object with properties: required marking and additional flag (properties.rs x3)") {
+    for ((schema, expectAdditional) <- Seq(
+        ("""{"required":["a"],"properties":{"a":{"type":"string"},"b":{"type":"number"}},"additionalProperties":true}""", true),
+        ("""{"required":["a"],"properties":{"a":{"type":"string"},"b":{"type":"number"}},"additionalProperties":false}""", false),
+        ("""{"required":["a"],"properties":{"a":{"type":"string"},"b":{"type":"number"}}}""", true))) {
+      val result = fromObjectWithProperties(j(schema), new ModelContainer,
+        scopeWith("TestName"), Resolver.empty, Options())
+      assertModel(result, Model(ObjectType("TestName", Seq(
+        FlatModel(name = Some("a"), tpe = "string"),
+        FlatModel(name = Some("b"), tpe = "number",
+          attributes = Attributes(required = false))),
+        additional = expectAdditional)))
+    }
+  }
+
+  test("optional+nullable property wraps when enabled (properties.rs wrap test)") {
+    val schema = j(
+      """{"title":"MySchema","required":["property1"],
+        |"properties":{"property1":{"type":"string"},
+        |"property2":{"type":"number","nullable":true}}}""".stripMargin)
+    val container = new ModelContainer
+    val scope = scopeWith("TestName")
+    val result = fromObjectWithProperties(schema, container, scope, Resolver.empty,
+      Options(optionalAndNullableAsModels = true))
+    assertModel(result, Model(ObjectType("MySchema", Seq(
+      FlatModel(name = Some("property1"), tpe = "string",
+        attributes = Attributes(required = true)),
+      FlatModel(name = Some("property2"), tpe = "wrapper",
+        model = Some(FlatModel(name = Some("TestNameProperty2Optional"), tpe = "number")),
+        original = Some(0),
+        attributes = Attributes(required = false, nullable = false))),
+      additional = true)))
+    // the wrapper itself registered under the property2 scope path
+    scope.form("properties"); scope.property("property2")
+    val wrapper = container.resolve(scope).get
+    scope.reduce(2)
+    assertModel(wrapper, Model(NullableOptionalWrapperType("TestNameProperty2Optional",
+        FlatModel(name = Some("property2"), tpe = "number")))
+      .withAttributes(Attributes(required = false)))
+  }
+
+  test("object with patternProperties routes to a map (properties.rs map test)") {
+    val schema = j(
+      """{"type":"object","additionalProperties":true,
+        |"patternProperties":{"[A-Z]{2}":{"type":"number"}}}""".stripMargin)
+    val result = fromObject(schema, new ModelContainer, scopeWith("TestName"),
+      Resolver.empty, Options())
+    assertModel(result, Model(FlatRef(FlatModel(name = Some("TestName"), tpe = "map",
+      model = Some(FlatModel(name = Some("TestName"), tpe = "number",
+        attributes = Attributes(required = true)))))))
+  }
+
+  // ------------------------------------------------------------- items.rs
+
+  test("array items flatten into ArrayType (items.rs test)") {
+    val result = fromArray(j("""{"items":{"type":"number"}}"""), new ModelContainer,
+      scopeWith("TestName"), Resolver.empty, Options())
+    assertModel(result, Model(ArrayType(Some("TestName"),
+      FlatModel(name = Some("TestName"), tpe = "number"))))
+  }
+
+  // ------------------------------------------------------------- const_.rs
+
+  test("const: string and number, with the flatten shape (const_.rs tests)") {
+    val s = fromConst(j("""{"const":"mySecretValue"}"""), scopeWith("TestName"))
+    assertModel(s, Model(ConstType("TestName", "string", "mySecretValue")))
+
+    val container = new ModelContainer
+    val scope = scopeWith("TestName")
+    val n = fromConst(j("""{"const":1232}"""), scope)
+    assertModel(n, Model(ConstType("TestName", "number", "1232")))
+    val flat = n.flatten(container, scope)
+    assert(flat.likeEq(FlatModel(name = Some("TestName"), tpe = "const",
+      model = Some(FlatModel(name = Some("1232"), tpe = "number")),
+      original = Some(0))))
+  }
+
+  // -------------------------------------------------------------- enum_.rs
+
+  test("enum conversion: string/number/integer, float filtering, complex no-op (enum_.rs tests)") {
+    def prim(t: String) = Model(PrimitiveType(None, t))
+    val scope = scopeWith("TestName")
+    assertModel(convertToEnum(prim("string"), j("""{"enum":["a","b"]}"""), scope),
+      Model(EnumType("TestName", "string", Seq("a", "b"))))
+    assertModel(convertToEnum(prim("number"), j("""{"enum":[1,10,20]}"""), scope),
+      Model(EnumType("TestName", "number", Seq("1", "10", "20"))))
+    assertModel(convertToEnum(prim("integer"), j("""{"enum":[1,10,20]}"""), scope),
+      Model(EnumType("TestName", "integer", Seq("1", "10", "20"))))
+    // integer enum drops float variants (logged in the reference, kept out)
+    assertModel(convertToEnum(prim("integer"), j("""{"enum":[1,10.0,20]}"""), scope),
+      Model(EnumType("TestName", "integer", Seq("1", "20"))))
+    // complex variants: enum discarded, primitive passes through
+    assertModel(convertToEnum(prim("string"), j("""{"enum":[{"a":"b"},true]}"""), scope),
+      prim("string"))
+  }
+
+  // -------------------------------------------------------------- allof.rs
+
+  test("allOf becomes an AllOf wrapper with VariantN names (allof.rs test)") {
+    val result = fromAllOf(j("""{"allOf":[{"type":"string"},{"type":"number"}]}"""),
+      new ModelContainer, scopeWith("TestName"), Resolver.empty, Options())
+    assertModel(result, Model(WrapperType("TestName", Seq(
+      FlatModel(name = Some("Variant0"), tpe = "string"),
+      FlatModel(name = Some("Variant1"), tpe = "number")), kind = "allOf")))
+  }
+
+  // ------------------------------------------------- additionalproperties.rs
+
+  test("additionalProperties: missing/true → object, schema → map (additionalproperties.rs x3)") {
+    def run(s: String) = fromObjectWithAdditionalProperties(j(s), new ModelContainer,
+      scopeWith("TestName"), Resolver.empty, Options())
+    assertModel(run("""{"type":"object"}"""),
+      Model(ObjectType("TestName", Nil, additional = true)))
+    assertModel(run("""{"additionalProperties":true}"""),
+      Model(ObjectType("TestName", Nil, additional = true)))
+    assertModel(run("""{"additionalProperties":{"type":"string"}}"""),
+      Model(MapType(Some("TestName"),
+        FlatModel(name = Some("TestName"), tpe = "string"))))
+  }
+
+  // --------------------------------------------------- patternproperties.rs
+
+  test("patternProperties: homogeneous map, any on mixed (patternproperties.rs x2)") {
+    def run(s: String) = fromPatternProperties(j(s), new ModelContainer,
+      scopeWith("TestName"), Resolver.empty, Options())
+    assertModel(run("""{"patternProperties":{"[A-z]+":{"type":"string"},"[0-9]+":{"type":"string"}}}"""),
+      Model(FlatRef(FlatModel(name = Some("TestName"), tpe = "map",
+        model = Some(FlatModel(name = Some("TestName"), tpe = "string",
+          attributes = Attributes(required = true)))))))
+    assertModel(run("""{"patternProperties":{"[A-z]+":{"type":"string"},"[0-9]+":{"type":"number"}}}"""),
+      Model(FlatRef(FlatModel(name = Some("TestName"), tpe = "map",
+        model = Some(FlatModel(name = None, tpe = "any",
+          attributes = Attributes(required = true)))))))
+  }
+
+  // ---------------------------------------------------------- anyoneof/mod
+
+  test("oneOf of titled single-property objects: externally tagged (anyoneof external test)") {
+    val schema = j(
+      """{"oneOf":[
+        |{"title":"a","type":"object","required":["some"],"properties":{"some":{"type":"string"}}},
+        |{"title":"b","type":"object","required":["testing"],"properties":{"testing":{"type":"number"}}}]}""".stripMargin)
+    val result = fromOneOrAnyOf(schema, new ModelContainer, scopeWith("TestName"),
+      Resolver.empty, Options())
+    val w = result.inner.asInstanceOf[WrapperType]
+    assert(w.name === "TestNameVariant")
+    assert(w.strategy === Externally)
+    assert(w.models.map(_.name) === Seq(Some("Variant0"), Some("Variant1")))
+    assert(w.models.map(_.tpe) === Seq("object", "object"))
+    assert(w.models.map(_.model.get.name) === Seq(Some("AVariant"), Some("BVariant")))
+    assert(w.models.map(_.original) === Seq(Some(0), Some(1)))
+    assert(w.models.forall(_.attributes.reference))
+    val meta0 = w.models.head.attributes.x("_discriminator")
+    assert(meta0 === j(
+      """{"property":"some","properties":1,"value":{"simple":{
+        |"name":"some","type":"string","model":null,"required":true,"nullable":false,
+        |"validation":null,"x":{},"description":null,"default":null}}}""".stripMargin))
+  }
+
+  test("oneOf of const-tagged objects: internally tagged, const field detected (anyoneof internal test)") {
+    val schema = j(
+      """{"oneOf":[
+        |{"title":"a","type":"object","required":["type","some"],
+        | "properties":{"type":{"const":"value1"},"some":{"type":"string"}}},
+        |{"title":"b","type":"object","required":["type","testing"],
+        | "properties":{"type":{"const":"value2"},"testing":{"type":"number"}}}]}""".stripMargin)
+    val result = fromOneOrAnyOf(schema, new ModelContainer, scopeWith("TestName"),
+      Resolver.empty, Options())
+    val w = result.inner.asInstanceOf[WrapperType]
+    assert(w.name === "TestNameVariant")
+    assert(w.strategy === Internally("type"))
+    assert(w.models.map(_.model.get.name) === Seq(Some("AVariant"), Some("BVariant")))
+    // const models registered first → object ids 1 and 3 (anyoneof test)
+    assert(w.models.map(_.original) === Seq(Some(1), Some(3)))
+    val meta0 = w.models.head.attributes.x("_discriminator")
+    assert(meta0 === j(
+      """{"property":"type","properties":1,
+        |"value":{"model":{"name":"value1","kind":"string"}}}""".stripMargin))
+  }
+
+  test("oneOf [null, object] simplifies to a nullable object (anyoneof nullable test)") {
+    val schema = j(
+      """{"oneOf":[{"type":"null"},
+        |{"type":"object","required":"test","properties":{"test":{"type":"string"}}}]}""".stripMargin)
+    val result = fromOneOrAnyOf(schema, new ModelContainer, scopeWith("TestName"),
+      Resolver.empty, Options())
+    assertModel(result, Model(ObjectType("TestName", Seq(
+        FlatModel(name = Some("test"), tpe = "string",
+          attributes = Attributes(required = false))),
+        additional = true))
+      .withAttributes(Attributes(nullable = true)))
+  }
+
+  test("oneOf of two primitives: BruteForce wrapper (anyoneof map test)") {
+    val result = fromOneOrAnyOf(j("""{"oneOf":[{"type":"string"},{"type":"number"}]}"""),
+      new ModelContainer, scopeWith("TestName"), Resolver.empty, Options())
+    val w = result.inner.asInstanceOf[WrapperType]
+    assert(w.name === "TestNameVariant" && w.strategy === BruteForce)
+    assert(w.models.map(m => (m.name, m.tpe)) ===
+      Seq((Some("Variant0"), "string"), (Some("Variant1"), "number")))
+  }
+
+  test("single-variant oneOf collapses to the type itself (anyoneof single test)") {
+    val result = fromOneOrAnyOf(
+      j("""{"oneOf":[{"type":"object","required":"test","properties":{"test":{"type":"string"}}}]}"""),
+      new ModelContainer, scopeWith("TestName"), Resolver.empty, Options())
+    assertModel(result, Model(ObjectType("TestName", Seq(
+      FlatModel(name = Some("test"), tpe = "string",
+        attributes = Attributes(required = false))), additional = true)))
+  }
+
+  // -------------------------------------------------------------- mod.rs
+
+  test("simplify_type: oneOf expansion, nullable collapse, single type (mod.rs x3)") {
+    assert(simplifyType(j("""{"type":["null","string","boolean"],"description":"testing"}""")) ===
+      j("""{"description":"testing","nullable":true,
+          |"oneOf":[{"type":"string","description":"testing"},
+          |         {"type":"boolean","description":"testing"}]}""".stripMargin))
+    assert(simplifyType(j("""{"type":["null","string"]}""")) ===
+      j("""{"type":"string","nullable":true}"""))
+    assert(simplifyType(j("""{"type":["string"]}""")) ===
+      j("""{"type":"string","nullable":false}"""))
+  }
+
+  test("nullable oneOf inherits validation and x through a $ref (mod.rs inherit test)") {
+    val doc = j(
+      """{"definitions":{"def2":{"type":"string","format":"decimal","x-test":"sssss"}},
+        |"title":"MySecretName",
+        |"oneOf":[{"type":"null"},{"$ref":"#/definitions/def2"}]}""".stripMargin)
+    val result = extractType(doc, new ModelContainer, new SchemaScope,
+      new Resolver(doc), Options())
+    assertModel(result, Model(PrimitiveType(Some("MySecretName"), "string"))
+      .withAttributes(Attributes(nullable = true,
+        validation = Some(Map("format" -> j("\"decimal\""))),
+        x = Map("test" -> j("\"sssss\"")))))
+  }
+
+  test("additionalProperties chained through refs extracts cleanly (mod.rs naming test)") {
+    val doc = j(
+      """{"definitions":{
+        |  "def2":{"type":"object","additionalProperties":{"$ref":"#/definitions/common"}},
+        |  "common":{"type":"string"}},
+        |"title":"MySecretName","type":"object",
+        |"additionalProperties":{"$ref":"#/definitions/def2"}}""".stripMargin)
+    val container = FlatModels.extract(doc) // must not throw
+    assert(container.models.nonEmpty)
+  }
+
+  test("nullable after resolving reference: serde JSON shape (mod.rs test)") {
+    val doc = j(
+      """{"definitions":{"def2":{"title":"Testing","type":"object",
+        |  "required":["property1"],"properties":{"property1":{"type":"string"}}}},
+        |"title":"MySecretName","type":"object",
+        |"properties":{
+        |  "xxxx":{"$ref":"#/definitions/def2"},
+        |  "yyyy":{"oneOf":[{"type":"null"},{"$ref":"#/definitions/def2"}]}}}""".stripMargin)
+    val container = FlatModels.extract(doc, Options(mergeSimilarModels = true))
+    val value = containerJson(container)
+    val models = value.get("models").elements()
+    var root: JsonNode = null
+    models.forEachRemaining { m =>
+      if (m.has("object") && m.get("object").get("name").asText() == "MySecretName") root = m
+    }
+    assert(root != null, s"MySecretName object missing in ${value.toPrettyString}")
+    val properties = root.get("object").get("properties")
+    assert(properties.size() === 2)
+    assert(!properties.get(0).get("nullable").asBoolean())
+    assert(properties.get(0).get("model").get("name").asText() === "Testing")
+    assert(properties.get(1).get("nullable").asBoolean())
+  }
+
+  test("currency-code enum referenced from many sites stays ONE model (mod.rs repro, both modes)") {
+    def doc(extraProps: String) = j(
+      s"""{"definitions":{"CurrencyCodeType":{"title":"CurrencyCodeType",
+         |  "type":"string","enum":["AED","AFN","ALL"]}},
+         |"title":"schema","type":"object",
+         |"properties":{
+         |  "CurrencyCodeType":{"$$ref":"#/definitions/CurrencyCodeType"},
+         |  "Entity":{"type":"object","required":["currencyCode"],
+         |    "properties":{"currencyCode":{"$$ref":"#/definitions/CurrencyCodeType"}}}
+         |  $extraProps}}""".stripMargin)
+    val full = doc(
+      ""","NominalHolder":{"type":"object","required":["nominalCurrencyCode"],
+        |  "properties":{"nominalCurrencyCode":{"oneOf":[
+        |    {"$ref":"#/definitions/CurrencyCodeType"},{"type":"null"}]}}},
+        |"AcceptedHolder":{"type":"object","required":["acceptedCurrencies"],
+        |  "properties":{"acceptedCurrencies":{"type":["array","null"],
+        |    "items":{"$ref":"#/definitions/CurrencyCodeType"}}}}""".stripMargin)
+    // with merge_similar_models (full repro)
+    val merged = FlatModels.extract(full, Options(mergeSimilarModels = true))
+    val enumNames = merged.models.filter(_.inner.isInstanceOf[EnumType]).map(_.name)
+    assert(enumNames === Seq("CurrencyCodeType"),
+      s"expected ONE CurrencyCodeType enum, got $enumNames")
+    // without the flag: identical structural duplicates still deduplicate
+    val plain = FlatModels.extract(doc(""), Options())
+    val plainEnums = plain.models.filter(_.inner.isInstanceOf[EnumType]).map(_.name)
+    assert(plainEnums === Seq("CurrencyCodeType"),
+      s"expected ONE CurrencyCodeType enum without merge flag, got $plainEnums")
+  }
+
+  test("circular $refs resolve to any instead of recursing forever") {
+    val doc = j(
+      """{"definitions":{"node":{"title":"Node","type":"object",
+        |  "properties":{"next":{"$ref":"#/definitions/node"}}}},
+        |"title":"Root","type":"object",
+        |"properties":{"head":{"$ref":"#/definitions/node"}}}""".stripMargin)
+    val container = FlatModels.extract(doc)
+    assert(container.names.contains("Root") && container.names.contains("Node"))
+  }
+
+  test("name conflicts bump the numeric suffix (container by-name path)") {
+    val doc = j(
+      """{"title":"Root","type":"object","properties":{
+        |  "a":{"title":"Thing","type":"object","properties":{"x":{"type":"string"}}},
+        |  "b":{"title":"Thing","type":"object","properties":{"y":{"type":"number"}}}}}""".stripMargin)
+    val container = FlatModels.extract(doc)
+    assert(container.names.toSet === Set("Root", "Thing", "Thing2"))
+  }
+}
