@@ -78,7 +78,8 @@ object OpenapiExtract {
   }
 
   final case class Openapi(models: ModelContainer, endpoints: Seq[Endpoint],
-      security: SecuritySchemes, tags: Seq[String])
+      security: SecuritySchemes, tags: Seq[String],
+      typed: FlatModels.ModelContainer = new FlatModels.ModelContainer)
 
   private val Methods =
     Seq("get", "put", "post", "delete", "options", "head", "patch", "trace")
@@ -325,7 +326,9 @@ object OpenapiExtract {
     }
 
     val tags = endpoints.flatMap(_.tags).distinct.sorted
-    Openapi(mc, endpoints, scontainer, tags)
+    // the TYPED model plane runs next to the lean walk (OpenapiTyped mirrors
+    // the reference's jsonschema-extraction visits); templates consume it
+    Openapi(mc, endpoints, scontainer, tags, OpenapiTyped.extract(doc, opts))
   }
 
   private def newEndpoint(doc: JsonNode, walker: Walker, scontainer: SecuritySchemes,

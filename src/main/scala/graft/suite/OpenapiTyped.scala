@@ -1,0 +1,241 @@
+package graft.suite
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.ops.Naming
+import graft.suite.FlatModels._
+import scala.jdk.CollectionConverters._
+
+/** The TYPED model plane of the OpenAPI extraction walk — the
+  * jsonschema-extraction visits the reference's `openapi::extract` makes
+  * (codegen/openapi/mod.rs:130-352): components schemas / parameters /
+  * responses / requestBodies, then every path operation's parameters,
+  * requestBody and response content schemas, each with the exact scope
+  * context the reference pushes (glues drive untitled-model naming:
+  * `{Key}`, `{Key}Parameter`, `{Key}Response`, `{Key}Request`,
+  * `{Operation}{Status}`, `{Operation}RequestBody`,
+  * `{Operation}{Name}{Kind}` — scope.rs namer glued-parts branch), plus
+  * Tag/Operation space tagging for unused-model retention
+  * (mod.rs:319-344).
+  *
+  * Runs NEXT TO the lean inventory walk ([[OpenapiExtract.Walker]]): the
+  * lean plane feeds the distributed queries (hashes, nullability,
+  * uniqueness), this plane feeds templates with the reference's full typed
+  * models. Both planes key shared `$ref` targets to one model: the
+  * resolver's reference-rooted `scope.path()` makes a components-walk site
+  * and a `$ref` visit from an endpoint map to the same container entry
+  * (the dedup mechanism of mod.rs ModelContainer::add + scope.rs path).
+  */
+object OpenapiTyped {
+
+  private val Methods =
+    Seq("get", "put", "post", "delete", "options", "head", "patch", "trace")
+
+  /** Extract the typed model container from a (dereferenced-or-internal-ref)
+    * OpenAPI document. `keptOps`: when endpoint filtering applies, the
+    * surviving operation-id candidates — models reached only from dropped
+    * operations are retained/removed with the reference's spaces logic.
+    */
+  def extract(root: JsonNode, opts: OpenapiExtract.Options = OpenapiExtract.Options()
+             ): FlatModels.ModelContainer = {
+    val container = new FlatModels.ModelContainer
+    val scope = new SchemaScope
+    val resolver = new Resolver(root)
+    val options = FlatModels.Options(mergeSimilarModels = opts.mergeSimilarModels)
+
+    def objFields(n: JsonNode): Seq[(String, JsonNode)] =
+      if (n == null || !n.isObject) Nil
+      else n.fields().asScala.map(e => e.getKey -> e.getValue).toSeq
+
+    val components = root.get("components")
+
+    // components/schemas (mod.rs:199-214)
+    for ((key, node) <- objFields(Option(components).map(_.get("schemas")).orNull)) {
+      scope.any("components").any("schemas").definition(key)
+      scope.glue(key)
+      addTypes(node, container, scope, resolver, options)
+      scope.pop() // glue
+      scope.reduce(3)
+    }
+
+    // components/parameters (mod.rs:216-233)
+    for ((key, node) <- objFields(Option(components).map(_.get("parameters")).orNull)) {
+      Option(node.get("schema")).foreach { schema =>
+        scope.any("components").any("parameters").definition(key).any("schema")
+        scope.glue(key).glue("parameter")
+        addTypes(schema, container, scope, resolver, options)
+        scope.reduce(2)
+        scope.reduce(4)
+      }
+    }
+
+    // components/responses + requestBodies: …/content/*/schema
+    // (mod.rs:235-268)
+    def contentSites(section: String, glue2: String): Unit =
+      for ((key, node) <- objFields(Option(components).map(_.get(section)).orNull);
+           (ct, ctNode) <- objFields(node.get("content"));
+           schema <- Option(ctNode.get("schema"))) {
+        scope.any("components").any(section).definition(key)
+          .any("content").any(ct).any("schema")
+        scope.glue(key).glue(glue2)
+        addTypes(schema, container, scope, resolver, options)
+        scope.reduce(2)
+        scope.reduce(6)
+      }
+    contentSites("responses", "response")
+    contentSites("requestBodies", "request")
+
+    // paths (mod.rs:270-295 + endpoint.rs/responses.rs/requestbody.rs/
+    // parameters.rs scope flow)
+    for ((path, pathNode0) <- objFields(root.get("paths"))) {
+      scope.any("paths").any(path)
+      resolver.resolve(pathNode0, scope) { (pathNode, scope) =>
+        // path-level shared parameters (endpoint.rs:69-77)
+        scope.any("parameters")
+        extractParameters(pathNode, container, scope, resolver, options)
+        scope.pop()
+        for (method <- Methods; op <- Option(pathNode.get(method))) {
+          scope.any(method)
+          val operation = Option(op.get("operationId")).filter(_.isTextual)
+            .map(_.asText())
+            .getOrElse(Naming.operationId(method, path, reverse = true).get)
+          val tags = Option(op.get("tags")).filter(_.isArray)
+            .map(_.elements().asScala.filter(_.isTextual).map(_.asText()).toSeq)
+            .filter(_.nonEmpty).getOrElse(Seq("default"))
+          scope.glue(operation)
+          tags.foreach(t => scope.addSpace(Space.Tag(t)))
+          scope.addSpace(Space.Operation(operation))
+          // operation-level parameters (endpoint.rs:174-178)
+          extractParametersBlock(op, container, scope, resolver, options)
+          // responses (responses.rs:40-233)
+          Option(op.get("responses")).foreach { responses0 =>
+            scope.property("responses")
+            resolver.resolve(responses0, scope) { (responses, scope) =>
+              for ((code, respNode0) <- objFields(responses)) {
+                scope.property(code)
+                resolver.resolve(respNode0, scope) { (resp, scope) =>
+                  val statusCode = if (code == "default") "0"
+                    else code.toIntOption.map(_.toString).getOrElse(code)
+                  scope.glue(statusCode)
+                  getContent(resp, container, scope, resolver, options)
+                  scope.pop()
+                  // response headers model sites (responses.rs:193-218):
+                  // synthesized header params (in=header)
+                  for ((hname, hnode) <- objFields(resp.get("headers"));
+                       schema <- Option(hnode.get("schema"))) {
+                    scope.any("schema").glue(hname).glue("header")
+                    extractType(schema, container, scope, resolver, options)
+                      .flatten(container, scope)
+                    scope.reduce(3)
+                  }
+                }
+                scope.pop()
+              }
+            }
+            scope.pop()
+          }
+          // requestBody (requestbody.rs:20-69)
+          Option(op.get("requestBody")).foreach { rb0 =>
+            scope.property("requestBody")
+            resolver.resolve(rb0, scope) { (rb, scope) =>
+              scope.glue("request").glue("body")
+              getContent(rb, container, scope, resolver, options)
+              scope.reduce(2)
+            }
+            scope.pop()
+          }
+          scope.clearSpaces()
+          scope.pop() // glue(operation)
+          scope.pop() // any(method)
+        }
+      }
+      scope.reduce(2)
+    }
+
+    // endpoint filtering → unused-model retention (mod.rs:297-344)
+    val filtering = opts.skipEndpoints.nonEmpty || opts.onlyEndpoints.nonEmpty ||
+      opts.skipUnusedModels
+    if (filtering) {
+      val kept = keptOperations(root, opts)
+      container.retain { m =>
+        val ops = m.spaces.collect { case Space.Operation(o) => o }
+        if (ops.isEmpty) !opts.skipUnusedModels
+        else ops.exists(kept.contains)
+      }
+    }
+    container
+  }
+
+  /** The operation ids surviving the skip/only endpoint filters — the same
+    * candidate logic as the reference's econtainer.endpoints retain
+    * (mod.rs:301-315).
+    */
+  private def keptOperations(root: JsonNode, opts: OpenapiExtract.Options): Set[String] = {
+    val kept = Set.newBuilder[String]
+    for ((path, pathNode) <- Option(root.get("paths")).filter(_.isObject).toSeq
+           .flatMap(_.fields().asScala.map(e => e.getKey -> e.getValue));
+         method <- Methods; op <- Option(pathNode.get(method))) {
+      val operation = Option(op.get("operationId")).filter(_.isTextual).map(_.asText())
+        .getOrElse(Naming.operationId(method, path, reverse = true).get)
+      val original = Option(op.get("x-original-operation-id")).filter(_.isTextual)
+        .map(_.asText())
+      val candidates = operation +: original.toSeq
+      val skipped = candidates.exists(opts.skipEndpoints.contains)
+      val keep = opts.onlyEndpoints.isEmpty ||
+        candidates.exists(opts.onlyEndpoints.contains)
+      if (!skipped && keep) kept ++= candidates
+    }
+    kept.result()
+  }
+
+  /** parameters.rs:57-98 extract + :100-167 extract_parameter — only the
+    * model plane (the Parameter rows themselves live in the lean walk).
+    */
+  private def extractParametersBlock(node: JsonNode, container: FlatModels.ModelContainer,
+      scope: SchemaScope, resolver: Resolver, options: FlatModels.Options): Unit =
+    extractParameters(node, container, scope, resolver, options)
+
+  private def extractParameters(node: JsonNode, container: FlatModels.ModelContainer,
+      scope: SchemaScope, resolver: Resolver, options: FlatModels.Options): Unit =
+    Option(node.get("parameters")).filter(_.isArray).foreach { params =>
+      scope.addSpace(Space.Parameter)
+      scope.any("parameters")
+      params.elements().asScala.zipWithIndex.foreach { case (param0, i) =>
+        scope.index(i)
+        resolver.resolve(param0, scope) { (param, scope) =>
+          for (name <- Option(param.get("name")).filter(_.isTextual).map(_.asText());
+               kind <- Option(param.get("in")).filter(_.isTextual).map(_.asText());
+               schema <- Option(param.get("schema"))) {
+            scope.any("schema").glue(name).glue(kind)
+            extractType(schema, container, scope, resolver, options)
+              .flatten(container, scope)
+            scope.reduce(3)
+          }
+        }
+        scope.pop()
+      }
+      scope.pop()
+      scope.popSpace()
+      ()
+    }
+
+  /** openapi/mod.rs:356-407 get_content — the model plane of
+    * content/<type>/schema sites.
+    */
+  private def getContent(data: JsonNode, container: FlatModels.ModelContainer,
+      scope: SchemaScope, resolver: Resolver, options: FlatModels.Options): Unit =
+    Option(data.get("content")).filter(_.isObject).foreach { content =>
+      scope.any("content")
+      content.fields().asScala.foreach { e =>
+        scope.any(e.getKey)
+        Option(e.getValue.get("schema")).foreach { schema =>
+          scope.any("schema")
+          extractType(schema, container, scope, resolver, options)
+            .flatten(container, scope)
+          scope.pop()
+        }
+        scope.pop()
+      }
+      scope.pop()
+      ()
+    }
+}

@@ -12,11 +12,12 @@ import graft.suite.OpenapiExtract.{Endpoint, Openapi}
   * (Condition), :121-186 (GroupBy/TagGroup), :92-99 (Filename) and
   * codegen/mod.rs:29-60 (`format` key=value[;value] parsing).
   *
-  * The distributed mapping of "render" is one REPORT ROW per rendered unit
-  * (template × group that passes its condition, with the resolved target
-  * filename and unit cardinality) — the parquet-report analog of
-  * renderer.rs:36-110's file writes; the Tera text back-end itself is
-  * out of the engine's scope (SURVEY §2.10).
+  * Two render back-ends: [[renderPlan]] emits one REPORT ROW per unit
+  * (template × group passing its condition, with the resolved target
+  * filename and cardinality — the parquet-report analog of
+  * renderer.rs:36-110's file writes, kept for `--plan-only`), and
+  * [[renderAll]] renders real TEXT through [[TeraLite]] against the
+  * serde-shaped context the reference passes to Tera ([[Context]]).
   */
 object Templates {
 
@@ -356,6 +357,17 @@ object Templates {
       o
     }
 
+    /** The model plane: the TYPED container's serde shape when the walk
+      * produced one (FlatModels.containerJson — full reference parity:
+      * {regexps, formats, models} with externally-tagged typed models),
+      * falling back to the lean inventory shape for hand-built Openapi
+      * values whose typed plane is empty.
+      */
+    def modelsPlane(o: Openapi): ObjNode =
+      if (o.typed.models.nonEmpty || o.models.models.isEmpty)
+        FlatModels.containerJson(o.typed)
+      else models(o.models)
+
     /** The lean models plane: {regexps, formats, models} with each model as
       * the inventory row (name, kind, properties) — jsonschema/mod.rs:38-48
       * field names, lean payload.
@@ -386,7 +398,7 @@ object Templates {
     def openapi(o: Openapi, contentType: String,
                 endpoints: Seq[Endpoint]): ObjNode = {
       val node = JF.objectNode()
-      node.set[JsonNode]("models", models(o.models))
+      node.set[JsonNode]("models", modelsPlane(o))
       val eps = node.putArray("endpoints")
       endpoints.foreach(e => eps.add(endpoint(e, contentType)))
       val sec = node.putObject("security")
@@ -406,6 +418,18 @@ object Templates {
       data.set[JsonNode](e.getKey, e.getValue); ()
     }
     data
+  }
+
+  /** `formats` as a top-level template variable — the reference inserts
+    * container.data["formats"] = openapi.models.formats() for endpoints and
+    * tags templates (templates.rs:396-400, 489-492); sourced here from the
+    * typed model plane's format registry.
+    */
+  private def withFormats(ctx: ObjNode, o: Openapi): ObjNode = {
+    val arr = JF.arrayNode()
+    o.typed.formats.foreach(arr.add)
+    ctx.set[JsonNode]("formats", arr)
+    ctx
   }
 
   /** One rendered unit: the plan row plus the Tera-rendered text (None when
@@ -440,7 +464,7 @@ object Templates {
           if (passes(container))
             Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None,
                 0, openapi.models.models.size),
-              withContainer(Context.models(openapi.models), container)))
+              withFormats(withContainer(Context.modelsPlane(openapi), container), openapi)))
           else Nil
         case "tags" =>
           // one unit carrying every tag group (templates.rs:434-516):
@@ -456,7 +480,7 @@ object Templates {
                 .foreach(e => eps.add(Context.endpoint(e, t.contentType)))
               tagsArr.add(tg)
             }
-            val ctx = withContainer(data, container)
+            val ctx = withFormats(withContainer(data, container), openapi)
             ctx.set[JsonNode]("tags", tagsArr)
             Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None, 0, 0),
               ctx))
@@ -472,7 +496,8 @@ object Templates {
               .getOrElse(openapi.endpoints)
             if (passes(c))
               Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(c), g, kept.size, 0),
-                withContainer(Context.openapi(openapi, t.contentType, kept), c)))
+                withFormats(withContainer(
+                  Context.openapi(openapi, t.contentType, kept), c), openapi)))
             else Nil
           }
       }

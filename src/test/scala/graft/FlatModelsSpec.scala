@@ -357,6 +357,31 @@ class FlatModelsSpec extends AnyFunSuite {
     assert(container.names.contains("Root") && container.names.contains("Node"))
   }
 
+  test("typed OpenAPI plane: 01-simple.yaml models dedupe across $ref sites with glued names") {
+    val doc = SchemaDocs.loadUrl(SchemaDocs.pathToUrl(
+      "/root/reference/crates/schematools/resources/test/openapi/01-simple.yaml"))
+    val o = graft.suite.OpenapiExtract.extract(doc)
+    // components-registered sites keyed by reference path: every endpoint's
+    // $ref to response1/requestBody1 maps to the SAME four models (the
+    // reference's scope.path() dedup), names from the glue chain
+    // {Key}{Response|Request} + nested property entities
+    assert(o.typed.names === Seq("Response1ResponseErrorData", "Response1ResponseError",
+      "Response1Response", "RequestBody1Request"))
+    // every model carries the operations that reach it (spaces provenance)
+    val resp = o.typed.models.find(_.name == "Response1Response").get
+    val ops = resp.spaces.collect { case FlatModels.Space.Operation(op) => op }
+    assert(ops === Set("resourceCreateV2", "resourceGet", "resourceUpdateV2"))
+    // skip-unused-models retains only operation-reachable models
+    val onlyGet = graft.suite.OpenapiExtract.extract(doc,
+      graft.suite.OpenapiExtract.Options(onlyEndpoints = Seq("resourceGet"),
+        skipUnusedModels = true))
+    val keptOps = onlyGet.typed.models
+      .flatMap(_.spaces.collect { case FlatModels.Space.Operation(op) => op }).toSet
+    assert(keptOps.contains("resourceGet"))
+    assert(!onlyGet.typed.names.contains("RequestBody1Request"),
+      "request body reached only from resourceCreateV2 must drop")
+  }
+
   test("name conflicts bump the numeric suffix (container by-name path)") {
     val doc = j(
       """{"title":"Root","type":"object","properties":{

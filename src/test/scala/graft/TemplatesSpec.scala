@@ -254,9 +254,11 @@ class TemplatesSpec extends AnyFunSuite {
     val openapi = OpenapiExtract.extract(doc)
     val container = j("""{"options":{"pkg":"api"}}""")
     val ts = Seq(
+      // typed models are externally tagged ({"object": {...}}), so templates
+      // branch on the variant key — the reference's serde shape
       fromContent("models.j2",
         s"{# type=models,filename=models.rs,$minOk #}\n" +
-          "{% for model in models %}struct {{ model.name }};{% endfor %}"),
+          "{% for model in models %}{% if model.object %}struct {{ model.object.name }};{% endif %}{% endfor %}"),
       fromContent("mod.j2",
         s"{# type=static,filename=%options.pkg%.rs,$minOk #}\npkg {{ options.pkg }}"),
       fromContent("empty.j2", s"{# type=static,filename=never.rs,$minOk #}\n  \n"))
