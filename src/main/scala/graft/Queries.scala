@@ -615,6 +615,39 @@ object Queries {
           sum("s204").as("n_success_204"),
           sum("vnd").as("n_vnd"))
         .orderBy("doc_id", "tag")
+    }),
+
+    // TYPED model plane, distributed: each synthesized document's response
+    // schemas carry a deterministic mix of object / enum / oneOf-wrapper /
+    // primitive shapes (pk arithmetic); the FULL typed extraction
+    // (OpenapiTyped over FlatModels — scope naming, container merge,
+    // flatten) runs per document INSIDE the executors, and the per-doc
+    // typed-model inventory aggregates as a DataFrame. Primitives register
+    // no container model (reference flatten semantics), which the oracle's
+    // arithmetic replays.
+    "q_typed_models" -> ((s, dir) => {
+      import graft.suite.OpenapiTyped
+      import s.implicits._
+      val rows = t(s, dir, "part").where(col("p_partkey") < EndpointsPkCap)
+        .select(col("p_partkey")).as[Long]
+      val kinds = rows.groupByKey(_ % MultiDocCount).flatMapGroups { (docId, it) =>
+        val doc = typedDoc(it.toSeq.sorted)
+        OpenapiTyped.extract(doc).models.map { m =>
+          val kind = m.inner match {
+            case _: graft.suite.FlatModels.ObjectType => "object"
+            case _: graft.suite.FlatModels.EnumType => "enum"
+            case _: graft.suite.FlatModels.WrapperType => "wrapper"
+            case other => other.getClass.getSimpleName
+          }
+          (docId, kind)
+        }
+      }.toDF("doc_id", "kind")
+      kinds.groupBy("doc_id").agg(
+          count(lit(1)).as("n_models"),
+          sum(when(col("kind") === "object", 1L).otherwise(0L)).as("n_objects"),
+          sum(when(col("kind") === "enum", 1L).otherwise(0L)).as("n_enums"),
+          sum(when(col("kind") === "wrapper", 1L).otherwise(0L)).as("n_wrappers"))
+        .orderBy("doc_id")
     })
   )
 
@@ -660,6 +693,42 @@ object Queries {
         rb.putObject("content").putObject("application/json")
           .putObject("schema").put("type", "string")
       }
+      ()
+    }
+    root
+  }
+
+  /** q_typed_models document: one GET per pk whose 200-response schema is a
+    * deterministic typed shape — pk%6==0 a titled oneOf wrapper, else
+    * pk%7==0 a titled string enum, else pk%2==0 a titled object, else an
+    * untitled primitive (which registers NO container model — flatten
+    * inlines primitives, types.rs:492-516).
+    */
+  def typedDoc(pks: Seq[Long]): com.fasterxml.jackson.databind.JsonNode = {
+    val json = graft.suite.SchemaDocs.json
+    val root = json.createObjectNode()
+    root.put("openapi", "3.0.0")
+    val info = root.putObject("info"); info.put("title", "Typed"); info.put("version", "1.0")
+    val paths = root.putObject("paths")
+    pks.foreach { pk =>
+      val m = paths.putObject(s"/typed/r$pk").putObject("get")
+      m.put("operationId", s"op$pk")
+      val ok = m.putObject("responses").putObject("200")
+      ok.put("description", "ok")
+      val schema = ok.putObject("content").putObject("application/json").putObject("schema")
+      if (pk % 6 == 0) {
+        schema.put("title", s"M$pk")
+        val oneOf = schema.putArray("oneOf")
+        oneOf.addObject().put("type", "string")
+        oneOf.addObject().put("type", "number")
+      } else if (pk % 7 == 0) {
+        schema.put("title", s"M$pk"); schema.put("type", "string")
+        val e = schema.putArray("enum"); e.add("a"); e.add("b")
+      } else if (pk % 2 == 0) {
+        schema.put("title", s"M$pk"); schema.put("type", "object")
+        schema.putArray("required").add("id")
+        schema.putObject("properties").putObject("id").put("type", "string")
+      } else schema.put("type", "string")
       ()
     }
     root
@@ -1000,6 +1069,18 @@ object Queries {
          | CAST(sum(s204) AS BIGINT) AS n_success_204,
          | CAST(sum(vnd) AS BIGINT) AS n_vnd
          |FROM e GROUP BY doc_id, tag ORDER BY doc_id, tag""".stripMargin,
+    "q_typed_models" ->
+      s"""WITH e AS (SELECT p_partkey % $MultiDocCount AS doc_id,
+         |  CASE WHEN p_partkey % 6 = 0 THEN 'wrapper'
+         |       WHEN p_partkey % 7 = 0 THEN 'enum'
+         |       WHEN p_partkey % 2 = 0 THEN 'object'
+         |       ELSE NULL END AS kind
+         | FROM part WHERE p_partkey < $EndpointsPkCap)
+         |SELECT doc_id, count(*) AS n_models,
+         | CAST(sum(CASE WHEN kind = 'object' THEN 1 ELSE 0 END) AS BIGINT) AS n_objects,
+         | CAST(sum(CASE WHEN kind = 'enum' THEN 1 ELSE 0 END) AS BIGINT) AS n_enums,
+         | CAST(sum(CASE WHEN kind = 'wrapper' THEN 1 ELSE 0 END) AS BIGINT) AS n_wrappers
+         |FROM e WHERE kind IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_render_units" ->
       s"""WITH e AS (SELECT
          |  CASE WHEN p_partkey % 4 <> 0 THEN p_brand ELSE 'default' END AS tag
