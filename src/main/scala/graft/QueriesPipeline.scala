@@ -71,6 +71,14 @@ object QueriesPipeline {
       Dedup.minHashPairs(nearDupCorpus(s, dir), "id", "text", minEst = 0.5)
         .orderBy("id_a", "id_b")),
 
+    // dedup: substring-level duplicate SPANS (Lee et al. window dedup): every
+    // 8-word window hashed (shingle machinery), windows occurring at >1
+    // (doc, position) site corpus-wide counted per document; oracle replays
+    // the identical window-hash fold and global duplicate criterion
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpanStats(nearDupCorpus(s, dir), "id", "text", window = 8)
+        .orderBy("id")),
+
     // dedup: candidate pairs → transitive clusters with a canonical keeper
     // (min id per connected component); oracle recomputes components with a
     // recursive CTE over the identical pair list
@@ -324,6 +332,26 @@ object QueriesPipeline {
        |FROM inter JOIN sz sa ON sa.id = ia JOIN sz sb ON sb.id = ib
        |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** W=8 window-hash fold generated from the SAME constants as the Scala
+    * side (Dedup.ShingleBase / TextAnalysis.P) — one source of truth.
+    */
+  private val dupSpansOracle = {
+    val B = Dedup.ShingleBase
+    val fold = (2 to 8).foldLeft("whl[i+1]")((acc, k) => s"($acc * $B + whl[i+$k]) % $P")
+    s"""WITH $corpusCte,
+       | w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
+       | whc AS (SELECT id, list_transform(ws, tok -> ${sqlHash("tok", "ci")}) AS whl FROM w),
+       | shl AS (SELECT id, CASE WHEN len(whl) >= 8
+       |   THEN list_transform(generate_series(0, len(whl) - 8), i -> $fold)
+       |   ELSE CAST([] AS BIGINT[]) END AS shs FROM whc),
+       | win AS (SELECT id, unnest(shs) AS h FROM shl),
+       | dup AS (SELECT h FROM win GROUP BY h HAVING count(*) > 1)
+       |SELECT id, count(*) AS n_windows,
+       | CAST(coalesce(sum(CASE WHEN h IN (SELECT h FROM dup) THEN 1 ELSE 0 END), 0)
+       |   AS BIGINT) AS n_dup_windows
+       |FROM win GROUP BY id ORDER BY id""".stripMargin
+  }
 
   private val minhashSigOracle =
     s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 30),
@@ -646,6 +674,7 @@ object QueriesPipeline {
     "q_contamination" -> contaminationOracle,
     "q_seq_packing" -> packingOracle,
     "q_dedup_exact" -> dedupExactOracle,
+    "q_dup_spans" -> dupSpansOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,

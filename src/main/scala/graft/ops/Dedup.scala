@@ -115,6 +115,39 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Substring-level duplicate-SPAN statistics — the window-dedup shape of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better": mark every W-token span that occurs more than once in the
+    * corpus). A W-word window is exactly a W-shingle, so the windows reuse
+    * [[shingleHashesFromWords]] (one char pass per word, base-1000003
+    * combination — the SQL-replayable constants).
+    *
+    * Returns one row per document that has ≥1 window:
+    * (id, n_windows, n_dup_windows) where a window is "dup" when its hash
+    * occurs at more than one (doc, position) site corpus-wide.
+    *
+    * Scale shape: windows explode to ~tokens rows (the algorithm's real
+    * cost, linear in corpus tokens — the published approach's cost too);
+    * duplicate detection is ONE groupBy(h) + a semi join back on the same
+    * key (Catalyst ReuseExchange dedups the identical shuffle), then a
+    * per-doc count. Nothing all-pairs, nothing driver-side; a hot window
+    * (boilerplate that appears everywhere) lands on one reducer only for
+    * COUNTING, which map-side combine collapses.
+    */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         window: Int = 8): DataFrame = {
+    val wins = df.select(col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), window)).as("h"))
+    val dup = wins.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("h")
+    val marked = wins.join(dup, Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_dup_windows"))
+    wins.groupBy("id").agg(count(lit(1)).as("n_windows"))
+      .join(marked, Seq("id"), "left_outer")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
   /** MinHash parameters: numHashes affine permutations (a_j h + b_j) mod P.
     * Deterministic constants shared with the SQL mirror.
     */

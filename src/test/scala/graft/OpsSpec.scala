@@ -22,6 +22,36 @@ class OpsSpec extends SparkSpec {
     assert(deduped.where(col("id") >= 100000L).count() === 0)
   }
 
+  test("duplicate spans: shared windows counted, unique text has zero, counts match naive") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"alpha beta gamma $shared tail one"),
+      (2L, s"delta epsilon $shared tail two"),
+      (3L, "entirely unique words here nothing repeats at all in this document"),
+      (4L, "short text") // < 8 words → no windows → absent from output
+    ).toDF("id", "text")
+    val stats = Dedup.duplicateSpanStats(corpus, "id", "text", window = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1: 17 words → 10 windows; doc 2: 16 words → 9; doc 3: 11 → 4
+    assert(stats(1L)._1 === 10 && stats(2L)._1 === 9 && stats(3L)._1 === 4)
+    // the shared run is 13 words (common1..common12 + the common 'tail'
+    // token) → 13-8+1 = 6 fully-shared 8-windows; zero for the unique doc
+    assert(stats(1L)._2 === 6 && stats(2L)._2 === 6)
+    assert(stats(3L)._2 === 0)
+    assert(!stats.contains(4L))
+    // naive recompute: windows as strings, global count > 1
+    val win = corpus.collect().flatMap { r =>
+      val ws = r.getString(1).trim.split("\\s+")
+      ws.sliding(8).filter(_.length == 8).map(w => (r.getLong(0), w.mkString(" ")))
+    }
+    val dupSet = win.groupBy(_._2).filter(_._2.length > 1).keySet
+    val naive = win.groupBy(_._1).map { case (id, ws) =>
+      id -> (ws.length.toLong, ws.count(w => dupSet.contains(w._2)).toLong)
+    }
+    assert(stats === naive)
+  }
+
   test("ngram jaccard: prefixed near-dup pairs score high, random pairs filtered") {
     val corpus = docs.where(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
       .unionByName(docs.where(col("doc_id") < 5)
