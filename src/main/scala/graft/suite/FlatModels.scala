@@ -1214,7 +1214,14 @@ object FlatModels {
       m.attributes.schema.getOrElse(F.nullNode()))
     val xn = attrs.putObject("x")
     m.attributes.x.toSeq.sortBy(_._1).foreach { case (k, n) => xn.set[JsonNode](k, n); () }
-    o.putArray("spaces")
+    // scope.rs Space serde: externally tagged variants
+    val sp = o.putArray("spaces")
+    m.spaces.foreach {
+      case Space.Tag(v) => sp.addObject().put("Tag", v); ()
+      case Space.Operation(v) => sp.addObject().put("Operation", v); ()
+      case Space.Id(v) => sp.addObject().put("Id", v); ()
+      case Space.Parameter => sp.add("Parameter"); ()
+    }
     o
   }
 

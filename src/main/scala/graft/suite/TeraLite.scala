@@ -45,6 +45,7 @@ object TeraLite {
   private final case class For(v: String, expr: String, body: Seq[Node]) extends Node
   private final case class If(branches: Seq[(String, Seq[Node])],
                               otherwise: Seq[Node]) extends Node
+  private final case class SetVar(name: String, expr: String) extends Node
 
   private val Token = "(?s)\\{\\{.*?\\}\\}|\\{%.*?%\\}|\\{#.*?#\\}".r
 
@@ -105,6 +106,11 @@ object TeraLite {
                   } else { require(end == "endif", "unclosed if"); i += 1; open = false }
                 }
                 out += If(branches.toSeq, els)
+              case "set" =>
+                s.stripPrefix("set").trim.split("=", 2) match {
+                  case Array(name, e) => out += SetVar(name.trim, e.trim)
+                  case _ => throw new IllegalArgumentException(s"bad set: {% $s %}")
+                }
               case other =>
                 throw new IllegalArgumentException(s"unsupported statement: {% $other … %}")
             }
@@ -377,11 +383,23 @@ object TeraLite {
       case Interp(e) => sb.append(str(evalExpr(e, scopes, counter))); ()
       case For(v, e, body) =>
         val arr = evalExpr(e, scopes, counter)
-        if (arr.isArray) arr.elements().asScala.foreach { item =>
-          val scope = F.objectNode()
-          scope.set[JsonNode](v, item)
-          run(body, scope :: scopes)
+        if (arr.isArray) {
+          val n = arr.size()
+          arr.elements().asScala.zipWithIndex.foreach { case (item, i) =>
+            val scope = F.objectNode()
+            scope.set[JsonNode](v, item)
+            // tera's loop variable: index (1-based), index0, first, last
+            val loop = scope.putObject("loop")
+            loop.put("index", i + 1L); loop.put("index0", i.toLong)
+            loop.put("first", i == 0); loop.put("last", i == n - 1)
+            run(body, scope :: scopes)
+          }
         }
+      case SetVar(name, e) =>
+        // set binds into the innermost scope (tera scoping)
+        scopes.head.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .set[JsonNode](name, evalExpr(e, scopes, counter))
+        ()
       case If(branches, otherwise) =>
         branches.find { case (c, _) => truthy(evalExpr(c, scopes, counter)) } match {
           case Some((_, body)) => run(body, scopes)

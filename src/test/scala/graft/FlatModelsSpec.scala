@@ -382,6 +382,25 @@ class FlatModelsSpec extends AnyFunSuite {
       "request body reached only from resourceCreateV2 must drop")
   }
 
+  test("modelJson serializes spaces as serde externally-tagged variants (scope.rs:22-27)") {
+    val doc = SchemaDocs.loadUrl(SchemaDocs.pathToUrl(
+      "/root/reference/crates/schematools/resources/test/openapi/01-simple.yaml"))
+    val o = graft.suite.OpenapiExtract.extract(doc)
+    val resp = o.typed.models.find(_.name == "Response1Response").get
+    val js = FlatModels.modelJson(resp)
+    val sp = js.get("spaces")
+    assert(sp.isArray && sp.size() > 0)
+    import scala.jdk.CollectionConverters._
+    val ops = sp.elements().asScala.collect {
+      case n if n.isObject && n.has("Operation") => n.get("Operation").asText
+    }.toSet
+    assert(ops === Set("resourceCreateV2", "resourceGet", "resourceUpdateV2"))
+    // unit variant serializes as a bare string, tagged variants as 1-key objects
+    sp.elements().asScala.foreach { n =>
+      assert(n.isTextual || (n.isObject && n.size() == 1))
+    }
+  }
+
   test("name conflicts bump the numeric suffix (container by-name path)") {
     val doc = j(
       """{"title":"Root","type":"object","properties":{

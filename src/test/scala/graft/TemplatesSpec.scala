@@ -161,6 +161,24 @@ class TemplatesSpec extends AnyFunSuite {
     assert(TeraLite.render("{% for r in rows %}{{ r.v }};{% endfor %}", ctx2) === "1;2;")
   }
 
+  test("TeraLite: loop variables and {% set %}") {
+    val ctx = j("""{"items":["a","b","c"]}""")
+    // tera's loop object: index (1-based), index0, first, last
+    assert(TeraLite.render(
+      "{% for i in items %}{{ loop.index }}:{{ i }}{% if not loop.last %},{% endif %}{% endfor %}",
+      ctx) === "1:a,2:b,3:c")
+    assert(TeraLite.render(
+      "{% for i in items %}{% if loop.first %}[{% endif %}{{ loop.index0 }}{% endfor %}",
+      ctx) === "[012")
+    // set binds into the innermost scope; filters apply to the bound expr
+    assert(TeraLite.render(
+      "{% set x = 'user account' | pascalcase %}{{ x }}/{{ x }}", ctx) === "UserAccount/UserAccount")
+    // a set inside a for body stays scoped to that iteration's scope
+    assert(TeraLite.render(
+      "{% for i in items %}{% set u = i | upper %}{{ u }}{% endfor %}", ctx) === "ABC")
+    intercept[IllegalArgumentException](TeraLite.render("{% set broken %}", ctx))
+  }
+
   test("TeraLite: the reference filter registry delegates to CaseConv/Naming") {
     val ctx = j("""{"s":"user account","p":"/pets/{petId}/toys","n":"2fast","arr":[
       {"kind":"path","name":"id"},{"kind":"query","name":"page"}]}""")
