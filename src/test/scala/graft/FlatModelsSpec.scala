@@ -227,6 +227,40 @@ class FlatModelsSpec extends AnyFunSuite {
         |"value":{"model":{"name":"value1","kind":"string"}}}""".stripMargin))
   }
 
+  test("anyOf routes through the same path as oneOf (anyoneof *_for_any_of tests x5)") {
+    // the reference's for_any_of tests are byte-identical to the oneOf ones
+    // except for the key (anyoneof/mod.rs:503-812); assert key-equivalence on
+    // each family: externally tagged, internally tagged, nullable, brute-force
+    // primitives, single-variant collapse
+    val bodies = Seq(
+      """[{"title":"a","type":"object","required":["some"],"properties":{"some":{"type":"string"}}},
+        | {"title":"b","type":"object","required":["testing"],"properties":{"testing":{"type":"number"}}}]""".stripMargin,
+      """[{"title":"a","type":"object","required":["type","some"],
+        |  "properties":{"type":{"const":"value1"},"some":{"type":"string"}}},
+        | {"title":"b","type":"object","required":["type","testing"],
+        |  "properties":{"type":{"const":"value2"},"testing":{"type":"number"}}}]""".stripMargin,
+      """[{"type":"null"},{"type":"object","required":"test","properties":{"test":{"type":"string"}}}]""",
+      """[{"type":"string"},{"type":"number"}]""",
+      """[{"type":"object","required":"test","properties":{"test":{"type":"string"}}}]""")
+    bodies.foreach { b =>
+      val one = fromOneOrAnyOf(j(s"""{"oneOf":$b}"""), new ModelContainer,
+        scopeWith("TestName"), Resolver.empty, Options())
+      val any = fromOneOrAnyOf(j(s"""{"anyOf":$b}"""), new ModelContainer,
+        scopeWith("TestName"), Resolver.empty, Options())
+      assert(FlatModels.modelJson(any) === FlatModels.modelJson(one))
+    }
+    // and the nullable-for-any-of case resolves to the reference's exact model
+    val anyNullable = fromOneOrAnyOf(
+      j("""{"anyOf":[{"type":"null"},
+        |{"type":"object","required":"test","properties":{"test":{"type":"string"}}}]}""".stripMargin),
+      new ModelContainer, scopeWith("TestName"), Resolver.empty, Options())
+    assertModel(anyNullable, Model(ObjectType("TestName", Seq(
+        FlatModel(name = Some("test"), tpe = "string",
+          attributes = Attributes(required = false))),
+        additional = true))
+      .withAttributes(Attributes(nullable = true)))
+  }
+
   test("oneOf [null, object] simplifies to a nullable object (anyoneof nullable test)") {
     val schema = j(
       """{"oneOf":[{"type":"null"},
