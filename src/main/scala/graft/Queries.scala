@@ -648,8 +648,43 @@ object Queries {
           sum(when(col("kind") === "enum", 1L).otherwise(0L)).as("n_enums"),
           sum(when(col("kind") === "wrapper", 1L).otherwise(0L)).as("n_wrappers"))
         .orderBy("doc_id")
+    }),
+
+    // FULL distributed codegen (renderer.rs:36-110 + templates.rs:624-660,
+    // executor-side): each document is synthesized, extracted AND
+    // Tera-rendered to real file TEXT inside mapGroups — the complete
+    // `codegen openapi` path with zero driver involvement, one (doc, file,
+    // text) row per rendered unit. The oracle reconstructs the rendered
+    // file content bit-exactly in SQL from the shared construction
+    // arithmetic + the shared naming/case rule constants (Naming sql
+    // mirrors), so template parsing, the filter registry, operationId
+    // fallbacks and endpoint walk order are all under the hash check.
+    "q_codegen_multi" -> ((s, dir) => {
+      import graft.suite.{OpenapiExtract, SchemaDocs, Templates}
+      import s.implicits._
+      val rows = t(s, dir, "part").where(col("p_partkey") < EndpointsPkCap)
+        .select(col("p_partkey"), col("p_brand")).as[(Long, String)]
+      val out = rows.groupByKey(_._1 % MultiDocCount).mapGroups { (docId, it) =>
+        val doc = endpointsDoc(it.toSeq.sortBy(_._1))
+        val openapi = OpenapiExtract.extract(doc)
+        val tpl = Templates.fromContent("api.j2", CodegenMultiTemplate)
+        val rendered = Templates.renderAll(Seq(tpl), openapi,
+          SchemaDocs.json.createObjectNode())
+        (docId, rendered.head.unit.target, rendered.head.text.getOrElse(""))
+      }.toDF("doc_id", "file", "text")
+      out.orderBy("doc_id")
     })
   )
+
+  /** q_codegen_multi's endpoints template: one source line per endpoint,
+    * exercising the loop, the case filter registry and the fallback
+    * operation naming inside the executors.
+    */
+  val CodegenMultiTemplate: String =
+    "{# type=endpoints,filename=api.rs,min_version=0.1.0 #}\n" +
+      "{% for endpoint in endpoints %}pub async fn " +
+      "{{ endpoint.operation | snakecase }}() {} // " +
+      "{{ endpoint.method | upper }} {{ endpoint.path }}\n{% endfor %}"
 
   /** q_endpoints_by_tag construction constants (shared with the oracle). */
   val EndpointsPkCap = 1200L
@@ -1081,6 +1116,26 @@ object Queries {
          | CAST(sum(CASE WHEN kind = 'enum' THEN 1 ELSE 0 END) AS BIGINT) AS n_enums,
          | CAST(sum(CASE WHEN kind = 'wrapper' THEN 1 ELSE 0 END) AS BIGINT) AS n_wrappers
          |FROM e WHERE kind IS NOT NULL GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_codegen_multi" ->
+      s"""WITH e AS (SELECT p_partkey AS pk, p_partkey % $MultiDocCount AS doc_id,
+         |  CASE p_partkey % 5 WHEN 0 THEN 'get' WHEN 1 THEN 'put' WHEN 2 THEN 'post'
+         |       WHEN 3 THEN 'delete' ELSE 'patch' END AS method,
+         |  -- fallback operationId: get_operation_id(true) = [resources..., verb]
+         |  -- (endpoint.rs:134); GET keeps resources, POST singularizes, others
+         |  -- pluralize; verb get->list (no trailing '}'), post->create, patch->update
+         |  CASE WHEN p_partkey % 3 = 0 THEN 'op' || CAST(p_partkey AS VARCHAR)
+         |       ELSE CASE p_partkey % 5
+         |         WHEN 0 THEN 'itemsR' || CAST(p_partkey AS VARCHAR) || 'List'
+         |         WHEN 1 THEN 'itemsR' || CAST(p_partkey AS VARCHAR) || 'sPut'
+         |         WHEN 2 THEN 'itemR' || CAST(p_partkey AS VARCHAR) || 'Create'
+         |         WHEN 3 THEN 'itemsR' || CAST(p_partkey AS VARCHAR) || 'sDelete'
+         |         ELSE 'itemsR' || CAST(p_partkey AS VARCHAR) || 'sUpdate' END END AS op
+         | FROM part WHERE p_partkey < $EndpointsPkCap)
+         |SELECT doc_id, 'api.rs' AS file,
+         | chr(10) || string_agg('pub async fn ' || ${graft.ops.CaseConv.sqlSnake("op")} ||
+         |   '() {} // ' || upper(method) || ' /items/r' || CAST(pk AS VARCHAR) ||
+         |   chr(10), '' ORDER BY pk) AS text
+         |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_render_units" ->
       s"""WITH e AS (SELECT
          |  CASE WHEN p_partkey % 4 <> 0 THEN p_brand ELSE 'default' END AS tag

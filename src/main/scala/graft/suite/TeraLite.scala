@@ -343,6 +343,24 @@ object TeraLite {
     case "upper" => TextNode.valueOf(str(v).toUpperCase)
     case "lower" => TextNode.valueOf(str(v).toLowerCase)
     case "trim" => TextNode.valueOf(str(v).trim)
+    case "capitalize" =>
+      val s = str(v)
+      TextNode.valueOf(if (s.isEmpty) s else s.head.toUpper.toString + s.tail.toLowerCase)
+    case "replace" =>
+      TextNode.valueOf(str(v).replace(kwStr(kwargs, "from", name), kwStr(kwargs, "to", name)))
+    case "split" =>
+      val out = F.arrayNode()
+      // tera split(pat=) is a literal separator, not a regex
+      str(v).split(java.util.regex.Pattern.quote(kwStr(kwargs, "pat", name)), -1)
+        .foreach(out.add)
+      out
+    case "concat" =>
+      val out = F.arrayNode()
+      if (v != null && v.isArray) v.elements().asScala.foreach(out.add)
+      kwargs.get("with").foreach { w =>
+        if (w.isArray) w.elements().asScala.foreach(out.add) else out.add(w)
+      }
+      out
     case "length" => F.numberNode(if (v != null && (v.isArray || v.isObject)) v.size().toLong
       else str(v).length.toLong)
     case "join" =>

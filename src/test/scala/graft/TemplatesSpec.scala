@@ -179,6 +179,20 @@ class TemplatesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TeraLite.render("{% set broken %}", ctx))
   }
 
+  test("TeraLite: tera string/array builtins — capitalize, replace, split, concat") {
+    val ctx = j("""{"s":"hello WORLD","csv":"a.b.c","items":["x","y"]}""")
+    assert(TeraLite.render("{{ s | capitalize }}", ctx) === "Hello world")
+    assert(TeraLite.render("{{ s | replace(from='WORLD', to='there') }}", ctx) === "hello there")
+    // split is a literal separator (the '.' must not be a regex wildcard)
+    assert(TeraLite.render(
+      "{% for p in csv | split(pat='.') %}[{{ p }}]{% endfor %}", ctx) === "[a][b][c]")
+    assert(TeraLite.render("{{ csv | split(pat='.') | length }}", ctx) === "3")
+    assert(TeraLite.render(
+      "{{ items | concat(with='z') | join(sep='-') }}", ctx) === "x-y-z")
+    assert(TeraLite.render(
+      "{{ items | concat(with=['z','w']) | join(sep=',') }}", ctx) === "x,y,z,w")
+  }
+
   test("TeraLite: the reference filter registry delegates to CaseConv/Naming") {
     val ctx = j("""{"s":"user account","p":"/pets/{petId}/toys","n":"2fast","arr":[
       {"kind":"path","name":"id"},{"kind":"query","name":"page"}]}""")
