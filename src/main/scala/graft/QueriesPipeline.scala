@@ -263,6 +263,36 @@ object QueriesPipeline {
       CodeScan.findings(planted, "doc_id", "content").orderBy("doc_id", "kind")
     }),
 
+    // PII detection + redaction: deterministic per-doc plants (email /
+    // phone / ssn / ipv4 on coprime moduli), per-detector counts, and the
+    // SCRUBBED text itself under a sha256 — the oracle replays the plant,
+    // the counts, and the chained-mask redaction byte-for-byte, so the
+    // full rewritten text is hash-verified, not just the hit counts
+    "q_pii_redact" -> ((s, dir) => {
+      import graft.ops.PiiScan
+      val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@mail.example.org"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" ssn 078-05-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"))).otherwise(lit("")))
+        .as("text"))
+      val kindCols = PiiScan.Detectors.map { case (k, re, _) =>
+        regexp_count(col("text"), lit(re)).cast("long").as(s"n_$k")
+      }
+      aug.select(col("doc_id") +: kindCols :+
+          sha2(PiiScan.redact(col("text")), 256).as("redacted_sha"): _*)
+        .orderBy("doc_id")
+    }),
+
     // multimodal plumbing: binary payload → per-partition feature extraction
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeStub(s,
@@ -654,6 +684,23 @@ object QueriesPipeline {
        |ORDER BY doc_id, kind""".stripMargin
   }
 
+  private val piiRedactOracle = {
+    import graft.ops.PiiScan
+    val countCols = PiiScan.Detectors.map { case (k, re, _) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$k"
+    }.mkString(",\n       |  ")
+    s"""WITH c AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |  || CASE WHEN doc_id % 13 = 0 THEN ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |  || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+       |  AS text FROM documents)
+       |SELECT doc_id,
+       |  $countCols,
+       |  sha256(${PiiScan.sqlRedact("text")}) AS redacted_sha
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   private val charEntropyOracle =
     """WITH x AS (SELECT doc_id, length(text) AS n,
       |    unnest(list_transform(generate_series(1, length(text)),
@@ -670,6 +717,7 @@ object QueriesPipeline {
     "q_char_entropy" -> charEntropyOracle,
     "q_repetition" -> repetitionOracle,
     "q_secret_scan" -> secretScanOracle,
+    "q_pii_redact" -> piiRedactOracle,
     "q_stratified_sample" -> stratifiedOracle,
     "q_contamination" -> contaminationOracle,
     "q_seq_packing" -> packingOracle,

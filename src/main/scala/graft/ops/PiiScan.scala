@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over document text — the privacy face of the
+  * validation family [[CodeScan]] opens for credentials: a web-scale
+  * training-data ingest wants "no personal identifier ships into the mix"
+  * as a per-row gate, and the scrub itself (replace, don't drop) as a
+  * transformation, since dropping every PII-bearing page costs far more
+  * text than masking the spans.
+  *
+  * Detectors are anchored, dialect-portable regexes (identical semantics in
+  * Java's engine and RE2, so the DuckDB oracle replays them verbatim):
+  * email, NANP-style phone, US SSN shape, IPv4. Counting is `regexp_count`
+  * per detector; redaction is a chained `regexp_replace` to a typed mask
+  * token — per-row, zero shuffle, whole-stage codegen'd. Mask order is the
+  * declaration order and is part of the contract (a masked span is not
+  * rescanned by later detectors), which the oracle replays by nesting its
+  * `regexp_replace` calls in the same order.
+  *
+  * At 100 TB both faces are map-only passes over the text column: findings
+  * output is proportional to PII incidence (explode of a 4-element
+  * row-local array, then a filter), and the redaction projection streams —
+  * no shuffle, no driver involvement, no state.
+  */
+object PiiScan {
+
+  /** (kind, pattern, mask) detectors — shared with the oracle SQL verbatim.
+    * phone_us (3-3-4) and ssn (3-2-4) shapes are disjoint by construction;
+    * emails mask before ipv4 so a dotted-quad inside a hostname local-part
+    * attributes to the email span, deterministically on both sides.
+    */
+  val Detectors: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone_us", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"))
+
+  /** array<struct<kind, n_hits>> — one entry per detector. */
+  def matchCounts(text: Column): Column =
+    array(Detectors.map { case (kind, re, _) =>
+      struct(lit(kind).as("kind"),
+        regexp_count(text, lit(re)).cast("long").as("n_hits"))
+    }: _*)
+
+  /** Findings: one row per (id, detector) with at least one hit. */
+  def findings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(matchCounts(col(textCol))).as("m"))
+      .select(col(idCol), col("m.kind").as("kind"), col("m.n_hits").as("n_hits"))
+      .where(col("n_hits") > 0)
+
+  /** The scrub: every detector span replaced by its mask token, in
+    * declaration order.
+    */
+  def redact(text: Column): Column =
+    Detectors.foldLeft(text) { case (c, (_, re, mask)) =>
+      regexp_replace(c, lit(re), lit(mask))
+    }
+
+  /** The same redaction as a DuckDB SQL expression over `expr` — nested in
+    * the same detector order, global flag on (Spark's regexp_replace is
+    * always global).
+    */
+  def sqlRedact(expr: String): String =
+    Detectors.foldLeft(expr) { case (e, (_, re, mask)) =>
+      s"regexp_replace($e, '$re', '$mask', 'g')"
+    }
+
+  /** Row predicate for the rule plane: true iff text carries no PII. ONE
+    * alternation, rlike early-exit — same reasoning as CodeScan.clean.
+    */
+  val AnyDetector: String = Detectors.map(_._2).mkString("|")
+  def clean(text: Column): Column = !text.rlike(AnyDetector)
+}

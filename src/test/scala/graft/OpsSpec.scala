@@ -433,6 +433,46 @@ class OpsSpec extends SparkSpec {
     assert(cleanIds === Set(1L, 6L, 7L))
   }
 
+  test("pii scan: detectors fire on planted identifiers; redaction masks every span") {
+    import graft.ops.PiiScan
+    val planted = Seq(
+      (1L, "clean words only"),
+      (2L, "mail me at jane.doe+x@sub.example.org today"),
+      (3L, "call 555-867-5309 or 555-111-2222"),
+      (4L, "ssn 078-05-1120 on file"),
+      (5L, "served from 10.1.2.3 and 192.168.0.1"),
+      (6L, "not a phone 55-867-5309; not an ip 1.2.3"),
+      (7L, "mixed a@b.io 555-123-4567 078-05-1120 8.8.8.8")
+    ).toDF("id", "text")
+    val f = PiiScan.findings(planted, "id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(f === Set(
+      (2L, "email", 1L),
+      (3L, "phone_us", 2L),
+      (4L, "ssn", 1L),
+      (5L, "ipv4", 2L),
+      (7L, "email", 1L), (7L, "phone_us", 1L), (7L, "ssn", 1L), (7L, "ipv4", 1L)))
+    // redaction masks every detector span with its typed token
+    val redacted = planted.select(col("id"), PiiScan.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(redacted(2L) === "mail me at [EMAIL] today")
+    assert(redacted(3L) === "call [PHONE] or [PHONE]")
+    assert(redacted(4L) === "ssn [SSN] on file")
+    assert(redacted(5L) === "served from [IP] and [IP]")
+    assert(redacted(6L) === "not a phone 55-867-5309; not an ip 1.2.3")
+    assert(redacted(7L) === "mixed [EMAIL] [PHONE] [SSN] [IP]")
+    // redaction is idempotent: a scrubbed row is clean
+    val again = planted.select(PiiScan.redact(PiiScan.redact(col("text"))).as("r"))
+    val once = planted.select(PiiScan.redact(col("text")).as("r"))
+    assert(again.collect().map(_.getString(0)).toSeq ===
+      once.collect().map(_.getString(0)).toSeq)
+    assert(once.where(!PiiScan.clean(col("r"))).count() === 0L)
+    // rule-plane predicate agrees with findings
+    val cleanIds = planted.where(PiiScan.clean(col("text")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds === Set(1L, 6L))
+  }
+
   test("char entropy: hand values, bounds, and corpus parity with the relational formula") {
     val hand = Seq("aaaa", "abab", "abcd").toDF("text")
       .select(col("text"), TextAnalysis.charEntropy(col("text")).as("h"))
