@@ -139,6 +139,20 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("Exchange"), s"secret scan shuffles:\n$p2")
   }
 
+  test("pii redaction is a shuffle-free codegen'd projection") {
+    import graft.ops.PiiScan
+    val q = df.select(col("path"), PiiScan.redact(col("content")).as("r"),
+      PiiScan.matchCounts(col("content")).as("c"))
+    val p = plan(q)
+    assert(!p.contains("Exchange"), s"pii redaction shuffles:\n$p")
+    assert(p.contains("codegen id"), s"pii redaction left codegen:\n$p")
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs.contains("path") && rs.contains("content") && !rs.contains("lang"),
+      s"pii reads more than (path, content): $rs")
+    val p2 = plan(PiiScan.findings(df, "path", "content"))
+    assert(!p2.contains("Exchange"), s"pii findings shuffle:\n$p2")
+  }
+
   test("part fingerprints use partial aggregation (map-side combine before exchange)") {
     val engine = new ValidationEngine(RuleSuite(Seq(Required("r", "repo"))),
       EngineConfig(numParts = 8))
