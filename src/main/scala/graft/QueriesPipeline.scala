@@ -293,6 +293,30 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // URL extraction + domain-blocklist gate: a benign per-doc link always,
+    // tracker/malware domains planted on coprime moduli; per-doc URL and
+    // blocked counts plus the clean verdict — the oracle replays extraction
+    // with the same portable regexes and the same literal blocklist
+    "q_url_filter" -> ((s, dir) => {
+      import graft.ops.UrlAnalysis
+      val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(" see https://w"), (col("doc_id") % 50).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" via http://ads.tracker.bad/t/"), col("doc_id").cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" mirror https://malware.bad/dl/"), col("doc_id").cast("string")))
+          .otherwise(lit(""))).as("text"))
+      aug.select(col("doc_id"),
+          size(UrlAnalysis.extractUrls(col("text"))).cast("long").as("n_urls"),
+          UrlAnalysis.blockedCount(col("text"), UrlBlocklist).cast("long").as("n_blocked"),
+          when(UrlAnalysis.cleanOf(col("text"), UrlBlocklist), 1L).otherwise(0L)
+            .as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // multimodal plumbing: binary payload → per-partition feature extraction
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeStub(s,
@@ -684,6 +708,28 @@ object QueriesPipeline {
        |ORDER BY doc_id, kind""".stripMargin
   }
 
+  /** q_url_filter's literal blocklist (shared with the oracle). */
+  val UrlBlocklist: Seq[String] = Seq("ads.tracker.bad", "malware.bad")
+
+  private val urlFilterOracle = {
+    import graft.ops.UrlAnalysis
+    val inList = UrlBlocklist.map(d => s"'$d'").mkString(", ")
+    s"""WITH c AS (SELECT doc_id, text
+       |  || ' see https://w' || CAST(doc_id % 50 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+       |  || CASE WHEN doc_id % 9 = 0 THEN ' via http://ads.tracker.bad/t/' || CAST(doc_id AS VARCHAR) ELSE '' END
+       |  || CASE WHEN doc_id % 17 = 0 THEN ' mirror https://malware.bad/dl/' || CAST(doc_id AS VARCHAR) ELSE '' END
+       |  AS text FROM documents),
+       | u AS (SELECT doc_id, list_transform(
+       |    regexp_extract_all(text, '${UrlAnalysis.UrlRe}'),
+       |    x -> regexp_extract(x, '${UrlAnalysis.DomainRe}', 1)) AS doms FROM c),
+       | k AS (SELECT doc_id, len(doms) AS n_urls,
+       |    len(list_filter(doms, d -> d IN ($inList))) AS n_blocked FROM u)
+       |SELECT doc_id, CAST(n_urls AS BIGINT) AS n_urls,
+       | CAST(n_blocked AS BIGINT) AS n_blocked,
+       | CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS BIGINT) AS clean
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   private val piiRedactOracle = {
     import graft.ops.PiiScan
     val countCols = PiiScan.Detectors.map { case (k, re, _) =>
@@ -718,6 +764,7 @@ object QueriesPipeline {
     "q_repetition" -> repetitionOracle,
     "q_secret_scan" -> secretScanOracle,
     "q_pii_redact" -> piiRedactOracle,
+    "q_url_filter" -> urlFilterOracle,
     "q_stratified_sample" -> stratifiedOracle,
     "q_contamination" -> contaminationOracle,
     "q_seq_packing" -> packingOracle,

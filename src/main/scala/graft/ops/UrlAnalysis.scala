@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL extraction and domain-blocklist filtering over document text — the
+  * provenance gate of a web-scale ingest: "no document whose page links to
+  * a blocked domain ships", plus per-domain link analytics for corpus
+  * curation.
+  *
+  * The URL and domain regexes are dialect-portable (Java regex == RE2), so
+  * the DuckDB oracle replays extraction verbatim. Everything is built from
+  * higher-order Column functions (regexp_extract_all → transform → filter)
+  * — per-row, zero shuffle, no UDFs.
+  *
+  * Blocklist scale: [[cleanOf]] inlines a SMALL blocklist as a literal IN
+  * list (ships with the plan, broadcast-free, codegen'd) — right for the
+  * usual curated list of 10²–10⁴ domains. For a blocklist that is itself a
+  * table (millions of rows), [[blockedDocs]] explodes each row's domains
+  * (output ∝ links, not corpus × list) and LEFT SEMI joins the list —
+  * Spark broadcasts it when small, shuffles both sides when not; either
+  * way nothing is driver-bound.
+  */
+object UrlAnalysis {
+
+  /** Portable URL shape: scheme + host + optional path. Kept to a tight
+    * character class so the same literal works unescaped inside a DuckDB
+    * single-quoted SQL string.
+    */
+  val UrlRe: String = "https?://[a-z0-9.-]+(?:/[a-z0-9/._-]*)?"
+
+  /** Group 1 = the host part of a matched URL. */
+  val DomainRe: String = "^https?://([a-z0-9.-]+)"
+
+  /** All URLs in a text column, in match order. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** The domains of those URLs (one per URL, match order preserved). */
+  def domainsOf(text: Column): Column =
+    transform(extractUrls(text), u => regexp_extract(u, DomainRe, 1))
+
+  /** Count of URLs whose domain is on the (small, literal) blocklist. */
+  def blockedCount(text: Column, blocked: Seq[String]): Column =
+    size(filter(domainsOf(text), d => d.isin(blocked: _*)))
+
+  /** Row predicate for the rule plane: true iff no URL hits the blocklist. */
+  def cleanOf(text: Column, blocked: Seq[String]): Column =
+    blockedCount(text, blocked) === 0
+
+  /** The table-scale face: ids of documents with at least one URL on a
+    * blocklist DataFrame (one `domain` column). Explode is row-local and
+    * proportional to the number of links; the semi join broadcasts the
+    * list when it fits, degrades to a shuffle join when it does not.
+    */
+  def blockedDocs(df: DataFrame, idCol: String, textCol: String,
+                  blocklist: DataFrame): DataFrame =
+    df.select(col(idCol), explode(domainsOf(col(textCol))).as("domain"))
+      .join(blocklist, "domain")
+      .select(idCol).distinct()
+}

@@ -473,6 +473,35 @@ class OpsSpec extends SparkSpec {
     assert(cleanIds === Set(1L, 6L))
   }
 
+  test("url analysis: extraction, blocklist gate, and the join-face agree") {
+    import graft.ops.UrlAnalysis
+    val rows = Seq(
+      (1L, "no links here"),
+      (2L, "one https://a.example.org/x link"),
+      (3L, "bad http://ads.tracker.bad/t and good https://ok.example.org/y"),
+      (4L, "https://malware.bad/dl/1 https://malware.bad/dl/2"),
+      (5L, "scheme-less www.example.org is not a url")
+    ).toDF("id", "text")
+    val blocked = Seq("ads.tracker.bad", "malware.bad")
+    val got = rows.select(col("id"),
+        UrlAnalysis.domainsOf(col("text")).as("doms"),
+        UrlAnalysis.blockedCount(col("text"), blocked).as("nb"))
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[String](1).toList, r.getInt(2)))).toMap
+    assert(got(1L) === ((Nil, 0)))
+    assert(got(2L) === ((List("a.example.org"), 0)))
+    assert(got(3L) === ((List("ads.tracker.bad", "ok.example.org"), 1)))
+    assert(got(4L) === ((List("malware.bad", "malware.bad"), 2)))
+    assert(got(5L) === ((Nil, 0)))
+    // predicate face and table-scale join face agree
+    val cleanIds = rows.where(UrlAnalysis.cleanOf(col("text"), blocked))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(cleanIds === Set(1L, 2L, 5L))
+    val blocklistDf = blocked.toDF("domain")
+    val joined = UrlAnalysis.blockedDocs(rows, "id", "text", blocklistDf)
+      .collect().map(_.getLong(0)).toSet
+    assert(joined === Set(3L, 4L))
+  }
+
   test("char entropy: hand values, bounds, and corpus parity with the relational formula") {
     val hand = Seq("aaaa", "abab", "abcd").toDF("text")
       .select(col("text"), TextAnalysis.charEntropy(col("text")).as("h"))
