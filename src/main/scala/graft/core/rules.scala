@@ -51,6 +51,18 @@ final case class MatchesPattern(name: String, column: String, regex: String) ext
   */
 final case class NoSecrets(name: String, column: String) extends RowRule
 
+/** No personal identifier (ops.PiiScan detectors: email/phone/ssn/ipv4)
+  * occurs in the column — the privacy gate next to [[NoSecrets]].
+  */
+final case class NoPii(name: String, column: String) extends RowRule
+
+/** No URL in the column resolves to a blocked domain (ops.UrlAnalysis) —
+  * the provenance gate; `domains` is the small literal blocklist (a
+  * table-sized blocklist uses UrlAnalysis.blockedDocs instead).
+  */
+final case class NoBlockedUrls(name: String, column: String,
+                               domains: Seq[String]) extends RowRule
+
 /** format → named predicate from the pluggable format registry (the analog of
   * the reference registering formats in its container, jsonschema/mod.rs:511-513).
   */

@@ -43,6 +43,8 @@ object RuleCompiler {
       case ConstEq(_, _, v)    => nullSafe(c === lit(v))
       case MatchesPattern(_, _, re) => nullSafe(c.rlike(re))
       case NoSecrets(_, _)     => nullSafe(graft.ops.CodeScan.clean(c))
+      case NoPii(_, _)         => nullSafe(graft.ops.PiiScan.clean(c))
+      case NoBlockedUrls(_, _, ds) => nullSafe(graft.ops.UrlAnalysis.cleanOf(c, ds))
       case HasFormat(_, _, f) =>
         val fn = formats.getOrElse(f, sys.error(s"unknown format '$f'"))
         nullSafe(fn(c))

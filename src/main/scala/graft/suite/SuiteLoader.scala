@@ -121,6 +121,15 @@ object SuiteLoader {
         val c = s.asText()
         rules += NoSecrets(s"no_secrets_$c", c)
       }
+      Option(xc.get("noPii")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+        val c = s.asText()
+        rules += NoPii(s"no_pii_$c", c)
+      }
+      Option(xc.get("noBlockedUrls")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+        val c = s.get("column").asText()
+        val ds = s.get("domains").elements().asScala.map(_.asText()).toSeq
+        rules += NoBlockedUrls(s"no_blocked_urls_$c", c, ds)
+      }
       Option(xc.get("sha256")).toSeq.flatMap(_.elements().asScala).foreach { s =>
         val c = s.get("column").asText()
         rules += Sha256Invariant(s"sha256_$c", c, s.get("shaColumn").asText())
@@ -277,6 +286,8 @@ object SuiteLoader {
     case x: MapPatternValues => x.copy(name = s"${prefix}_${x.name}")
     case x: MapClosedKeys => x.copy(name = s"${prefix}_${x.name}")
     case x: NoSecrets => x.copy(name = s"${prefix}_${x.name}")
+    case x: NoPii => x.copy(name = s"${prefix}_${x.name}")
+    case x: NoBlockedUrls => x.copy(name = s"${prefix}_${x.name}")
   }
 
   /** Rules for one union variant that is an object schema ACROSS columns

@@ -502,6 +502,22 @@ class OpsSpec extends SparkSpec {
     assert(joined === Set(3L, 4L))
   }
 
+  test("content gates compile as rule-plane predicates (NoPii / NoBlockedUrls)") {
+    import graft.core.{NoBlockedUrls, NoPii, RowRule}
+    val df = Seq(
+      (1L, "plain text"),
+      (2L, "ssn 078-05-1120"),
+      (3L, "link http://ads.bad/x"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "content")
+    def failing(r: RowRule): Set[Long] =
+      df.where(!graft.rules.RuleCompiler.predicate(r))
+        .select("id").collect().map(_.getLong(0)).toSet
+    // null passes (required's job), only the offending rows fail
+    assert(failing(NoPii("p", "content")) === Set(2L))
+    assert(failing(NoBlockedUrls("u", "content", Seq("ads.bad", "mal.bad"))) === Set(3L))
+  }
+
   test("char entropy: hand values, bounds, and corpus parity with the relational formula") {
     val hand = Seq("aaaa", "abab", "abcd").toDF("text")
       .select(col("text"), TextAnalysis.charEntropy(col("text")).as("h"))

@@ -163,6 +163,19 @@ class SuiteLoaderSpec extends AnyFunSuite {
       "content_sha256")))
   }
 
+  test("x-checks content gates: noSecrets / noPii / noBlockedUrls harvest and compile") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{},
+        | "x-checks":{
+        |  "noSecrets":["content"],
+        |  "noPii":["content"],
+        |  "noBlockedUrls":[{"column":"content","domains":["ads.bad","mal.bad"]}]}}""".stripMargin)
+    assert(suite.rowRules.contains(NoSecrets("no_secrets_content", "content")))
+    assert(suite.rowRules.contains(NoPii("no_pii_content", "content")))
+    assert(suite.rowRules.contains(NoBlockedUrls("no_blocked_urls_content",
+      "content", Seq("ads.bad", "mal.bad"))))
+  }
+
   test("static validation catches bad regex without running (validate/mod.rs:30-42)") {
     val errs = SuiteLoader.staticValidate(
       """{"type":"object","properties":{"v":{"type":"string","pattern":"[unclosed"}}}""")
