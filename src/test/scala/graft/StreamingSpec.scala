@@ -39,6 +39,27 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("content gates stream statelessly (NoSecrets / NoPii / NoBlockedUrls)") {
+    implicit val sq = spark.sqlContext
+    val gateSuite = RuleSuite(Seq(
+      NoSecrets("no_secrets", "lang"),
+      NoPii("no_pii", "lang"),
+      NoBlockedUrls("no_urls", "lang", Seq("ads.bad"))))
+    val mem = MemoryStream[FileEvent]
+    val q = StreamValidate.violationsStream(mem.toDF(), gateSuite, Seq("repo"))
+      .writeStream.format("memory").queryName("gates").outputMode("append").start()
+    mem.addData(
+      ev("a/r", "c", "plain words", 1),
+      ev("b/r", "c", "ssn 078-05-1120 here", 2),     // no_pii (not an email:
+      // that would fire CodeScan's email detector too)
+      ev("c/r", "c", "see http://ads.bad/p", 3),     // no_urls
+      ev("d/r", "c", "token " + "0" * 32 + "deadbeef", 4)) // no_secrets
+    q.processAllAvailable()
+    val got = spark.table("gates").select("rule").collect().map(_.getString(0)).sorted
+    assert(got === Array("no_pii", "no_secrets", "no_urls"))
+    q.stop()
+  }
+
   test("streaming referential orphans match the batch check (stream-static anti join)") {
     import graft.checks.Referential
     implicit val sq = spark.sqlContext
