@@ -283,7 +283,12 @@ object Chain {
             }
             plan
           } else {
-            Templates.renderAll(templates, openapi, container).flatMap {
+            // the full discovered set backs include/import resolution — the
+            // reference's tera.add_raw_templates (renderer.rs:21-22): files
+            // without a render header (macro/partial libraries) are Skipped
+            // as units but stay addressable by relative path
+            Templates.renderAll(templates, openapi, container,
+              discovered.templates).flatMap {
               case Templates.Rendered(u, Some(text)) =>
                 val target = Paths.get(targetDir, u.target)
                 Option(target.getParent).foreach(Files.createDirectories(_))

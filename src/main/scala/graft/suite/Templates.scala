@@ -447,11 +447,12 @@ object Templates {
     * static templates only the container.
     */
   def renderAll(templates: Seq[Template], openapi: Openapi,
-                container: JsonNode): Seq[Rendered] =
+                container: JsonNode,
+                registry: Map[String, String] = Map.empty): Seq[Rendered] =
     templates.flatMap { t =>
       def passes(c: JsonNode): Boolean = t.condition.forall(_.check(c))
       def emit(unit: RenderUnit, ctx: ObjNode): Rendered = {
-        val text = TeraLite.render(t.body, ctx)
+        val text = TeraLite.render(t.body, ctx, registry)
         Rendered(unit, if (text.trim.isEmpty) None else Some(text))
       }
       t.kind match {

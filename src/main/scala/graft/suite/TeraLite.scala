@@ -1,7 +1,7 @@
 package graft.suite
 
 import com.fasterxml.jackson.databind.JsonNode
-import com.fasterxml.jackson.databind.node.{ArrayNode, BooleanNode, JsonNodeFactory, TextNode}
+import com.fasterxml.jackson.databind.node.{BooleanNode, JsonNodeFactory, ObjectNode, TextNode}
 import graft.ops.{CaseConv, Naming}
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
@@ -13,7 +13,8 @@ import scala.jdk.CollectionConverters._
   * reference's template vocabulary uses:
   *
   *   - `{{ expr }}` interpolation, `{# … #}` comments (the header line),
-  *   - `{% for x in expr %} … {% endfor %}` over arrays,
+  *   - `{% for x in expr %} … {% endfor %}` over arrays (with tera's
+  *     `loop.index/index0/first/last`), `{% set name = expr %}`,
   *   - `{% if c %} … {% elif c %} … {% else %} … {% endif %}`,
   *   - expressions: dotted paths, string/number/bool literals, `not`,
   *     `==` / `!=`, and `|` filter chains with `k=v` kwargs,
@@ -23,19 +24,27 @@ import scala.jdk.CollectionConverters._
   *     filter_not filter_startswith filter_inarray filter_not_inarray —
   *     all delegating to the SAME CaseConv/Naming rules the distributed
   *     Column chains use (one word-split rule set, two faces),
-  *   - a few Tera builtins templates lean on: upper lower length join
-  *     first last default trim,
+  *   - Tera builtins templates lean on: upper lower capitalize length join
+  *     first last default trim replace split concat,
   *   - the bucket-counter functions (filters.rs bucket_counter):
   *     `get_bucket_count(name=…, bucket=…)` / `clear_bucket(bucket=…)`,
-  *     one [[Templates.MultiBucketCounter]] per render.
+  *     one [[Templates.MultiBucketCounter]] per render,
+  *   - cross-template composition against a registry of raw templates (the
+  *     analog of the reference's `tera.add_raw_templates(discovered
+  *     .templates)`, renderer.rs:21-22): `{% include "file.j2" %}` (runs in
+  *     the caller's variable scope), `{% macro name(a, b='x') %}…
+  *     {% endmacro %}`, `{% import "file.j2" as ns %}` and calls
+  *     `{{ ns::name(a=…) }}` — macro bodies see ONLY their arguments (tera
+  *     semantics) plus their defining file's macros as `self::`.
   *
   * Rendering is a driver-plane activity (file emission); the evaluator is
-  * pure JVM, no Spark. Unknown filters/functions and malformed blocks
-  * throw IllegalArgumentException with the template position.
+  * pure JVM, no Spark. Unknown filters/functions/templates and malformed
+  * blocks throw IllegalArgumentException.
   */
 object TeraLite {
 
   private val F = JsonNodeFactory.instance
+  private val MaxDepth = 64
 
   // ------------------------------------------------------------- parse
 
@@ -46,13 +55,30 @@ object TeraLite {
   private final case class If(branches: Seq[(String, Seq[Node])],
                               otherwise: Seq[Node]) extends Node
   private final case class SetVar(name: String, expr: String) extends Node
+  private final case class Include(template: String) extends Node
+  private final case class Import(template: String, ns: String) extends Node
+
+  /** A macro definition: params are (name, optional default EXPRESSION). */
+  private final case class Macro(name: String, params: Seq[(String, Option[String])],
+                                 body: Seq[Node])
+
+  /** One parsed template file: its render nodes + its macro definitions. */
+  private final case class Parsed(nodes: Seq[Node], macros: Map[String, Macro])
 
   private val Token = "(?s)\\{\\{.*?\\}\\}|\\{%.*?%\\}|\\{#.*?#\\}".r
+  private val MacroSig = "^([A-Za-z_][A-Za-z0-9_]*)\\((.*)\\)$".r
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    require(t.length >= 2 && (t.head == '"' || t.head == '\'') && t.last == t.head,
+      s"expected a quoted template name, got: $s")
+    t.substring(1, t.length - 1)
+  }
 
   /** Split raw template text into text/expr/stmt tokens, then fold the
-    * statement stream into a block tree.
+    * statement stream into a block tree, collecting macro definitions.
     */
-  private def parse(template: String): Seq[Node] = {
+  private def parseTemplate(template: String): Parsed = {
     // lex
     val toks = mutable.ArrayBuffer[(String, String)]() // (kind, payload)
     var last = 0
@@ -65,6 +91,8 @@ object TeraLite {
       last = m.end
     }
     if (last < template.length) toks += (("text", template.substring(last)))
+
+    val macros = mutable.LinkedHashMap[String, Macro]()
 
     // fold into tree
     var i = 0
@@ -111,6 +139,32 @@ object TeraLite {
                   case Array(name, e) => out += SetVar(name.trim, e.trim)
                   case _ => throw new IllegalArgumentException(s"bad set: {% $s %}")
                 }
+              case "include" =>
+                out += Include(unquote(s.stripPrefix("include")))
+              case "import" =>
+                s.stripPrefix("import").trim.split("\\s+as\\s+", 2) match {
+                  case Array(file, ns) => out += Import(unquote(file), ns.trim)
+                  case _ => throw new IllegalArgumentException(s"bad import: {% $s %}")
+                }
+              case "macro" =>
+                s.stripPrefix("macro").trim match {
+                  case MacroSig(name, sig) =>
+                    val params = sig.trim match {
+                      case "" => Nil
+                      case ps => ps.split(",").toSeq.map { p =>
+                        p.split("=", 2) match {
+                          case Array(n) => (n.trim, None)
+                          case Array(n, d) => (n.trim, Some(d.trim))
+                        }
+                      }
+                    }
+                    val (body, end) = block(Set("endmacro"))
+                    require(end == "endmacro", s"unclosed macro: $s")
+                    i += 1
+                    macros(name) = Macro(name, params, body)
+                  case other =>
+                    throw new IllegalArgumentException(s"bad macro signature: {% macro $other %}")
+                }
               case other =>
                 throw new IllegalArgumentException(s"unsupported statement: {% $other … %}")
             }
@@ -120,7 +174,31 @@ object TeraLite {
     }
     val (nodes, leftover) = block(Set.empty)
     require(leftover.isEmpty, s"dangling {% $leftover %}")
-    nodes
+    Parsed(nodes, macros.toMap)
+  }
+
+  // ---------------------------------------------------- render context
+
+  /** Per-render state: the bucket counter, the raw-template registry, and
+    * a parse cache (each registry file parses once per render).
+    */
+  private final class RenderCtx(val counter: Templates.MultiBucketCounter,
+                                val registry: Map[String, String]) {
+    private val cache = mutable.Map[String, Parsed]()
+    def parsed(name: String): Parsed = cache.getOrElseUpdate(name,
+      parseTemplate(registry.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown template: '$name'"))))
+  }
+
+  /** The evaluation environment of one template FILE: its imported macro
+    * namespaces (`self` always bound to the file's own macros) + shared
+    * render state + recursion depth.
+    */
+  private final class Env(val ns: mutable.Map[String, Map[String, Macro]],
+                          val ctx: RenderCtx, val depth: Int) {
+    require(depth <= MaxDepth, s"template recursion deeper than $MaxDepth")
+    def child(macros: Map[String, Macro]): Env =
+      new Env(mutable.Map("self" -> macros), ctx, depth + 1)
   }
 
   // -------------------------------------------------------- expressions
@@ -150,6 +228,8 @@ object TeraLite {
         Some(s.substring(st, pos))
       } else if ((c == '=' || c == '!') && pos + 1 < s.length && s.charAt(pos + 1) == '=') {
         pos += 2; Some(s"$c=")
+      } else if (c == ':' && pos + 1 < s.length && s.charAt(pos + 1) == ':') {
+        pos += 2; Some("::")
       } else { pos += 1; Some(c.toString) }
     }
   }
@@ -160,61 +240,55 @@ object TeraLite {
     (t.head.isDigit || (t.head == '-' && t.length > 1))
 
   /** Evaluate one expression against the scope stack. */
-  private def evalExpr(expr: String, scopes: List[JsonNode],
-                       counter: Templates.MultiBucketCounter): JsonNode = {
+  private def evalExpr(expr: String, scopes: List[JsonNode], env: Env): JsonNode = {
     val lx = new Lexer(expr)
-    val v = evalCmp(lx, scopes, counter)
+    val v = evalCmp(lx, scopes, env)
     require(lx.peek.isEmpty, s"trailing tokens in expression: $expr")
     v
   }
 
-  private def evalCmp(lx: Lexer, scopes: List[JsonNode],
-                      counter: Templates.MultiBucketCounter): JsonNode = {
-    val l = evalUnary(lx, scopes, counter)
+  private def evalCmp(lx: Lexer, scopes: List[JsonNode], env: Env): JsonNode = {
+    val l = evalUnary(lx, scopes, env)
     lx.peek match {
-      case Some("==") => lx.next(); val r = evalUnary(lx, scopes, counter)
+      case Some("==") => lx.next(); val r = evalUnary(lx, scopes, env)
         BooleanNode.valueOf(jsonEq(l, r))
-      case Some("!=") => lx.next(); val r = evalUnary(lx, scopes, counter)
+      case Some("!=") => lx.next(); val r = evalUnary(lx, scopes, env)
         BooleanNode.valueOf(!jsonEq(l, r))
       case _ => l
     }
   }
 
-  private def evalUnary(lx: Lexer, scopes: List[JsonNode],
-                        counter: Templates.MultiBucketCounter): JsonNode =
+  private def evalUnary(lx: Lexer, scopes: List[JsonNode], env: Env): JsonNode =
     lx.peek match {
-      case Some("not") => lx.next(); BooleanNode.valueOf(!truthy(evalUnary(lx, scopes, counter)))
-      case _ => evalPostfix(lx, scopes, counter)
+      case Some("not") => lx.next(); BooleanNode.valueOf(!truthy(evalUnary(lx, scopes, env)))
+      case _ => evalPostfix(lx, scopes, env)
     }
 
-  private def evalPostfix(lx: Lexer, scopes: List[JsonNode],
-                          counter: Templates.MultiBucketCounter): JsonNode = {
-    var v = evalPrimary(lx, scopes, counter)
+  private def evalPostfix(lx: Lexer, scopes: List[JsonNode], env: Env): JsonNode = {
+    var v = evalPrimary(lx, scopes, env)
     while (lx.peek.contains("|")) {
       lx.next()
       val name = lx.next().getOrElse(throw new IllegalArgumentException("filter name expected"))
-      val kwargs = if (lx.peek.contains("(")) parseKwargs(lx, scopes, counter) else Map.empty[String, JsonNode]
+      val kwargs = if (lx.peek.contains("(")) parseKwargs(lx, scopes, env) else Map.empty[String, JsonNode]
       v = applyFilter(name, v, kwargs)
     }
     v
   }
 
-  private def parseKwargs(lx: Lexer, scopes: List[JsonNode],
-                          counter: Templates.MultiBucketCounter): Map[String, JsonNode] = {
+  private def parseKwargs(lx: Lexer, scopes: List[JsonNode], env: Env): Map[String, JsonNode] = {
     lx.expect("(")
     val m = mutable.LinkedHashMap[String, JsonNode]()
     while (!lx.peek.contains(")")) {
       val k = lx.next().getOrElse(throw new IllegalArgumentException("kwarg name expected"))
       lx.expect("=")
-      m(k) = evalCmp(lx, scopes, counter)
+      m(k) = evalCmp(lx, scopes, env)
       if (lx.peek.contains(",")) lx.next()
     }
     lx.expect(")")
     m.toMap
   }
 
-  private def evalPrimary(lx: Lexer, scopes: List[JsonNode],
-                          counter: Templates.MultiBucketCounter): JsonNode =
+  private def evalPrimary(lx: Lexer, scopes: List[JsonNode], env: Env): JsonNode =
     lx.next() match {
       case Some(t) if isStringTok(t) => TextNode.valueOf(t.substring(1, t.length - 1))
       case Some(t) if isNumberTok(t) =>
@@ -222,19 +296,25 @@ object TeraLite {
       case Some("true") => BooleanNode.TRUE
       case Some("false") => BooleanNode.FALSE
       case Some("(") =>
-        val v = evalCmp(lx, scopes, counter); lx.expect(")"); v
+        val v = evalCmp(lx, scopes, env); lx.expect(")"); v
       case Some("[") => // array literal, e.g. filter_inarray(values=['a','b'])
         val arr = F.arrayNode()
         while (!lx.peek.contains("]")) {
-          arr.add(evalCmp(lx, scopes, counter))
+          arr.add(evalCmp(lx, scopes, env))
           if (lx.peek.contains(",")) lx.next()
         }
         lx.expect("]")
         arr
       case Some(t) if t.nonEmpty && (t.head.isLetter || t.head == '_') =>
-        if (lx.peek.contains("(")) { // function call
-          val kwargs = parseKwargs(lx, scopes, counter)
-          callFunction(t, kwargs, counter)
+        if (lx.peek.contains("::")) { // namespaced macro call
+          lx.next()
+          val mname = lx.next().getOrElse(
+            throw new IllegalArgumentException("macro name expected after '::'"))
+          val kwargs = parseKwargs(lx, scopes, env)
+          callMacro(t, mname, kwargs, env)
+        } else if (lx.peek.contains("(")) { // function call
+          val kwargs = parseKwargs(lx, scopes, env)
+          callFunction(t, kwargs, env.ctx.counter)
         } else lookup(t, scopes)
       case other => throw new IllegalArgumentException(s"unexpected token: $other")
     }
@@ -387,44 +467,88 @@ object TeraLite {
     case other => throw new IllegalArgumentException(s"unknown function: $other")
   }
 
+  // ------------------------------------------------------------ macros
+
+  /** Call `ns::name(kwargs)`: bind arguments (explicit kwargs override
+    * declared defaults; a missing non-default argument is an error), render
+    * the body against ONLY the argument scope (tera: macros see just their
+    * args), with the defining file's macros available as `self::`.
+    */
+  private def callMacro(nsName: String, mname: String,
+                        kwargs: Map[String, JsonNode], env: Env): JsonNode = {
+    val defs = env.ns.getOrElse(nsName,
+      throw new IllegalArgumentException(s"unknown macro namespace: '$nsName'"))
+    val m = defs.getOrElse(mname,
+      throw new IllegalArgumentException(s"unknown macro: '$nsName::$mname'"))
+    val scope = F.objectNode()
+    val bodyEnv = env.child(defs)
+    m.params.foreach { case (p, dflt) =>
+      val v = kwargs.getOrElse(p, dflt match {
+        case Some(d) => evalExpr(d, List(F.objectNode()), bodyEnv)
+        case None => throw new IllegalArgumentException(
+          s"macro '$nsName::$mname' missing argument '$p'")
+      })
+      scope.set[JsonNode](p, v)
+      ()
+    }
+    val sb = new StringBuilder
+    exec(m.body, List(scope), bodyEnv, sb)
+    TextNode.valueOf(sb.toString)
+  }
+
   // ------------------------------------------------------------ render
 
+  private def exec(nodes: Seq[Node], scopes: List[JsonNode], env: Env,
+                   sb: StringBuilder): Unit = nodes.foreach {
+    case Text(s) => sb.append(s); ()
+    case Interp(e) => sb.append(str(evalExpr(e, scopes, env))); ()
+    case For(v, e, body) =>
+      val arr = evalExpr(e, scopes, env)
+      if (arr.isArray) {
+        val n = arr.size()
+        arr.elements().asScala.zipWithIndex.foreach { case (item, i) =>
+          val scope = F.objectNode()
+          scope.set[JsonNode](v, item)
+          // tera's loop variable: index (1-based), index0, first, last
+          val loop = scope.putObject("loop")
+          loop.put("index", i + 1L); loop.put("index0", i.toLong)
+          loop.put("first", i == 0); loop.put("last", i == n - 1)
+          exec(body, scope :: scopes, env, sb)
+        }
+      }
+    case SetVar(name, e) =>
+      // set binds into the innermost scope (tera scoping)
+      scopes.head.asInstanceOf[ObjectNode].set[JsonNode](name, evalExpr(e, scopes, env))
+      ()
+    case If(branches, otherwise) =>
+      branches.find { case (c, _) => truthy(evalExpr(c, scopes, env)) } match {
+        case Some((_, body)) => exec(body, scopes, env, sb)
+        case None => exec(otherwise, scopes, env, sb)
+      }
+    case Include(name) =>
+      // the included file runs in the CALLER's variable scopes (tera
+      // include semantics) but against its own macro namespace
+      val p = env.ctx.parsed(name)
+      exec(p.nodes, scopes, env.child(p.macros), sb)
+    case Import(name, ns) =>
+      env.ns(ns) = env.ctx.parsed(name).macros
+      ()
+  }
+
   /** Render `template` against `context` (an object node whose fields are
-    * the top-level template variables). One bucket counter per render, as
-    * the reference registers one per Tera instance.
+    * the top-level template variables), resolving `include`/`import`
+    * against `registry` (relative template path → raw content — the
+    * discovered template set). One bucket counter per render, as the
+    * reference registers one per Tera instance. A fresh scope is pushed
+    * above the caller's context so `{% set %}` never mutates it.
     */
-  def render(template: String, context: JsonNode): String = {
-    val counter = new Templates.MultiBucketCounter
+  def render(template: String, context: JsonNode,
+             registry: Map[String, String] = Map.empty): String = {
+    val ctx = new RenderCtx(new Templates.MultiBucketCounter, registry)
+    val p = parseTemplate(template)
+    val env = new Env(mutable.Map("self" -> p.macros), ctx, 0)
     val sb = new StringBuilder
-    def run(nodes: Seq[Node], scopes: List[JsonNode]): Unit = nodes.foreach {
-      case Text(s) => sb.append(s); ()
-      case Interp(e) => sb.append(str(evalExpr(e, scopes, counter))); ()
-      case For(v, e, body) =>
-        val arr = evalExpr(e, scopes, counter)
-        if (arr.isArray) {
-          val n = arr.size()
-          arr.elements().asScala.zipWithIndex.foreach { case (item, i) =>
-            val scope = F.objectNode()
-            scope.set[JsonNode](v, item)
-            // tera's loop variable: index (1-based), index0, first, last
-            val loop = scope.putObject("loop")
-            loop.put("index", i + 1L); loop.put("index0", i.toLong)
-            loop.put("first", i == 0); loop.put("last", i == n - 1)
-            run(body, scope :: scopes)
-          }
-        }
-      case SetVar(name, e) =>
-        // set binds into the innermost scope (tera scoping)
-        scopes.head.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-          .set[JsonNode](name, evalExpr(e, scopes, counter))
-        ()
-      case If(branches, otherwise) =>
-        branches.find { case (c, _) => truthy(evalExpr(c, scopes, counter)) } match {
-          case Some((_, body)) => run(body, scopes)
-          case None => run(otherwise, scopes)
-        }
-    }
-    run(parse(template), List(context))
+    exec(p.nodes, List(F.objectNode(), context), env, sb)
     sb.toString
   }
 }

@@ -177,6 +177,41 @@ class ChainSpec extends AnyFunSuite {
         |""".stripMargin)
   }
 
+  test("codegen openapi resolves include/import against the discovered set") {
+    val dir = Files.createTempDirectory("graft-codegen-macros")
+    val tplDir = dir.resolve("templates"); Files.createDirectories(tplDir)
+    // a macro library with NO render header: skipped as a unit, but
+    // addressable by relative path (tera add_raw_templates semantics)
+    Files.write(tplDir.resolve("macros.j2"),
+      ("{% macro sig(op, vis='pub') %}{{ vis }} async fn {{ op | snakecase }}()" +
+        "{% endmacro %}").getBytes("UTF-8"))
+    Files.write(tplDir.resolve("head.j2"),
+      "// AUTOGENERATED {{ options.pkg }}\n".getBytes("UTF-8"))
+    Files.write(tplDir.resolve("api.j2"),
+      ("{# type=endpoints,filename=api.rs,min_version=0.1.0 #}\n" +
+        "{% import \"macros.j2\" as m %}{% include \"head.j2\" %}" +
+        "{% for endpoint in endpoints %}{{ m::sig(op=endpoint.operation) }};\n{% endfor %}")
+        .getBytes("UTF-8"))
+    val doc = dir.resolve("api.json")
+    Files.write(doc,
+      """{"openapi":"3.0.0","info":{"title":"T","version":"1"},
+        |"paths":{
+        | "/a":{"get":{"operationId":"getA","tags":["pets"],
+        |   "responses":{"200":{"description":"ok"}}}},
+        | "/b":{"get":{"operationId":"getB","tags":["pets"],
+        |   "responses":{"200":{"description":"ok"}}}}}}""".stripMargin.getBytes("UTF-8"))
+    val out = dir.resolve("out").toString
+    Chain.run(Seq(s"codegen openapi $doc --template $tplDir --target-dir $out -o pkg=petsdk"))
+    val text = Files.readString(Paths.get(out, "api.rs")).stripPrefix("\n")
+    assert(text ===
+      """// AUTOGENERATED petsdk
+        |pub async fn get_a();
+        |pub async fn get_b();
+        |""".stripMargin)
+    // the macro library produced no unit of its own
+    assert(!Files.exists(Paths.get(out, "macros.rs")))
+  }
+
   test("codegen openapi step: extract → discover templates → render units to target-dir") {
     val dir = Files.createTempDirectory("graft-codegen")
     val tplDir = dir.resolve("templates"); Files.createDirectories(tplDir)

@@ -179,6 +179,47 @@ class TemplatesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](TeraLite.render("{% set broken %}", ctx))
   }
 
+  test("TeraLite: include / macro / import against a template registry") {
+    val ctx = j("""{"name":"pet","items":["a","b"]}""")
+    val registry = Map(
+      "partials/header.j2" -> "// generated for {{ name }}\n",
+      "macros/m.j2" ->
+        ("{% macro fn(name, vis='pub') %}{{ vis }} fn {{ name | snakecase }}(){% endmacro %}" +
+         "{% macro wrap(x) %}<{{ self::fn(name=x) }}>{% endmacro %}"))
+    // include runs in the CALLER's variable scope
+    assert(TeraLite.render("{% include \"partials/header.j2\" %}body", ctx, registry)
+      === "// generated for pet\nbody")
+    // import + namespaced calls; declared default and explicit override
+    assert(TeraLite.render(
+      "{% import \"macros/m.j2\" as m %}{{ m::fn(name='getPet') }}", ctx, registry)
+      === "pub fn get_pet()")
+    assert(TeraLite.render(
+      "{% import \"macros/m.j2\" as m %}{{ m::fn(name='getPet', vis='pub(crate)') }}",
+      ctx, registry) === "pub(crate) fn get_pet()")
+    // a macro can call its defining file's macros via self::
+    assert(TeraLite.render(
+      "{% import \"macros/m.j2\" as m %}{{ m::wrap(x='getPet') }}", ctx, registry)
+      === "<pub fn get_pet()>")
+    // macros in a for body compose with loop state
+    assert(TeraLite.render(
+      "{% import \"macros/m.j2\" as m %}{% for i in items %}{{ m::fn(name=i) }};{% endfor %}",
+      ctx, registry) === "pub fn a();pub fn b();")
+    // macro bodies see ONLY their arguments (tera semantics)
+    assert(TeraLite.render(
+      "{% import \"macros/m.j2\" as m %}" +
+        "{% set probe = 'x' %}{{ m::fn(name='q') }}", ctx,
+      registry + ("macros/m.j2" ->
+        "{% macro fn(name) %}{{ name }}|{{ probe }}|{{ items | length }}{% endmacro %}"))
+      === "q||0")
+    // error paths: unknown template, unknown macro, missing argument
+    intercept[IllegalArgumentException](
+      TeraLite.render("{% include \"nosuch.j2\" %}", ctx, registry))
+    intercept[IllegalArgumentException](
+      TeraLite.render("{% import \"macros/m.j2\" as m %}{{ m::nosuch() }}", ctx, registry))
+    intercept[IllegalArgumentException](
+      TeraLite.render("{% import \"macros/m.j2\" as m %}{{ m::fn() }}", ctx, registry))
+  }
+
   test("TeraLite: tera string/array builtins — capitalize, replace, split, concat") {
     val ctx = j("""{"s":"hello WORLD","csv":"a.b.c","items":["x","y"]}""")
     assert(TeraLite.render("{{ s | capitalize }}", ctx) === "Hello world")
