@@ -669,22 +669,28 @@ object Queries {
         val openapi = OpenapiExtract.extract(doc)
         val tpl = Templates.fromContent("api.j2", CodegenMultiTemplate)
         val rendered = Templates.renderAll(Seq(tpl), openapi,
-          SchemaDocs.json.createObjectNode())
+          SchemaDocs.json.createObjectNode(), CodegenMultiRegistry)
         (docId, rendered.head.unit.target, rendered.head.text.getOrElse(""))
       }.toDF("doc_id", "file", "text")
       out.orderBy("doc_id")
     })
   )
 
-  /** q_codegen_multi's endpoints template: one source line per endpoint,
-    * exercising the loop, the case filter registry and the fallback
-    * operation naming inside the executors.
+  /** q_codegen_multi's endpoints template: one source line per endpoint via
+    * an IMPORTED MACRO, exercising the loop, cross-template composition,
+    * the case filter registry and the fallback operation naming inside the
+    * executors — all under the oracle's byte hash.
     */
   val CodegenMultiTemplate: String =
     "{# type=endpoints,filename=api.rs,min_version=0.1.0 #}\n" +
-      "{% for endpoint in endpoints %}pub async fn " +
-      "{{ endpoint.operation | snakecase }}() {} // " +
-      "{{ endpoint.method | upper }} {{ endpoint.path }}\n{% endfor %}"
+      "{% import \"macros.j2\" as m %}" +
+      "{% for endpoint in endpoints %}{{ m::line(e=endpoint) }}\n{% endfor %}"
+
+  /** The macro library q_codegen_multi imports (the discovered-set analog). */
+  val CodegenMultiRegistry: Map[String, String] = Map(
+    "macros.j2" ->
+      ("{% macro line(e) %}pub async fn {{ e.operation | snakecase }}() {} // " +
+        "{{ e.method | upper }} {{ e.path }}{% endmacro %}"))
 
   /** q_endpoints_by_tag construction constants (shared with the oracle). */
   val EndpointsPkCap = 1200L
