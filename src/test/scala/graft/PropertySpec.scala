@@ -79,6 +79,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pii redaction invariants on random PII-laced text (idempotent, clean, JVM==Column)") {
+    import graft.ops.PiiScan
+    import org.apache.spark.sql.functions.col
+    val piiGen: Gen[String] = Gen.oneOf(
+      Gen.const("u.s-er+1@sub.example.org"),
+      Gen.const("555-867-5309"),
+      Gen.const("078-05-1120"),
+      Gen.const("192.168.254.1"),
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("...", "a-b-c", "12-34-5678", "1.2.3", "@", "x@y", ""))
+    val textGen: Gen[String] =
+      Gen.listOfN(6, piiGen).map(_.mkString(" "))
+    for (i <- 1 to 20) {
+      val texts = sample(Gen.listOfN(25, textGen), 9000 + i)
+      val df = texts.toDF("text")
+      val once = df.select(PiiScan.redact(col("text")).as("r"))
+      val onceVals = once.collect().map(_.getString(0)).toSeq
+      // idempotent: scrubbing a scrubbed corpus is the identity
+      val twice = once.select(PiiScan.redact(col("r"))).collect().map(_.getString(0)).toSeq
+      assert(twice === onceVals, s"case $i not idempotent")
+      // a scrubbed row always passes the clean gate
+      assert(once.where(!PiiScan.clean(col("r"))).count() === 0L, s"case $i not clean")
+      // the Column chain == a plain JVM replay of the same detector list
+      val jvm = texts.map(t => PiiScan.Detectors.foldLeft(t) { case (s, (_, re, mask)) =>
+        s.replaceAll(re, java.util.regex.Matcher.quoteReplacement(mask))
+      })
+      assert(onceVals === jvm, s"case $i Column != JVM")
+    }
+  }
+
   test("salted duplicate detection == naive groupBy (10 random skewed tables)") {
     val keyGen = Gen.frequency((8, Gen.const("hot")), (3, Gen.oneOf("a", "b", "c")),
       (2, Gen.alphaNumStr.map(_.take(4))))
