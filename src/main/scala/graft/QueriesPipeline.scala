@@ -317,6 +317,41 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // Fused content-gate summary: all three opt-in content gates (secrets /
+    // PII / blocked URLs) evaluated as flag columns in ONE projection over
+    // ONE scan of the text, then collapsed by conditional aggregation to a
+    // single corpus-health row — the 100 TB "daily gate report" shape
+    // tools.GateProbe measures (the fused pass costs about the most
+    // expensive single gate, not the sum of the three, because the scan
+    // dominates). Plants reuse the per-gate recipes on coprime moduli.
+    "q_content_gates" -> ((s, dir) => {
+      import graft.ops.{PiiScan, UrlAnalysis}
+      val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 41 === 0,
+          concat(lit(" AKIA"), lpad(col("doc_id").cast("string"), 16, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" via http://ads.tracker.bad/t/"), col("doc_id").cast("string")))
+          .otherwise(lit(""))).as("text"))
+      val flags = aug.select(
+        when(CodeScan.clean(col("text")), 0L).otherwise(1L).as("f_secret"),
+        when(PiiScan.clean(col("text")), 0L).otherwise(1L).as("f_pii"),
+        when(UrlAnalysis.cleanOf(col("text"), UrlBlocklist), 0L).otherwise(1L)
+          .as("f_url"))
+      flags.agg(
+        count(lit(1L)).as("n_docs"),
+        sum("f_secret").as("n_secret"),
+        sum("f_pii").as("n_pii"),
+        sum("f_url").as("n_url"),
+        sum(when(col("f_secret") + col("f_pii") + col("f_url") > 0, 1L)
+          .otherwise(0L)).as("n_dirty"))
+    }),
+
     // multimodal plumbing: binary payload → per-partition feature extraction
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeStub(s,
@@ -759,8 +794,33 @@ object QueriesPipeline {
       |SELECT doc_id, round(ln(CAST(n AS DOUBLE)) - s / n, 6) AS entropy
       |FROM a ORDER BY doc_id""".stripMargin
 
+  private val contentGatesOracle = {
+    import graft.ops.{PiiScan, UrlAnalysis}
+    val inList = UrlBlocklist.map(d => s"'$d'").mkString(", ")
+    s"""WITH c AS (SELECT doc_id, text
+       |  || CASE WHEN doc_id % 41 = 0 THEN ' AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0') ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+       |  || CASE WHEN doc_id % 9 = 0 THEN ' via http://ads.tracker.bad/t/' || CAST(doc_id AS VARCHAR) ELSE '' END
+       |  AS text FROM documents),
+       | f AS (SELECT
+       |   CASE WHEN regexp_matches(text, '${CodeScan.AnyDetector}') THEN 1 ELSE 0 END AS f_secret,
+       |   CASE WHEN regexp_matches(text, '${PiiScan.AnyDetector}') THEN 1 ELSE 0 END AS f_pii,
+       |   CASE WHEN len(list_filter(list_transform(
+       |     regexp_extract_all(text, '${UrlAnalysis.UrlRe}'),
+       |     x -> regexp_extract(x, '${UrlAnalysis.DomainRe}', 1)),
+       |     d -> d IN ($inList))) > 0 THEN 1 ELSE 0 END AS f_url
+       |  FROM c)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(f_secret) AS BIGINT) AS n_secret,
+       | CAST(sum(f_pii) AS BIGINT) AS n_pii,
+       | CAST(sum(f_url) AS BIGINT) AS n_url,
+       | CAST(sum(CASE WHEN f_secret + f_pii + f_url > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dirty
+       |FROM f""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_char_entropy" -> charEntropyOracle,
+    "q_content_gates" -> contentGatesOracle,
     "q_repetition" -> repetitionOracle,
     "q_secret_scan" -> secretScanOracle,
     "q_pii_redact" -> piiRedactOracle,

@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.ops.{CodeScan, PiiScan, UrlAnalysis}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: the marginal scan cost of the opt-in content gates
+  * (NoSecrets / NoPii / NoBlockedUrls) against a plain content-length pass
+  * over the same input. Usage: GateProbe <cores> <dataDir>
+  */
+object GateProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet(s"$dataDir/code_files")
+    val blocked = Seq("ads.tracker.bad", "malware.bad")
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[gate $cores] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs ($r)")
+    }
+    for (r <- 1 to 2) {
+      println(s"[gate $cores] --- round $r ---")
+      t("baseline-length") { df.select(sum(length(col("content")))).collect()(0).getLong(0) }
+      t("no-secrets") { df.where(!CodeScan.clean(col("content"))).count() }
+      t("no-pii") { df.where(!PiiScan.clean(col("content"))).count() }
+      t("no-urls") { df.where(!UrlAnalysis.cleanOf(col("content"), blocked)).count() }
+      t("all-three-fused") {
+        df.where(!(CodeScan.clean(col("content")) && PiiScan.clean(col("content")) &&
+          UrlAnalysis.cleanOf(col("content"), blocked))).count()
+      }
+    }
+    spark.stop()
+  }
+}
