@@ -320,10 +320,12 @@ object QueriesPipeline {
     // Fused content-gate summary: all three opt-in content gates (secrets /
     // PII / blocked URLs) evaluated as flag columns in ONE projection over
     // ONE scan of the text, then collapsed by conditional aggregation to a
-    // single corpus-health row — the 100 TB "daily gate report" shape
-    // tools.GateProbe measures (the fused pass costs about the most
-    // expensive single gate, not the sum of the three, because the scan
-    // dominates). Plants reuse the per-gate recipes on coprime moduli.
+    // single corpus-health row — the 100 TB "daily gate report" shape.
+    // tools.GateProbe measures the cost model: the gates' regex CPU is
+    // ADDITIVE (it dwarfs the shared scan), which is why each gate carries
+    // a literal prescreen (CodeScan/PiiScan.candidate) that lets clean rows
+    // skip the alternation entirely. Plants reuse the per-gate recipes on
+    // coprime moduli.
     "q_content_gates" -> ((s, dir) => {
       import graft.ops.{PiiScan, UrlAnalysis}
       val aug = t(s, dir, "documents").select(col("doc_id"), concat(

@@ -37,12 +37,31 @@ object PiiScan {
     ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN]"),
     ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"))
 
-  /** array<struct<kind, n_hits>> — one entry per detector. */
-  def matchCounts(text: Column): Column =
-    array(Detectors.map { case (kind, re, _) =>
+  /** Cheap prescreen IMPLIED BY every detector branch (same contract and
+    * measured rationale as [[CodeScan.candidate]]): an email needs '@';
+    * phone, SSN and IPv4 shapes all require at least one digit. The digit
+    * check is a single-character-class regex — a linear scan with no
+    * alternation or backtracking, an order of magnitude cheaper than the
+    * detector alternation it gates.
+    */
+  def candidate(text: Column): Column =
+    text.contains("@") || text.rlike("[0-9]")
+
+  /** array<struct<kind, n_hits>> — one entry per detector, the four
+    * `regexp_count` passes gated behind [[candidate]] (counts are exactly 0
+    * on non-candidate rows by the implication; null text routes to the
+    * ungated branch so null-hits entries are unchanged).
+    */
+  def matchCounts(text: Column): Column = {
+    val counts = array(Detectors.map { case (kind, re, _) =>
       struct(lit(kind).as("kind"),
         regexp_count(text, lit(re)).cast("long").as("n_hits"))
     }: _*)
+    val zeros = array(Detectors.map { case (kind, _, _) =>
+      struct(lit(kind).as("kind"), lit(0L).as("n_hits"))
+    }: _*)
+    when(coalesce(candidate(text), lit(true)), counts).otherwise(zeros)
+  }
 
   /** Findings: one row per (id, detector) with at least one hit. */
   def findings(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -53,10 +72,15 @@ object PiiScan {
   /** The scrub: every detector span replaced by its mask token, in
     * declaration order.
     */
-  def redact(text: Column): Column =
-    Detectors.foldLeft(text) { case (c, (_, re, mask)) =>
+  def redact(text: Column): Column = {
+    val chain = Detectors.foldLeft(text) { case (c, (_, re, mask)) =>
       regexp_replace(c, lit(re), lit(mask))
     }
+    // non-candidate rows return the input verbatim — exactly what the
+    // replace chain would produce (no span can match), minus its four
+    // full regex traversals; null text routes through the chain (null)
+    when(coalesce(candidate(text), lit(true)), chain).otherwise(text)
+  }
 
   /** The same redaction as a DuckDB SQL expression over `expr` — nested in
     * the same detector order, global flag on (Spark's regexp_replace is
@@ -71,5 +95,10 @@ object PiiScan {
     * alternation, rlike early-exit — same reasoning as CodeScan.clean.
     */
   val AnyDetector: String = Detectors.map(_._2).mkString("|")
-  def clean(text: Column): Column = !text.rlike(AnyDetector)
+
+  /** `candidate && rlike` ≡ `rlike` (see [[CodeScan.clean]]): clean rows
+    * with no '@' and no digit never reach the detector alternation.
+    */
+  def clean(text: Column): Column =
+    !(candidate(text) && text.rlike(AnyDetector))
 }
