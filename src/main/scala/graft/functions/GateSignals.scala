@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass byte-level kernel for the content-gate literal prescreens.
+  *
+  * [[graft.ops.CodeScan.candidate]] / [[graft.ops.PiiScan.candidate]] need
+  * five cheap signals per row — contains '@', contains "AKIA", contains
+  * "-----BEGIN", a run of ≥40 [0-9a-f] bytes, contains a digit. As Column
+  * chains those are five separate traversals of the text (three `contains`
+  * sweeps plus two counted-class regexes); this expression computes all
+  * five in ONE pass over the UTF8String's bytes and returns them as a
+  * bitmask, with an early exit once every bit is set. Byte-level scanning
+  * is exact here: every needle is pure ASCII and UTF-8 continuation bytes
+  * are ≥ 0x80 (negative as Java bytes), so they can never alias an ASCII
+  * comparison or extend a hex/digit run.
+  *
+  * Codegen: `doGenCode` emits a direct static call to [[GateSignals.signals]]
+  * inside whole-stage codegen — no UDF, no CodegenFallback, no serialization
+  * boundary; the interpreted path ([[nullSafeEval]]) calls the same kernel,
+  * so both execution modes share one definition. Null text yields null
+  * (UnaryExpression's default null propagation), matching the bare-regex
+  * formulations the prescreens gate.
+  */
+case class GateSignals(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"GateSignals requires a string column, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    GateSignals.signals(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GateSignals.signals($c)")
+  override protected def withNewChildInternal(newChild: Expression): GateSignals =
+    copy(newChild)
+}
+
+object GateSignals {
+  val HasAt = 1       // '@'                    → email branch possible
+  val HasAkia = 2     // "AKIA"                 → AWS access-key id
+  val HasBegin = 4    // "-----BEGIN"           → PEM private-key header
+  val HasHex40 = 8    // ≥40-byte [0-9a-f] run  → hex_secret_40 payload
+  val HasDigit = 16   // [0-9]                  → phone / ssn / ipv4 shapes
+  private val All = HasAt | HasAkia | HasBegin | HasHex40 | HasDigit
+  private val Begin = "-----BEGIN".getBytes("US-ASCII")
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def signals(s: UTF8String): Int = {
+    val n = s.numBytes
+    var i = 0
+    var mask = 0
+    var hexRun = 0
+    while (i < n && mask != All) {
+      val b = s.getByte(i)
+      if (b >= '0' && b <= '9') {
+        mask |= HasDigit
+        hexRun += 1
+        if (hexRun >= 40) mask |= HasHex40
+      } else if (b >= 'a' && b <= 'f') {
+        hexRun += 1
+        if (hexRun >= 40) mask |= HasHex40
+      } else {
+        hexRun = 0
+        if (b == '@') mask |= HasAt
+        else if (b == 'A' && i + 3 < n && s.getByte(i + 1) == 'K' &&
+          s.getByte(i + 2) == 'I' && s.getByte(i + 3) == 'A') mask |= HasAkia
+        else if (b == '-' && i + Begin.length <= n) {
+          var k = 1
+          while (k < Begin.length && s.getByte(i + k) == Begin(k)) k += 1
+          if (k == Begin.length) mask |= HasBegin
+        }
+      }
+      i += 1
+    }
+    mask
+  }
+
+  /** The bitmask as a Column (int; null on null text). */
+  def signalsCol(text: Column): Column =
+    GraftExpressionBridge.column(GateSignals(GraftExpressionBridge.expression(text)))
+}

@@ -52,18 +52,20 @@ object CodeScan {
     *
     * Implications per branch: an email needs '@'; an AWS key id contains
     * "AKIA"; a PEM header contains "-----BEGIN"; any hex_secret_40 match
-    * contains a 40-char [0-9a-f] run. The last is checked as the counted
-    * single character class `[0-9a-f]{40}` — no alternation, no context
-    * group, and on prose/code it fails within a couple of characters at
-    * almost every position — rather than hunting the (?i) context words,
-    * which costs a full lower() copy plus six contains sweeps. On a
-    * SHA-riddled corpus (lockfiles, changelogs) this branch fires often and
-    * those rows pay the real detector — the prescreen is a short-circuit,
-    * never a verdict.
+    * contains a 40-char [0-9a-f] run. All four signals come from ONE
+    * byte-level pass ([[graft.functions.GateSignals]], a codegen'd Catalyst
+    * expression — Catalyst subexpression elimination shares the pass with
+    * [[PiiScan.candidate]] when both gates sit in one projection). On a
+    * SHA-riddled corpus (lockfiles, changelogs) the hex-run branch fires
+    * often and those rows pay the real detector — the prescreen is a
+    * short-circuit, never a verdict.
     */
   def candidate(content: Column): Column =
-    content.contains("@") || content.contains("AKIA") ||
-      content.contains("-----BEGIN") || content.rlike("[0-9a-f]{40}")
+    graft.functions.GateSignals.signalsCol(content)
+      .bitwiseAND(lit(graft.functions.GateSignals.HasAt |
+        graft.functions.GateSignals.HasAkia |
+        graft.functions.GateSignals.HasBegin |
+        graft.functions.GateSignals.HasHex40)) =!= 0
 
   /** array<struct<kind, n_hits>> — one entry per detector. The 4
     * `regexp_count` passes ride behind the shared [[candidate]] prescreen:

@@ -39,13 +39,14 @@ object PiiScan {
 
   /** Cheap prescreen IMPLIED BY every detector branch (same contract and
     * measured rationale as [[CodeScan.candidate]]): an email needs '@';
-    * phone, SSN and IPv4 shapes all require at least one digit. The digit
-    * check is a single-character-class regex — a linear scan with no
-    * alternation or backtracking, an order of magnitude cheaper than the
-    * detector alternation it gates.
+    * phone, SSN and IPv4 shapes all require at least one digit. Both
+    * signals come from the shared one-pass byte kernel
+    * ([[graft.functions.GateSignals]]).
     */
   def candidate(text: Column): Column =
-    text.contains("@") || text.rlike("[0-9]")
+    graft.functions.GateSignals.signalsCol(text)
+      .bitwiseAND(lit(graft.functions.GateSignals.HasAt |
+        graft.functions.GateSignals.HasDigit)) =!= 0
 
   /** array<struct<kind, n_hits>> — one entry per detector, the four
     * `regexp_count` passes gated behind [[candidate]] (counts are exactly 0

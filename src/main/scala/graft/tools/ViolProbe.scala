@@ -32,6 +32,14 @@ object ViolProbe {
         df.where(!preds.reduce(_ && _)).count()
       }
       t("full-violations") { engine.rowViolations(spark, df).count() }
+      // the opt-in content gates added to the default predicate set — the
+      // marginal cost of "noSecrets"/"noPii" on content now that the
+      // detector alternations ride behind the literal prescreens
+      t("full+content-gates") {
+        val gates = graft.ops.CodeScan.clean(col("content")) &&
+          graft.ops.PiiScan.clean(col("content"))
+        df.where(anyFail || !coalesce(gates, lit(true))).count()
+      }
       t("verdict-agg") { engine.rowVerdicts(spark, df).count() }
     }
     spark.stop()

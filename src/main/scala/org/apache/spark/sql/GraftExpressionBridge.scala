@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ Expression bridge for graft's custom Catalyst expressions.
+  *
+  * Spark 4's `classic.ExpressionUtils` (the blessed conversion between the
+  * public Column API and catalyst Expressions) is `private[sql]`, so this
+  * one-liner lives in the `org.apache.spark.sql` package — the standard
+  * extension-library pattern for wrapping a custom codegen'd Expression
+  * (e.g. [[graft.functions.GateSignals]]) as a user-facing Column without
+  * per-session function registration. No Spark internals are modified or
+  * shadowed; this only re-exports the two conversions.
+  */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
