@@ -466,4 +466,64 @@ object Drift {
   def jsdFromHist(cur: Seq[(Option[String], Long)],
                   base: Seq[(Option[String], Long)]): Jsd =
     jsdOf(histCounts(cur, base), "JSD histogram")
+
+  // ---- baseline profiles --------------------------------------------------
+
+  /** A baseline snapshot's drift state: the bounded per-value histograms of
+    * its drift columns, exactly as [[valueHistograms]] returns them. At
+    * 100 TB the baseline is yesterday's blessed corpus — the engine must
+    * not rescan it on every validation run, so the deployment shape is:
+    * profile the snapshot ONCE when it is blessed, persist this (tiny,
+    * ≤ maxRows-per-column) artifact next to it, and every subsequent run
+    * evaluates drift current-scan-vs-profile. The fused `*FromHist`
+    * statistics are bit-identical whether the baseline side came from a
+    * live scan or a stored profile, which EngineSpec asserts.
+    */
+  type Profile = Map[String, Seq[(Option[String], Long)]]
+
+  /** Profile a snapshot for later drift evaluation ([[valueHistograms]] by
+    * another name — the alias marks the "compute once, persist" intent).
+    */
+  def profile(df: DataFrame, columns: Seq[String], maxRows: Int = 100000): Profile =
+    valueHistograms(df, columns, maxRows)
+
+  /** Persist a profile as JSON: {"columns": {col: [[value|null, count]…]}}.
+    * Values are the exact histogram strings (shortest-roundtrip doubles for
+    * numerics), null marks the null category.
+    */
+  def saveProfile(p: Profile, path: java.nio.file.Path): Unit = {
+    val m = graft.suite.SchemaDocs.json
+    val root = m.createObjectNode()
+    val colsNode = root.putObject("columns")
+    p.foreach { case (c, hist) =>
+      val arr = colsNode.putArray(c)
+      hist.foreach { case (v, n) =>
+        val pair = arr.addArray()
+        v match { case Some(s) => pair.add(s); case None => pair.addNull() }
+        pair.add(n)
+      }
+    }
+    java.nio.file.Files.createDirectories(path.toAbsolutePath.getParent)
+    java.nio.file.Files.write(path, m.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+  }
+
+  def loadProfile(path: java.nio.file.Path): Profile = {
+    val m = graft.suite.SchemaDocs.json
+    val root = m.readTree(java.nio.file.Files.readAllBytes(path))
+    val colsNode = root.get("columns")
+    require(colsNode != null && colsNode.isObject, s"$path: no 'columns' object")
+    val it = colsNode.properties().iterator()
+    val b = Map.newBuilder[String, Seq[(Option[String], Long)]]
+    while (it.hasNext) {
+      val e = it.next()
+      val hist = (0 until e.getValue.size()).map { i =>
+        val pair = e.getValue.get(i)
+        val v = if (pair.get(0).isNull) None else Some(pair.get(0).asText())
+        (v, pair.get(1).asLong())
+      }
+      b += e.getKey -> hist
+    }
+    b.result()
+  }
 }

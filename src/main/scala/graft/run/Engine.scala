@@ -213,7 +213,9 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     */
   private def tableCheckBuilders(spark: SparkSession, df: DataFrame,
                                  dims: Map[String, DataFrame], baseline: Option[DataFrame],
-                                 partTotalsDf: () => DataFrame): Seq[(String, () => BuiltCheck)] = {
+                                 partTotalsDf: () => DataFrame,
+                                 baselineProfile: Option[Drift.Profile] = None
+                                ): Seq[(String, () => BuiltCheck)] = {
     import spark.implicits._
     lazy val pdf = partitioned(df)
 
@@ -273,8 +275,12 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     val driftCheck =
       if (driftRules.isEmpty) Nil
       else Seq("drift" -> { () =>
-        val b = baseline.getOrElse(
-          sys.error(s"drift rules ${driftRules.map(_.name)} need a baseline snapshot"))
+        // the baseline SNAPSHOT is only touched when no covering profile is
+        // supplied (or a fallback path needs raw rows) — the 100 TB shape is
+        // "profile the blessed snapshot once, never rescan it per run"
+        def b: DataFrame = baseline.getOrElse(
+          sys.error(s"drift rules ${driftRules.map(_.name)} need a baseline " +
+            "snapshot (or a baselineProfile covering their columns)"))
         val cols = driftRules.collect {
           case ChiSquareDrift(_, c, _) => c
           case KsDrift(_, c, _, _) => c
@@ -284,10 +290,14 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
         }.distinct
         // Fused path first; if a continuous high-NDV column would blow the
         // driver collect (Drift.HistogramTooLarge), fall back per rule to
-        // the two-pass ks/chiSquare whose binning stays distributed.
+        // the two-pass ks/chiSquare whose binning stays distributed. A
+        // supplied profile that covers every drift column stands in for the
+        // whole baseline-side scan (statistics are bit-identical either way
+        // — the profile IS the fused baseline histogram).
+        val profOk = baselineProfile.filter(p => cols.forall(p.contains))
         val fused =
           try Some((Drift.valueHistograms(df, cols, cfg.driftHistMaxRows),
-            Drift.valueHistograms(b, cols, cfg.driftHistMaxRows)))
+            profOk.getOrElse(Drift.valueHistograms(b, cols, cfg.driftHistMaxRows))))
           catch { case _: Drift.HistogramTooLarge => None }
         // The two-pass categorical fallbacks are themselves bounded: a
         // column whose NDV exceeds the driver cap (so categoryCounts throws
@@ -348,7 +358,9 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     * returned planes have been materialized (RunResult.cleanup does this).
     */
   def tableChecks(spark: SparkSession, df: DataFrame, dims: Map[String, DataFrame],
-                  baseline: Option[DataFrame]): (Dataset[Verdict], Dataset[Violation], Seq[DataFrame]) = {
+                  baseline: Option[DataFrame],
+                  baselineProfile: Option[Drift.Profile] = None
+                 ): (Dataset[Verdict], Dataset[Violation], Seq[DataFrame]) = {
     import spark.implicits._
     var verdicts = spark.emptyDataset[Verdict].toDF()
     var violations = spark.emptyDataset[Violation].toDF()
@@ -360,7 +372,8 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
       persisted += t
       t
     }
-    tableCheckBuilders(spark, df, dims, baseline, () => totals).foreach { case (_, build) =>
+    tableCheckBuilders(spark, df, dims, baseline, () => totals, baselineProfile)
+        .foreach { case (_, build) =>
       val b = build()
       verdicts = verdicts.unionByName(b.verdicts)
       violations = violations.unionByName(b.violations)
@@ -383,7 +396,8 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     * ObjectHashAggregate scan.
     */
   def run(spark: SparkSession, df: DataFrame, dims: Map[String, DataFrame] = Map.empty,
-          baseline: Option[DataFrame] = None): RunResult = {
+          baseline: Option[DataFrame] = None,
+          baselineProfile: Option[Drift.Profile] = None): RunResult = {
     val staticErrors = RuleCompiler.conformsToSchema(df.schema, suite.rules)
     require(staticErrors.isEmpty, s"static rule-suite validation failed:\n${staticErrors.mkString("\n")}")
     val statsCols = if (cfg.statsColumns.nonEmpty) cfg.statsColumns else df.columns.toSeq
@@ -393,7 +407,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     val rviol = rowViolations(spark, df).toDF().persist()
     val rv = verdictGrid(spark, rviol, partTotals(df))
     val stats = StatsCollector.collectSplit(partitioned(df), statsCols, PartCol)
-    val (tv, tviol, tablePersisted) = tableChecks(spark, df, dims, baseline)
+    val (tv, tviol, tablePersisted) = tableChecks(spark, df, dims, baseline, baselineProfile)
     import spark.implicits._
     RunResult(rv.unionByName(tv), rviol.as[Violation].unionByName(tviol), stats,
       rviol +: tablePersisted)
@@ -413,7 +427,8 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     * they sum to more than the wall — that's the point).
     */
   def runConcurrent(spark: SparkSession, df: DataFrame, dims: Map[String, DataFrame] = Map.empty,
-                    baseline: Option[DataFrame] = None): (RunResult, Map[String, Double]) = {
+                    baseline: Option[DataFrame] = None,
+                    baselineProfile: Option[Drift.Profile] = None): (RunResult, Map[String, Double]) = {
     val staticErrors = RuleCompiler.conformsToSchema(df.schema, suite.rules)
     require(staticErrors.isEmpty, s"static rule-suite validation failed:\n${staticErrors.mkString("\n")}")
     val statsCols = if (cfg.statsColumns.nonEmpty) cfg.statsColumns else df.columns.toSeq
@@ -446,7 +461,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
       // NOTE: a shared cached key projection for uniqueness+referential was
       // measured and REVERTED — building the columnar cache (compression)
       // cost more CPU than the two thin parquet rescans it saved.
-      val builders = tableCheckBuilders(spark, df, dims, baseline, () => totals)
+      val builders = tableCheckBuilders(spark, df, dims, baseline, () => totals, baselineProfile)
       val fHeavy = Future(timed("violations_scan") { rviol.count() })
       val fStats = Future(timed("stats_scan") { statsDf.count(); totals.count() })
       val fTable = builders.map { case (name, build) =>

@@ -256,6 +256,42 @@ class EngineSpec extends SparkSpec {
     seq.cleanup(); conc.cleanup()
   }
 
+  test("baseline profile: drift from a stored profile equals drift from the scan") {
+    val dims = Map("dim_repos" -> Synth.dimRepos(spark, 100))
+    val base = Synth.baseline(spark, 2000, 100).withColumn("len", length(col("content")))
+    val dfLen = df.withColumn("len", length(col("content")))
+    val driftSuite = suite ++ RuleSuite(Seq(
+      ChiSquareDrift("drift_chi2", "lang", 1e9),
+      KsDrift("drift_ks", "len", 20, 1.0),
+      PsiDrift("drift_psi", "lang", 1e9)))
+    val eng = new ValidationEngine(driftSuite, EngineConfig(numParts = 8))
+    // profile once; save/load roundtrip must preserve every (value, count)
+    // pair including the null category
+    val prof = Drift.profile(base, Seq("lang", "len"))
+    val path = java.nio.file.Files.createTempDirectory("graft_prof")
+      .resolve("baseline_profile.json")
+    Drift.saveProfile(prof, path)
+    val loaded = Drift.loadProfile(path)
+    assert(loaded === prof)
+    assert(prof("lang").exists(_._1.isEmpty), "null lang category must be profiled")
+    def vKey(v: Verdict) = (v.part, v.rule, v.evaluated, v.violations, v.pass)
+    val fromScan = eng.run(spark, dfLen, dims, Some(base))
+    // profile only — NO baseline DataFrame: the baseline snapshot is never
+    // touched (the 100 TB shape), and the verdicts are identical
+    val fromProf = eng.run(spark, dfLen, dims, baseline = None,
+      baselineProfile = Some(loaded))
+    assert(fromProf.verdicts.collect().map(vKey).sorted.toSeq ===
+      fromScan.verdicts.collect().map(vKey).sorted.toSeq)
+    fromScan.cleanup(); fromProf.cleanup()
+    // a profile that does not cover every drift column needs the snapshot
+    val partial = prof.view.filterKeys(_ == "lang").toMap
+    val err = intercept[RuntimeException] {
+      eng.run(spark, dfLen, dims, baseline = None,
+        baselineProfile = Some(partial)).verdicts.collect()
+    }
+    assert(err.getMessage.contains("baseline"))
+  }
+
   test("drift histogram cap: high-NDV column falls back to two-pass, same verdicts") {
     val base = Synth.baseline(spark, 2000, 100).withColumn("len", length(col("content")))
     val dfLen = df.withColumn("len", length(col("content")))
