@@ -165,6 +165,17 @@ final case class RuleSuite(rules: Seq[Rule]) {
   def rowRules: Seq[RowRule] = rules.collect { case r: RowRule => r }
   def tableRules: Seq[TableRule] = rules.collect { case r: TableRule => r }
 
+  /** Columns the suite's drift rules read on BOTH snapshots — the column
+    * set a baseline profile must cover to stand in for the baseline scan.
+    */
+  def driftColumns: Seq[String] = tableRules.collect {
+    case ChiSquareDrift(_, c, _) => c
+    case KsDrift(_, c, _, _) => c
+    case PsiDrift(_, c, _) => c
+    case JsdDrift(_, c, _) => c
+    case WassersteinDrift(_, c, _, _) => c
+  }.distinct
+
   /** Stable sha-256 over the canonical (sorted-by-name) rule serialization. */
   lazy val ruleSetHash: String = {
     val canonical = rules.map(_.toString).sorted.mkString("\n")

@@ -281,13 +281,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
         def b: DataFrame = baseline.getOrElse(
           sys.error(s"drift rules ${driftRules.map(_.name)} need a baseline " +
             "snapshot (or a baselineProfile covering their columns)"))
-        val cols = driftRules.collect {
-          case ChiSquareDrift(_, c, _) => c
-          case KsDrift(_, c, _, _) => c
-          case PsiDrift(_, c, _) => c
-          case JsdDrift(_, c, _) => c
-          case WassersteinDrift(_, c, _, _) => c
-        }.distinct
+        val cols = suite.driftColumns
         // Fused path first; if a continuous high-NDV column would blow the
         // driver collect (Drift.HistogramTooLarge), fall back per rule to
         // the two-pass ks/chiSquare whose binning stays distributed. A
