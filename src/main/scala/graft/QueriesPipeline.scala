@@ -45,6 +45,26 @@ object QueriesPipeline {
       .select("embedding").head().getSeq[Float](0).map(_.toDouble)
 
   val all: Map[String, Q] = Map(
+    // dedup: cross-snapshot incremental — blessed corpus = docs with
+    // id%3==0; incoming = the rest ∪ re-crawled copies of blessed docs
+    // (new ids, same text). A persisted-once Bloom filter over blessed
+    // content keys prefilters incoming rows (bloom-miss ⇒ provably new,
+    // zero shuffle); only bloom hits reach the exact broadcast confirm.
+    // Exact at any fpp — the oracle is the plain anti join.
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val blessed = docs.where(col("doc_id") % 3 === 0)
+        .select(sha2(col("text"), 256).as("key"))
+      val incoming = docs.where(col("doc_id") % 3 =!= 0)
+        .unionByName(docs.where((col("doc_id") % 3 === 0) && (col("doc_id") < IncDedupReplant))
+          .withColumn("doc_id", col("doc_id") + 200000L))
+        .withColumn("key", sha2(col("text"), 256))
+      val bloom = graft.ops.IncrementalDedup.buildBloom(
+        blessed, "key", expectedItems = 100000L, fpp = IncDedupFpp)
+      graft.ops.IncrementalDedup.newRows(incoming, blessed, "key", bloom)
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // dedup: exact content-hash groups on a corpus with planted copies
     "q_dedup_exact" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
@@ -368,6 +388,8 @@ object QueriesPipeline {
   val ContamMinHits = 3L
   val PackBudget = 500L
   val PackShards = 4
+  val IncDedupFpp = 0.01
+  val IncDedupReplant = 120L
 
   // --------------------------------------------------------------- oracles
 
@@ -403,6 +425,19 @@ object QueriesPipeline {
        | coalesce(list_min(list_transform(shs, h ->
        |   (((j + 1) * ${Dedup.MinHashA} % $P) * h + ((j + 1) * ${Dedup.MinHashB} % $P)) % $P)), $P))""".stripMargin
   }
+
+  private val incDedupOracle =
+    s"""WITH blessed AS (
+       |  SELECT sha256(text) AS key FROM documents WHERE doc_id % 3 = 0),
+       |incoming AS (
+       |  SELECT doc_id, sha256(text) AS key FROM documents WHERE doc_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, sha256(text) FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id < $IncDedupReplant)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id FROM incoming
+       |WHERE key IS NULL
+       |   OR key NOT IN (SELECT key FROM blessed WHERE key IS NOT NULL)
+       |ORDER BY doc_id""".stripMargin
 
   private val dedupExactOracle =
     """WITH corpus AS (SELECT doc_id AS id, text FROM documents
@@ -831,6 +866,7 @@ object QueriesPipeline {
     "q_contamination" -> contaminationOracle,
     "q_seq_packing" -> packingOracle,
     "q_dedup_exact" -> dedupExactOracle,
+    "q_incremental_dedup" -> incDedupOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,

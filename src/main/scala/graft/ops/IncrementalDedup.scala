@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, GraftExpressionBridge => B}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+
+/** Cross-snapshot incremental deduplication: "which rows of today's crawl
+  * are NOT already in the blessed corpus?" — exactly, without ever
+  * shuffling either corpus.
+  *
+  * The 100 TB shape (pairs with the drift baseline profile and the
+  * incremental-validation checkpoints: compute a small per-snapshot
+  * artifact ONCE, amortize it over every later run):
+  *
+  *  1. When a snapshot is blessed, build a Bloom filter over its content
+  *     keys — one map-side-combined aggregation producing a few MB of bits
+  *     — and persist it next to the snapshot ([[saveBloom]]).
+  *  2. Per incoming snapshot, probe every row against the (literal,
+  *     codegen'd) filter: a bloom MISS proves the key is NOT blessed, so
+  *     those rows — at typical dup rates, almost all of them — are
+  *     accepted with ZERO shuffle and zero reads of the blessed corpus.
+  *  3. Only bloom HITS (true dups + the fpp sliver) need confirmation.
+  *     Their distinct keys broadcast to a semi join over the blessed KEY
+  *     column (thin projection, map-only probe — the blessed side never
+  *     shuffles either); candidates anti-join the confirmed keys.
+  *
+  * The bloom is a PREfilter, never a verdict: results are bit-identical to
+  * a plain left-anti join at any fpp (OpsSpec asserts this with fpp up to
+  * 0.5), so correctness never depends on bloom sizing — only the size of
+  * the confirm join does.
+  *
+  * Uses Spark's own `BloomFilterAggregate` / `BloomFilterMightContain`
+  * (the runtime-join-filter expressions — codegen'd, mergeable buffers,
+  * xxhash64 keying), lifted to Columns via the expression bridge; no UDFs.
+  *
+  * Sizing: bits = -n·ln(fpp)/ln(2)², i.e. ~1.2 GB for 10^9 keys at 1%.
+  * For corpora where that literal is too fat to ship, raise fpp (the
+  * confirm join absorbs false positives at ~fpp × |incoming| extra rows)
+  * or key the filter per blessed partition.
+  */
+object IncrementalDedup {
+
+  /** Serialized Bloom filter over xxhash64(keyCol) of `blessed`; null keys
+    * are skipped (a null never equals anything, so it is never a dup).
+    */
+  def buildBloom(blessed: DataFrame, keyCol: String, expectedItems: Long,
+                 fpp: Double = 0.01): Array[Byte] = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val numBits = math.ceil(-expectedItems * math.log(fpp)
+      / (math.log(2) * math.log(2))).toLong.max(64L)
+    val keyed = blessed.where(col(keyCol).isNotNull)
+      .select(xxhash64(col(keyCol)).as("k"))
+    val agg = new BloomFilterAggregate(B.expression(col("k")),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    keyed.select(B.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd membership probe of xxhash64(key) against a literal filter.
+    * Null keys probe as null (three-valued), so wrap with an isNull branch
+    * when a definite answer is needed — [[newRows]] does.
+    */
+  def mightContain(bloom: Array[Byte], key: Column): Column =
+    B.column(new BloomFilterMightContain(Literal(bloom, BinaryType),
+      B.expression(xxhash64(key))))
+
+  def saveBloom(bloom: Array[Byte], path: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(path.toAbsolutePath.getParent)
+    java.nio.file.Files.write(path, bloom)
+  }
+  def loadBloom(path: java.nio.file.Path): Array[Byte] =
+    java.nio.file.Files.readAllBytes(path)
+
+  /** Rows of `incoming` whose `keyCol` does not occur in `blessedKeys`
+    * (thin key projection of the blessed corpus) — exact at any fpp.
+    * Null-keyed rows are always new. With `broadcastCandidates` (default)
+    * the blessed side is probed map-only against the broadcast candidate
+    * keys and NEITHER corpus shuffles; disable it when bloom hits are too
+    * numerous to broadcast (degenerate dup rates) — the confirm then runs
+    * as a plain shuffled anti join of candidates vs blessed keys.
+    */
+  def newRows(incoming: DataFrame, blessedKeys: DataFrame, keyCol: String,
+              bloom: Array[Byte], broadcastCandidates: Boolean = true): DataFrame = {
+    val k = col(keyCol)
+    val mc = mightContain(bloom, k)
+    val definiteNew = incoming.where(k.isNull || !mc)
+    val candidates = incoming.where(k.isNotNull && mc)
+    val confirmedNew =
+      if (broadcastCandidates) {
+        val candKeys = candidates.select(k).distinct()
+        val blessedHits = blessedKeys.join(broadcast(candKeys), Seq(keyCol), "left_semi")
+          .select(k).distinct()
+        candidates.join(broadcast(blessedHits), Seq(keyCol), "left_anti")
+      } else candidates.join(blessedKeys.select(k), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(confirmedNew)
+  }
+}

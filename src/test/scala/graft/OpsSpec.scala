@@ -606,6 +606,56 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: bloom prefilter is exact at any fpp, nulls always new") {
+    import spark.implicits._
+    val blessedDocs = docs.where(col("doc_id") % 3 === 0)
+    val blessed = blessedDocs.select(sha2(col("text"), 256).as("key"))
+    val incoming = docs.where(col("doc_id") % 3 =!= 0)
+      .unionByName(blessedDocs.where(col("doc_id") < 30)
+        .withColumn("doc_id", col("doc_id") + 200000L))
+      .unionByName(Seq((900001L, null.asInstanceOf[String], "xx", "s", 0L))
+        .toDF(docs.columns: _*))
+      .withColumn("key", sha2(col("text"), 256))
+    val plain = incoming.join(blessed, Seq("key"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted
+    assert(plain.contains(900001L), "null-keyed row must survive")
+    assert(!plain.exists(id => id >= 200000L && id != 900001L),
+      "replanted blessed copies must be dropped")
+    assert(plain.length < incoming.count(), "some rows must have been dropped")
+    // exactness holds from tight to absurd fpp; at fpp→1 every row becomes
+    // a candidate and the confirm join alone decides
+    for (fpp <- Seq(0.01, 0.5); bcast <- Seq(true, false)) {
+      val bloom = IncrementalDedup.buildBloom(blessed, "key", 10000L, fpp)
+      val got = IncrementalDedup.newRows(incoming, blessed, "key", bloom, bcast)
+        .select("doc_id").as[Long].collect().sorted
+      assert(got === plain, s"fpp=$fpp broadcast=$bcast")
+    }
+    // prefilter power: at 1% fpp the candidate set is ~the true dups, not
+    // the corpus — the property that deletes the join at 100 TB
+    val bloom = IncrementalDedup.buildBloom(blessed, "key", 10000L, 0.01)
+    val candidates = incoming.where(col("key").isNotNull &&
+      IncrementalDedup.mightContain(bloom, col("key"))).count()
+    val trueDups = incoming.count() - plain.length
+    assert(candidates >= trueDups && candidates <= trueDups + 3,
+      s"candidates=$candidates trueDups=$trueDups")
+    // bloom persists like the drift profile: bytes roundtrip
+    val p = java.nio.file.Files.createTempDirectory("graft_bloom").resolve("b.bin")
+    IncrementalDedup.saveBloom(bloom, p)
+    assert(java.util.Arrays.equals(IncrementalDedup.loadBloom(p), bloom))
+  }
+
+  test("incremental dedup: broadcast confirm never sort-merge-joins either corpus") {
+    val blessed = docs.where(col("doc_id") % 3 === 0)
+      .select(sha2(col("text"), 256).as("key"))
+    val incoming = docs.where(col("doc_id") % 3 =!= 0)
+      .withColumn("key", sha2(col("text"), 256))
+    val bloom = IncrementalDedup.buildBloom(blessed, "key", 10000L, 0.01)
+    val plan = IncrementalDedup.newRows(incoming, blessed, "key", bloom)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
