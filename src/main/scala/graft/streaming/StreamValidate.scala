@@ -63,6 +63,27 @@ object StreamValidate {
     stream.join(broadcast(dimProj), cond, "left_anti")
   }
 
+  /** Streaming face of [[graft.ops.IncrementalDedup.newRows]]: rows whose
+    * key is not in the blessed corpus flow through; known rows are dropped.
+    * Stateless (append mode, no state store): the persisted-once bloom
+    * ships as a literal inside a codegen'd filter, so the (vast) bloom-miss
+    * majority passes with zero joins; only bloom hits reach the
+    * stream-static anti join against the blessed KEY projection. Null keys
+    * are always new. Same caveat as [[referentialOrphanStream]]: a blessed
+    * key set too large for the static side of a per-batch join is the
+    * `foreachBatch`-over-the-batch-op case — but the bloom already removed
+    * ~all of the stream before that join, which is the point.
+    */
+  def incrementalNewRowsStream(stream: DataFrame, keyCol: String,
+                               bloom: Array[Byte], blessedKeys: DataFrame): DataFrame = {
+    val k = col(keyCol)
+    val mc = graft.ops.IncrementalDedup.mightContain(bloom, k)
+    val definiteNew = stream.where(k.isNull || !mc)
+    val confirmedNew = stream.where(k.isNotNull && mc)
+      .join(blessedKeys.select(k).distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(confirmedNew)
+  }
+
   /** Sentinel standing in for the null category so the baseline join keys
     * on it (SQL joins never match null = null; the batch histogram keys on
     * Option and matches None = None).

@@ -83,6 +83,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming incremental dedup matches the batch op (bloom literal + stream-static anti join)") {
+    import graft.ops.IncrementalDedup
+    implicit val sq = spark.sqlContext
+    val blessedDocs = Seq((1L, "alpha text"), (2L, "beta text"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val blessed = blessedDocs.select(sha2(col("text"), 256).as("key"))
+    val bloom = IncrementalDedup.buildBloom(blessed, "key", 1000L, 0.01)
+    val mem = MemoryStream[(Long, String)]
+    val streamed = mem.toDF().toDF("doc_id", "text")
+      .withColumn("key", sha2(col("text"), 256))
+    val q = StreamValidate.incrementalNewRowsStream(streamed, "key", bloom, blessed)
+      .writeStream.format("memory").queryName("incnew").outputMode("append").start()
+    val incoming = Seq(
+      (10L, "alpha text"),          // blessed dup — dropped
+      (11L, "gamma entirely new"),  // new
+      (12L, "beta text"),           // blessed dup — dropped
+      (13L, null.asInstanceOf[String])) // null key — always new
+    mem.addData(incoming: _*)
+    q.processAllAvailable()
+    val got = spark.table("incnew").select("doc_id").as[Long].collect().sorted
+    val batch = IncrementalDedup.newRows(
+      incoming.toDF("doc_id", "text").withColumn("key", sha2(col("text"), 256)),
+      blessed, "key", bloom).select("doc_id").as[Long].collect().sorted
+    assert(got === batch)
+    assert(got === Array(11L, 13L))
+    q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark, bounded state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[FileEvent]
