@@ -44,17 +44,36 @@ object IncrementalDedup {
 
   /** Serialized Bloom filter over xxhash64(keyCol) of `blessed`; null keys
     * are skipped (a null never equals anything, so it is never a dup).
+    *
+    * `BloomFilterAggregate` SILENTLY clamps its inputs to the runtime-join-
+    * filter session caps (`spark.sql.optimizer.runtime.bloomFilter
+    * .maxNumItems/maxNumBits`, defaults 4M items / 64 Mbits) — sized for
+    * opportunistic join filters, not for a deliberately built corpus
+    * filter, and a clamped build quietly multiplies fpp (20M keys into the
+    * default 64 Mbits probes at ~20%, not 1%). The caps are raised for the
+    * build and restored after.
     */
   def buildBloom(blessed: DataFrame, keyCol: String, expectedItems: Long,
                  fpp: Double = 0.01): Array[Byte] = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val numBits = math.ceil(-expectedItems * math.log(fpp)
       / (math.log(2) * math.log(2))).toLong.max(64L)
-    val keyed = blessed.where(col(keyCol).isNotNull)
-      .select(xxhash64(col(keyCol)).as("k"))
-    val agg = new BloomFilterAggregate(B.expression(col("k")),
-      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    keyed.select(B.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+    val conf = blessed.sparkSession.conf
+    val caps = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val prev = caps.map { case (k, _) => k -> conf.getOption(k) }
+    caps.foreach { case (k, v) => conf.set(k, math.max(v, conf.get(k).toLong).toString) }
+    try {
+      val keyed = blessed.where(col(keyCol).isNotNull)
+        .select(xxhash64(col(keyCol)).as("k"))
+      val agg = new BloomFilterAggregate(B.expression(col("k")),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      keyed.select(B.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   /** Codegen'd membership probe of xxhash64(key) against a literal filter.
@@ -74,25 +93,33 @@ object IncrementalDedup {
 
   /** Rows of `incoming` whose `keyCol` does not occur in `blessedKeys`
     * (thin key projection of the blessed corpus) — exact at any fpp.
-    * Null-keyed rows are always new. With `broadcastCandidates` (default)
-    * the blessed side is probed map-only against the broadcast candidate
-    * keys and NEITHER corpus shuffles; disable it when bloom hits are too
-    * numerous to broadcast (degenerate dup rates) — the confirm then runs
-    * as a plain shuffled anti join of candidates vs blessed keys.
+    * Null-keyed rows are always new (an anti join never matches null).
+    *
+    * Default (`broadcastCandidates`) plan, built so the WIDE incoming rows
+    * are scanned exactly once and nothing wide ever shuffles:
+    *  1. candidate keys = bloom hits of incoming's KEY COLUMN — a
+    *     column-pruned thin scan (parquet reads just the key), distinct'd
+    *     (the only shuffle, sized by the dup rate not the corpus);
+    *  2. blessed hits = blessed keys semi-joined against the BROADCAST
+    *     candidates — map-only probe, the blessed corpus never shuffles;
+    *  3. result = incoming anti-joined against the BROADCAST blessed hits
+    *     — the single full-width pass, map-only.
+    * The bloom's whole job is step 1: it shrinks the candidate set from
+    * "every incoming key" to "true dups + fpp sliver" so both broadcasts
+    * stay small. Disable `broadcastCandidates` in the degenerate high-dup
+    * regime (a recrawl where most keys are blessed) — no candidate set
+    * smaller than the corpus exists, so the confirm is the plain shuffled
+    * anti join and the bloom is skipped entirely.
     */
   def newRows(incoming: DataFrame, blessedKeys: DataFrame, keyCol: String,
               bloom: Array[Byte], broadcastCandidates: Boolean = true): DataFrame = {
     val k = col(keyCol)
-    val mc = mightContain(bloom, k)
-    val definiteNew = incoming.where(k.isNull || !mc)
-    val candidates = incoming.where(k.isNotNull && mc)
-    val confirmedNew =
-      if (broadcastCandidates) {
-        val candKeys = candidates.select(k).distinct()
-        val blessedHits = blessedKeys.join(broadcast(candKeys), Seq(keyCol), "left_semi")
-          .select(k).distinct()
-        candidates.join(broadcast(blessedHits), Seq(keyCol), "left_anti")
-      } else candidates.join(blessedKeys.select(k), Seq(keyCol), "left_anti")
-    definiteNew.unionByName(confirmedNew)
+    if (broadcastCandidates) {
+      val candKeys = incoming.where(k.isNotNull && mightContain(bloom, k))
+        .select(k).distinct()
+      val blessedHits = blessedKeys.join(broadcast(candKeys), Seq(keyCol), "left_semi")
+        .select(k).distinct()
+      incoming.join(broadcast(blessedHits), Seq(keyCol), "left_anti")
+    } else incoming.join(blessedKeys.select(k), Seq(keyCol), "left_anti")
   }
 }

@@ -1,0 +1,83 @@
+package graft.tools
+
+import graft.ops.IncrementalDedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: cross-snapshot incremental dedup — plain anti join vs bloom
+  * prefilter + exact confirm, in both dup-rate regimes.
+  *
+  * - "recrawl" regime: incoming = code_files vs blessed = baseline as-is
+  *   (~99.5% of keys already blessed). Nearly every row is a candidate, so
+  *   the bloom buys nothing and the right confirm is the plain shuffled
+  *   anti join (broadcastCandidates=false).
+  * - "fresh" regime: incoming keys perturbed so ~1% are blessed dups (the
+  *   fresh-crawl shape). The bloom rejects ~99% of rows map-only and the
+  *   broadcast confirm probes the blessed keys without shuffling anything.
+  *
+  * Usage: IncDedupProbe <cores> <dataDir>
+  */
+object IncDedupProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // isolate: no AQE surprise broadcasts
+      .config("spark.driver.memory", "60g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val blessed = spark.read.parquet(s"$dataDir/baseline")
+      .select(col("content_sha256").as("key"))
+    // wall time on this shared host is noise-dominated; total shuffle bytes
+    // is the deterministic metric that becomes the bottleneck on a real
+    // cluster (network, not RAM), so report both
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach(m =>
+          shuffled.addAndGet(m.shuffleWriteMetrics.bytesWritten))
+    })
+    def t[T](name: String)(f: => T): T = {
+      shuffled.set(0L)
+      val t0 = System.nanoTime(); val r = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle before reading
+      Thread.sleep(300)
+      println(f"[inc $cores] $name%-28s $secs%8.2fs  shuffle=${shuffled.get / 1e6}%9.1f MB ($r)")
+      r
+    }
+    val bloom = t("bloom-build(once/blessed)") {
+      IncrementalDedup.buildBloom(blessed, "key", 20000000L, 0.01)
+    }
+    println(s"[inc $cores] bloom bytes=${bloom.length}")
+
+    // fresh regime: ~1% true dups — key unchanged when id%100==0, else one
+    // flipped prefix char (cheap, identical cost in both plans). Incoming
+    // keeps the WIDE content column: surviving documents are the output,
+    // so a plan that shuffles incoming shuffles ~0.5 KB/row.
+    def incoming(regime: String) = {
+      val raw = spark.read.parquet(s"$dataDir/code_files")
+        .select(col("id"), col("content"), col("content_sha256"))
+      if (regime == "recrawl") raw.withColumn("key", col("content_sha256"))
+      else raw.withColumn("key",
+        when(col("id") % 100 === 0, col("content_sha256"))
+          .otherwise(concat(lit("n"), substring(col("content_sha256"), 2, 63))))
+    }
+    // materialize survivors' content (count() would let Catalyst prune the
+    // wide column out of BOTH plans and fake the comparison)
+    def drain(df: org.apache.spark.sql.DataFrame): Any =
+      df.agg(count(lit(1)), sum(length(col("content")))).collect()(0)
+    for (r <- 1 to 3; regime <- Seq("fresh", "recrawl")) {
+      val inc = incoming(regime)
+      t(s"$regime/plain-anti r$r") {
+        drain(inc.join(blessed, Seq("key"), "left_anti"))
+      }
+      t(s"$regime/bloom+confirm r$r") {
+        drain(IncrementalDedup.newRows(inc, blessed, "key", bloom,
+          broadcastCandidates = regime == "fresh"))
+      }
+    }
+    spark.stop()
+  }
+}
