@@ -65,6 +65,20 @@ object QueriesPipeline {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // dedup: paragraph-level (CCNet-style boilerplate removal) — every doc
+    // gets a shared header, every 5th a shared promo footer; duplicated
+    // paragraphs keep their first (min id, pos) occurrence only, document
+    // remainder preserved. Decision on hashes; text never shuffles.
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val corpus = docs.select(col("doc_id"),
+        concat(lit("Shared header paragraph"), lit("\n\n"), col("text"), lit("\n\n"),
+          when(col("doc_id") % 5 === 0, lit("promo footer paragraph"))
+            .otherwise(concat(lit("tail "), col("doc_id")))).as("text"))
+      graft.ops.Dedup.dropDuplicateParagraphs(corpus, "doc_id", "text",
+        minLen = ParaMinLen).orderBy("doc_id")
+    }),
+
     // dedup: exact content-hash groups on a corpus with planted copies
     "q_dedup_exact" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
@@ -390,6 +404,7 @@ object QueriesPipeline {
   val PackShards = 4
   val IncDedupFpp = 0.01
   val IncDedupReplant = 120L
+  val ParaMinLen = 5
 
   // --------------------------------------------------------------- oracles
 
@@ -425,6 +440,26 @@ object QueriesPipeline {
        | coalesce(list_min(list_transform(shs, h ->
        |   (((j + 1) * ${Dedup.MinHashA} % $P) * h + ((j + 1) * ${Dedup.MinHashB} % $P)) % $P)), $P))""".stripMargin
   }
+
+  private val paraDedupOracle =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, 'Shared header paragraph' || chr(10)||chr(10) || text
+       |    || chr(10)||chr(10) ||
+       |    CASE WHEN doc_id % 5 = 0 THEN 'promo footer paragraph'
+       |         ELSE 'tail ' || doc_id END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM corpus),
+       |p AS (SELECT doc_id, g.pos AS pos, parts[g.pos] AS para
+       |      FROM sp, unnest(generate_series(1, len(parts))) AS g(pos)),
+       |k AS (SELECT doc_id, pos, para,
+       |        (length(para) < $ParaMinLen
+       |         OR row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1) AS kept
+       |      FROM p)
+       |SELECT CAST(c.doc_id AS BIGINT) AS doc_id, coalesce(a.text, '') AS text
+       |FROM corpus c LEFT JOIN (
+       |  SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+       |  FROM k WHERE kept GROUP BY doc_id) a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   private val incDedupOracle =
     s"""WITH blessed AS (
@@ -867,6 +902,7 @@ object QueriesPipeline {
     "q_seq_packing" -> packingOracle,
     "q_dedup_exact" -> dedupExactOracle,
     "q_incremental_dedup" -> incDedupOracle,
+    "q_paragraph_dedup" -> paraDedupOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,

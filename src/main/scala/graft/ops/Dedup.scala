@@ -134,6 +134,51 @@ object Dedup {
     * (boilerplate that appears everywhere) lands on one reducer only for
     * COUNTING, which map-side combine collapses.
     */
+  /** Paragraph-level dedup (the CCNet/web-pipeline gate: the same
+    * header/footer/promo boilerplate repeats across millions of pages):
+    * every duplicated paragraph keeps its FIRST occurrence — min (id, pos)
+    * over all copies, within and across documents — and later copies are
+    * cut out of their documents; document text is otherwise preserved.
+    * Paragraphs shorter than `minLen` chars never dedup (empty segments,
+    * separators, one-word lines).
+    *
+    * Plan shape (same discipline as [[IncrementalDedup.newRows]]: decide
+    * on hashes, never shuffle the wide text):
+    *  1. thin pass — (id, pos, sha256(para)) for paragraphs ≥ minLen;
+    *  2. winner per hash = min struct(id, pos) (thin shuffle of hashes);
+    *  3. drop-lists = losers grouped per doc — ONLY docs containing a
+    *     duplicate get a row, so at boilerplate-ish dup rates this is far
+    *     smaller than the corpus and broadcasts (`broadcastDrops`);
+    *  4. one full-width pass rebuilds text with an index-aware
+    *     higher-order filter; docs without drops pass through untouched
+    *     (null text stays null).
+    * Set `broadcastDrops=false` when duplication is so pervasive that the
+    * drop-lists rival the corpus — the rebuild join then shuffles.
+    */
+  def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
+                              sep: String = "\n\n", minLen: Int = 1,
+                              broadcastDrops: Boolean = true): DataFrame = {
+    val parts = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val paras = df.select(col(idCol).as("_pid"), posexplode(parts))
+      .toDF("_pid", "_pos", "_para")
+      .where(length(col("_para")) >= minLen)
+      .select(col("_pid"), col("_pos"), sha2(col("_para"), 256).as("_h"))
+    val winners = paras.groupBy("_h")
+      .agg(min(struct(col("_pid"), col("_pos"))).as("_w"))
+    val drops = paras.join(winners, Seq("_h"))
+      .where(!(col("_pid") === col("_w._pid") && col("_pos") === col("_w._pos")))
+      .groupBy("_pid").agg(sort_array(collect_list(col("_pos"))).as("_drop"))
+    val withDrops = df.join(
+      if (broadcastDrops) broadcast(drops) else drops,
+      col(idCol) === col("_pid"), "left")
+    withDrops
+      .withColumn(textCol,
+        when(col("_drop").isNull, col(textCol)) // untouched docs: no rebuild
+          .otherwise(concat_ws(sep,
+            filter(parts, (_, i) => !array_contains(col("_drop"), i)))))
+      .drop("_pid", "_drop")
+  }
+
   def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
                          window: Int = 8): DataFrame = {
     val wins = df.select(col(idCol).as("id"),

@@ -606,6 +606,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup: first occurrence wins within and across docs, short paras immune") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "HEADER BOILERPLATE\n\nunique alpha body\n\nrepeated promo block"),
+      (2L, "HEADER BOILERPLATE\n\nunique beta body\n\nrepeated promo block"),
+      // within-doc duplicate: second copy of its own paragraph drops
+      (3L, "unique gamma body\n\nunique gamma body\n\nHEADER BOILERPLATE"),
+      // short separator-ish paragraph (< minLen) never dedups
+      (4L, "ok\n\nunique delta body\n\nok"),
+      (5L, null.asInstanceOf[String]),
+      // doc made ENTIRELY of already-seen paragraphs → empty text
+      (6L, "HEADER BOILERPLATE\n\nrepeated promo block")
+    ).toDF("id", "text")
+    val got = Dedup.dropDuplicateParagraphs(corpus, "id", "text", minLen = 5)
+      .orderBy("id").select("id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some("HEADER BOILERPLATE\n\nunique alpha body\n\nrepeated promo block"))
+    assert(got(2L) === Some("unique beta body"))
+    assert(got(3L) === Some("unique gamma body"))
+    assert(got(4L) === Some("ok\n\nunique delta body\n\nok"))
+    assert(got(5L) === None, "null text stays null")
+    assert(got(6L) === Some(""))
+    // untouched docs pass through without a split/rejoin; columns preserved
+    val extra = corpus.withColumn("lang", lit("en"))
+    val cols = Dedup.dropDuplicateParagraphs(extra, "id", "text").columns.toSeq
+    assert(cols === Seq("id", "text", "lang"))
+  }
+
+  test("paragraph dedup: rebuild join broadcasts, no sort-merge join") {
+    val corpus = docs.where(col("text").isNotNull)
+      .select(col("doc_id").as("id"),
+        concat(lit("hdr para text\n\n"), col("text")).as("text"))
+    val plan = Dedup.dropDuplicateParagraphs(corpus, "id", "text", minLen = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("incremental dedup: bloom prefilter is exact at any fpp, nulls always new") {
     import spark.implicits._
     val blessedDocs = docs.where(col("doc_id") % 3 === 0)
