@@ -225,6 +225,17 @@ object QueriesPipeline {
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")),
 
+    // training mix: domain reweighting by repetition (epochs per domain) —
+    // en repeats 2.5× (2 + deterministic 50% third copy), zh keeps 30%,
+    // everything else 1×; replica index distinguishes copies. Map-only
+    // explode, pure function of (id, rates), oracle replays it row-exactly.
+    "q_domain_repetition" -> ((s, dir) =>
+      TrainingMix.domainRepetition(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", RepRates, RepDefault)
+        .select(col("doc_id"), col("lang"), col("replica"))
+        .orderBy("doc_id", "replica")),
+
     // training mix: train-test contamination — documents sharing ≥ 3
     // distinct 5-gram shingles with a holdout set (docs with id%97==0
     // stand in for the benchmark; they collide with themselves by
@@ -405,6 +416,8 @@ object QueriesPipeline {
   val IncDedupFpp = 0.01
   val IncDedupReplant = 120L
   val ParaMinLen = 5
+  val RepRates: Map[String, Double] = Map("en" -> 2.5, "zh" -> 0.3)
+  val RepDefault = 1.0
 
   // --------------------------------------------------------------- oracles
 
@@ -440,6 +453,14 @@ object QueriesPipeline {
        | coalesce(list_min(list_transform(shs, h ->
        |   (((j + 1) * ${Dedup.MinHashA} % $P) * h + ((j + 1) * ${Dedup.MinHashB} % $P)) % $P)), $P))""".stripMargin
   }
+
+  private def domainRepOracle =
+    s"""WITH r AS (SELECT doc_id, lang,
+       |  ${TrainingMix.domainRepetitionRepsSql("doc_id", "lang", RepRates, RepDefault)} AS reps
+       |  FROM documents)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(g.replica AS BIGINT) AS replica
+       |FROM r, unnest(generate_series(0, reps - 1)) AS g(replica)
+       |ORDER BY doc_id, replica""".stripMargin
 
   private val paraDedupOracle =
     s"""WITH corpus AS (
@@ -903,6 +924,7 @@ object QueriesPipeline {
     "q_dedup_exact" -> dedupExactOracle,
     "q_incremental_dedup" -> incDedupOracle,
     "q_paragraph_dedup" -> paraDedupOracle,
+    "q_domain_repetition" -> domainRepOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,

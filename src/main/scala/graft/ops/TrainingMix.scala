@@ -44,6 +44,50 @@ object TrainingMix {
       s"(CASE $arms ELSE ${Similarity.sampleThreshold(defaultFraction)} END)"
   }
 
+  /** Domain reweighting by repetition ("epochs per domain"): materialize a
+    * training mix where each domain's documents repeat at a target rate —
+    * rate 2.5 emits every doc twice plus a deterministic 50% of docs a
+    * third time; rate 0.3 keeps a 30% sample (the rate<1 case degenerates
+    * to [[stratifiedSample]]). The fractional replica uses the same
+    * portable Knuth-hash draw as stratified sampling, so the mix is a pure
+    * function of (id, domain→rate): reproducible across engines and runs,
+    * stable under repartitioning, and map-only — per-domain (base, extra-
+    * threshold) pairs ship as literal maps; the only row expansion is a
+    * per-row sequence explode. Output rows carry `replica` (0-based) so
+    * downstream shuffling/packing can tell copies apart.
+    */
+  def domainRepetition(df: DataFrame, idCol: String, domainCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0), "rates must be >= 0")
+    def lut(f: Double => Long, default: Double): Column = {
+      val entries = rates.toSeq.sortBy(_._1).flatMap { case (k, r) => Seq(lit(k), lit(f(r))) }
+      if (entries.isEmpty) lit(f(default))
+      else coalesce(element_at(map(entries: _*), col(domainCol)), lit(f(default)))
+    }
+    val base = lut(r => math.floor(r).toLong, defaultRate)
+    val thr = lut(r => Similarity.sampleThreshold(r - math.floor(r)), defaultRate)
+    val reps = base +
+      when(Similarity.sampleKey(col(idCol)) < thr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("replica",
+      explode(when(reps > 0, sequence(lit(0L), reps - 1, lit(1L)))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
+  /** The same expansion, DuckDB SQL: emits `FROM <table>, unnest(
+    * generate_series(0, reps-1)) AS g(replica)` arms for the oracle. */
+  def domainRepetitionRepsSql(idExpr: String, domainExpr: String,
+                              rates: Map[String, Double], defaultRate: Double): String = {
+    def arm(f: Double => Long): String = {
+      val whens = rates.toSeq.sortBy(_._1).map { case (k, r) =>
+        s"WHEN $domainExpr = '$k' THEN ${f(r)}" }.mkString(" ")
+      if (whens.isEmpty) f(defaultRate).toString
+      else s"(CASE $whens ELSE ${f(defaultRate)} END)"
+    }
+    val base = arm(r => math.floor(r).toLong)
+    val thr = arm(r => Similarity.sampleThreshold(r - math.floor(r)))
+    s"($base + (CASE WHEN ${Similarity.sampleKeySql(idExpr)} < $thr THEN 1 ELSE 0 END))"
+  }
+
   /** Train-test contamination: documents sharing at least `minHits`
     * distinct n-gram shingles with a benchmark/holdout set. The corpus
     * side builds the usual shingle inverted index; the benchmark side is

@@ -606,6 +606,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("domain repetition: epochs per domain, deterministic fractional replica") {
+    import spark.implicits._
+    val df = docs.select(col("doc_id"), col("lang"))
+    val rates = Map("en" -> 2.5, "zh" -> 0.3, "de" -> 0.0)
+    val out = TrainingMix.domainRepetition(df, "doc_id", "lang", rates, 1.0)
+    val got = out.groupBy("lang").agg(countDistinct("doc_id").as("docs"),
+      count(lit(1)).as("rows")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> (r.getLong(1), r.getLong(2))).toMap
+    val in = df.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("∅") -> r.getLong(1)).toMap
+    // de vanishes (rate 0); every other domain present iff in input
+    assert(!got.contains("de") || in.getOrElse("de", 0L) == 0L)
+    got.foreach { case (l, (docsN, rows)) =>
+      val rate = if (l == "∅") 1.0 else rates.getOrElse(l, 1.0)
+      assert(rows >= (math.floor(rate) * docsN).toLong &&
+        rows <= (math.ceil(rate) * docsN).toLong, s"$l: $rows rows for $docsN docs")
+    }
+    // en docs emit 2 or 3 copies with replica 0..reps-1
+    val en = out.where(col("lang") === "en").groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("replica").as("mx"), min("replica").as("mn"))
+      .collect()
+    assert(en.nonEmpty && en.forall(r => (r.getLong(1) == 2L || r.getLong(1) == 3L)
+      && r.getLong(3) == 0L && r.getLong(2) == r.getLong(1) - 1))
+    // the fractional draw is the stratified-sample draw: zh keepers == the
+    // 0.3 stratified sample of zh docs
+    val zhKept = out.where(col("lang") === "zh").select("doc_id").distinct()
+      .as[Long].collect().sorted
+    val zhSample = TrainingMix.stratifiedSample(df.where(col("lang") === "zh"),
+      "doc_id", "lang", Map("zh" -> 0.3), 0.0).select("doc_id").as[Long].collect().sorted
+    assert(zhKept === zhSample)
+    // pure function of id: repartitioning changes nothing
+    val again = TrainingMix.domainRepetition(df.repartition(13), "doc_id", "lang", rates, 1.0)
+      .select("doc_id", "replica").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(again === out.select("doc_id", "replica").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted)
+  }
+
   test("paragraph dedup: first occurrence wins within and across docs, short paras immune") {
     import spark.implicits._
     val corpus = Seq(
