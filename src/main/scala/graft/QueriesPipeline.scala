@@ -79,6 +79,40 @@ object QueriesPipeline {
         minLen = ParaMinLen).orderBy("doc_id")
     }),
 
+    // THE PIPELINE, end to end as ONE declarative plan: construct a corpus
+    // with every artifact class (paragraph boilerplate, PII appendices,
+    // exact re-crawl copies, holdout contamination), then
+    //   PII scrub → exact dedup → paragraph dedup → decontaminate → mix
+    // and emit (doc_id, lang, tokens, sha256(final text)) — the oracle
+    // replays every stage in SQL, so the composition is bit-exact, not just
+    // each piece. Note the stage interaction the replay must get right:
+    // redaction turns the per-doc PII appendices into IDENTICAL
+    // "[EMAIL]-boilerplate" paragraphs, which the paragraph stage then
+    // dedups corpus-wide.
+    "q_training_pipeline" -> ((s, dir) => {
+      import graft.ops.PiiScan
+      val docs = t(s, dir, "documents").where(col("text").isNotNull)
+      val built = docs.select(col("doc_id"), col("lang"),
+        concat(lit("Shared header paragraph"), lit("\n\n"), col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("\n\ncontact user"), col("doc_id").cast("string"),
+              lit("@mail.example.org"))).otherwise(lit(""))).as("text"))
+      val corpus = built.unionByName(
+        built.where(col("doc_id") < 40).withColumn("doc_id", col("doc_id") + 300000L))
+      val scrubbed = corpus.withColumn("text", PiiScan.redact(col("text")))
+      val exact = Dedup.dropExactDups(scrubbed, "doc_id", "text")
+      val para = Dedup.dropDuplicateParagraphs(exact, "doc_id", "text", minLen = ParaMinLen)
+      val contaminated = TrainingMix.contaminatedDocs(para, "doc_id", "text",
+        docs.where(col("doc_id") % 97 === 0), "text", n = ContamN, minHits = ContamMinHits)
+      val clean = para.join(contaminated.select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      TrainingMix.stratifiedSample(clean, "doc_id", "lang", MixFractions, MixDefaultFraction)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("tokens"),
+          sha2(col("text"), 256).as("sha"))
+        .orderBy("doc_id")
+    }),
+
     // dedup: exact content-hash groups on a corpus with planted copies
     "q_dedup_exact" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").select(col("doc_id").as("id"), col("text"))
@@ -452,6 +486,63 @@ object QueriesPipeline {
     s"""list_transform(generate_series(0, ${Dedup.NumHashes - 1}), j ->
        | coalesce(list_min(list_transform(shs, h ->
        |   (((j + 1) * ${Dedup.MinHashA} % $P) * h + ((j + 1) * ${Dedup.MinHashB} % $P)) % $P)), $P))""".stripMargin
+  }
+
+  /** Every stage of q_training_pipeline replayed in SQL: construction,
+    * redaction, exact dedup (window keeper), paragraph dedup (row_number
+    * winner + string_agg rebuild), shingle decontamination vs the raw
+    * holdout, and the deterministic mix sample.
+    */
+  private def trainingPipelineOracle = {
+    import graft.ops.PiiScan
+    val B = Dedup.ShingleBase
+    val fold = (1 to ContamN).foldLeft("CAST(0 AS BIGINT)")((acc, k) =>
+      s"($acc * $B + whl[i+$k]) % $P")
+    s"""WITH c0 AS (
+       |  SELECT doc_id, lang,
+       |    'Shared header paragraph' || chr(10)||chr(10) || text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN chr(10)||chr(10)||'contact user'
+       |      || CAST(doc_id AS VARCHAR) || '@mail.example.org' ELSE '' END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |c0u AS (SELECT * FROM c0
+       |  UNION ALL SELECT doc_id + 300000, lang, text FROM c0 WHERE doc_id < 40),
+       |c1 AS (SELECT doc_id, lang, ${PiiScan.sqlRedact("text")} AS text FROM c0u),
+       |c2 AS (SELECT doc_id, lang, text FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY sha256(text)) AS keeper FROM c1)
+       |  WHERE doc_id = keeper),
+       |sp AS (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS parts FROM c2),
+       |p AS (SELECT doc_id, g.pos AS pos, parts[g.pos] AS para
+       |      FROM sp, unnest(generate_series(1, len(parts))) AS g(pos)),
+       |k AS (SELECT doc_id, pos, para,
+       |        (length(para) < $ParaMinLen
+       |         OR row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1) AS kept
+       |      FROM p),
+       |c3 AS (SELECT c2.doc_id, c2.lang, coalesce(a.text, '') AS text
+       |  FROM c2 LEFT JOIN (
+       |    SELECT doc_id, string_agg(para, chr(10)||chr(10) ORDER BY pos) AS text
+       |    FROM k WHERE kept GROUP BY doc_id) a USING (doc_id)),
+       |w5 AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS ws FROM c3),
+       |whc5 AS (SELECT id, list_transform(ws, tok -> ${sqlHash("tok", "tp")}) AS whl FROM w5),
+       |shl5 AS (SELECT id, CASE WHEN len(whl) >= $ContamN
+       |  THEN list_transform(generate_series(0, len(whl) - $ContamN), i -> $fold)
+       |  ELSE CAST([] AS BIGINT[]) END AS shs FROM whc5),
+       |csh AS (SELECT DISTINCT id, s AS sh FROM (SELECT id, unnest(shs) AS s FROM shl5)),
+       |bw AS (SELECT string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents WHERE doc_id % 97 = 0 AND text IS NOT NULL),
+       |bwh AS (SELECT list_transform(ws, tok -> ${sqlHash("tok", "tb")}) AS whl FROM bw),
+       |bsl AS (SELECT CASE WHEN len(whl) >= $ContamN
+       |  THEN list_transform(generate_series(0, len(whl) - $ContamN), i -> $fold)
+       |  ELSE CAST([] AS BIGINT[]) END AS shs FROM bwh),
+       |bsh AS (SELECT DISTINCT s AS sh FROM (SELECT unnest(shs) AS s FROM bsl)),
+       |contam AS (SELECT id FROM csh JOIN bsh USING (sh)
+       |  GROUP BY id HAVING count(*) >= $ContamMinHits),
+       |c4 AS (SELECT * FROM c3 WHERE doc_id NOT IN (SELECT id FROM contam)),
+       |c5 AS (SELECT * FROM c4 WHERE ${TrainingMix.stratifiedSampleSql("doc_id", "lang",
+              MixFractions, MixDefaultFraction)})
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens,
+       |  sha256(text) AS sha
+       |FROM c5 ORDER BY doc_id""".stripMargin
   }
 
   private def domainRepOracle =
@@ -925,6 +1016,7 @@ object QueriesPipeline {
     "q_incremental_dedup" -> incDedupOracle,
     "q_paragraph_dedup" -> paraDedupOracle,
     "q_domain_repetition" -> domainRepOracle,
+    "q_training_pipeline" -> trainingPipelineOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,
