@@ -139,6 +139,33 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("Exchange"), s"secret scan shuffles:\n$p2")
   }
 
+  test("incremental dedup: thin candidate pass is pruned to the key, wide pass never shuffles") {
+    import graft.ops.IncrementalDedup
+    val blessed = df.select(col("content_sha256").as("key"))
+    val incoming = df.withColumn("key", col("content_sha256"))
+    val bloom = IncrementalDedup.buildBloom(blessed, "key", 10000L, 0.01)
+    // the simple tree (formatted mode lists every node twice: tree + details)
+    val p = IncrementalDedup.newRows(incoming, blessed, "key", bloom)
+      .queryExecution.executedPlan.toString
+    // only broadcast exchanges plus the small candidate-distinct shuffle
+    // may appear; nothing sorts, nothing sort-merge-joins
+    assert(!p.contains("SortMergeJoin"), s"incremental dedup sort-merge-joins:\n$p")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj == 2, s"expected 2 broadcast joins (semi + anti), got $bhj:\n$p")
+    // the corpus is read exactly twice: the thin candidate-key pass and the
+    // single full-width anti pass (plus one blessed-side scan)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 3, s"too many scans ($scans):\n$p")
+  }
+
+  test("training pipeline composes without a cartesian or unkeyed shuffle") {
+    val p = plan(graft.QueriesPipeline.all("q_training_pipeline")(
+      spark, "/root/testdata/sf0.001"))
+    assert(!p.contains("CartesianProduct"), s"pipeline goes cartesian:\n$p")
+    // contamination benchmark and paragraph drop-lists ride broadcasts
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast in the pipeline:\n$p")
+  }
+
   test("pii redaction is a shuffle-free codegen'd projection") {
     import graft.ops.PiiScan
     val q = df.select(col("path"), PiiScan.redact(col("content")).as("r"),
