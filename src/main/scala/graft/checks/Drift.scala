@@ -487,13 +487,21 @@ object Drift {
   def profile(df: DataFrame, columns: Seq[String], maxRows: Int = 100000): Profile =
     valueHistograms(df, columns, maxRows)
 
-  /** Persist a profile as JSON: {"columns": {col: [[value|null, count]…]}}.
-    * Values are the exact histogram strings (shortest-roundtrip doubles for
-    * numerics), null marks the null category.
+  /** Persist a profile as JSON: {"columns": {col: [[value|null, count]…]},
+    * "meta": {...}}. Values are the exact histogram strings (shortest-
+    * roundtrip doubles for numerics), null marks the null category. `meta`
+    * is caller-supplied identity (snapshot id, row count, rule-set hash…):
+    * a profile file carries no inherent link to the snapshot it profiled,
+    * so without recorded identity a re-blessed baseline silently serves
+    * stale drift verdicts — [[loadProfile]] with `expect` fails fast
+    * instead.
     */
-  def saveProfile(p: Profile, path: java.nio.file.Path): Unit = {
+  def saveProfile(p: Profile, path: java.nio.file.Path,
+                  meta: Map[String, String] = Map.empty): Unit = {
     val m = graft.suite.SchemaDocs.json
     val root = m.createObjectNode()
+    val metaNode = root.putObject("meta")
+    meta.toSeq.sortBy(_._1).foreach { case (k, v) => metaNode.put(k, v) }
     val colsNode = root.putObject("columns")
     p.foreach { case (c, hist) =>
       val arr = colsNode.putArray(c)
@@ -508,9 +516,21 @@ object Drift {
       .writeValueAsBytes(root))
   }
 
-  def loadProfile(path: java.nio.file.Path): Profile = {
+  /** Load a stored profile. `expect` pins identity: every (key, value)
+    * must equal the recorded meta or the load fails — pointing yesterday's
+    * profile at a re-blessed or re-sized baseline is a silent-wrong-verdict
+    * bug, not a recoverable condition.
+    */
+  def loadProfile(path: java.nio.file.Path,
+                  expect: Map[String, String] = Map.empty): Profile = {
     val m = graft.suite.SchemaDocs.json
     val root = m.readTree(java.nio.file.Files.readAllBytes(path))
+    expect.foreach { case (k, v) =>
+      val got = Option(root.get("meta")).flatMap(mn => Option(mn.get(k))).map(_.asText())
+      require(got.contains(v),
+        s"$path: profile meta '$k' is ${got.getOrElse("<absent>")}, expected '$v' " +
+          "— stale or foreign baseline profile")
+    }
     val colsNode = root.get("columns")
     require(colsNode != null && colsNode.isObject, s"$path: no 'columns' object")
     val it = colsNode.properties().iterator()

@@ -165,15 +165,29 @@ final case class RuleSuite(rules: Seq[Rule]) {
   def rowRules: Seq[RowRule] = rules.collect { case r: RowRule => r }
   def tableRules: Seq[TableRule] = rules.collect { case r: TableRule => r }
 
+  /** THE drift-rule pattern match — the engine's drift check and
+    * [[driftColumns]] both derive from this one collect, so a new drift
+    * kind cannot be half-registered (in the check but not in the profile
+    * coverage set, or vice versa).
+    */
+  def driftRules: Seq[TableRule] = tableRules.collect {
+    case r: ChiSquareDrift => r: TableRule
+    case r: KsDrift => r: TableRule
+    case r: PsiDrift => r: TableRule
+    case r: JsdDrift => r: TableRule
+    case r: WassersteinDrift => r: TableRule
+  }
+
   /** Columns the suite's drift rules read on BOTH snapshots — the column
     * set a baseline profile must cover to stand in for the baseline scan.
     */
-  def driftColumns: Seq[String] = tableRules.collect {
+  def driftColumns: Seq[String] = driftRules.map {
     case ChiSquareDrift(_, c, _) => c
     case KsDrift(_, c, _, _) => c
     case PsiDrift(_, c, _) => c
     case JsdDrift(_, c, _) => c
     case WassersteinDrift(_, c, _, _) => c
+    case other => sys.error(s"drift rule without a column mapping: $other")
   }.distinct
 
   /** Stable sha-256 over the canonical (sorted-by-name) rule serialization. */

@@ -146,18 +146,20 @@ object Dedup {
     * on hashes, never shuffle the wide text):
     *  1. thin pass — (id, pos, sha256(para)) for paragraphs ≥ minLen;
     *  2. winner per hash = min struct(id, pos) (thin shuffle of hashes);
-    *  3. drop-lists = losers grouped per doc — ONLY docs containing a
-    *     duplicate get a row, so at boilerplate-ish dup rates this is far
-    *     smaller than the corpus and broadcasts (`broadcastDrops`);
+    *  3. drop-lists = losers grouped per doc — only docs containing a
+    *     duplicate get a row, but in the motivating workload (a shared
+    *     header/footer on EVERY page) that is nearly one thin row per doc,
+    *     so the default rebuild is a shuffled id-equi-join (thin drop-list
+    *     side; the wide side shuffles once). Set `broadcastDrops=true` only
+    *     when duplication is known-sparse (a bounded set of repeated
+    *     segments), which makes the rebuild map-only;
     *  4. one full-width pass rebuilds text with an index-aware
     *     higher-order filter; docs without drops pass through untouched
     *     (null text stays null).
-    * Set `broadcastDrops=false` when duplication is so pervasive that the
-    * drop-lists rival the corpus — the rebuild join then shuffles.
     */
   def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
                               sep: String = "\n\n", minLen: Int = 1,
-                              broadcastDrops: Boolean = true): DataFrame = {
+                              broadcastDrops: Boolean = false): DataFrame = {
     val parts = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val paras = df.select(col(idCol).as("_pid"), posexplode(parts))
       .toDF("_pid", "_pos", "_para")

@@ -69,7 +69,19 @@ object IncrementalDedup {
         .select(xxhash64(col(keyCol)).as("k"))
       val agg = new BloomFilterAggregate(B.expression(col("k")),
         Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-      keyed.select(B.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+      val bytes = keyed.select(B.column(agg).as("bloom")).head().getAs[Array[Byte]](0)
+      // BloomFilterAggregate.eval returns NULL at cardinality 0 (day-zero:
+      // empty or all-null-key blessed corpus), and a null bloom literal
+      // makes every downstream probe three-valued-NULL — which in the
+      // streaming face would drop every keyed row on the floor. An empty
+      // filter (matches nothing) is the correct value, so serialize one.
+      if (bytes != null) bytes
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter
+          .create(math.max(expectedItems, 1L), numBits).writeTo(bos)
+        bos.toByteArray
+      }
     } finally prev.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)

@@ -265,13 +265,7 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
     // snapshot (Drift.valueHistograms): chi2 frequencies, KS bounds and KS
     // bins all derive from value→count, so rule count never multiplies
     // passes over the snapshots (previously 3 thin scans per KS rule).
-    val driftRules = suite.tableRules.collect {
-      case r: ChiSquareDrift => r: TableRule
-      case r: KsDrift => r: TableRule
-      case r: PsiDrift => r: TableRule
-      case r: JsdDrift => r: TableRule
-      case r: WassersteinDrift => r: TableRule
-    }
+    val driftRules = suite.driftRules
     val driftCheck =
       if (driftRules.isEmpty) Nil
       else Seq("drift" -> { () =>

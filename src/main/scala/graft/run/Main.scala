@@ -98,24 +98,31 @@ object Main {
     // GRAFT_BASELINE_PROFILE=<path>: drift against a stored profile of the
     // blessed baseline instead of rescanning it every run (the 100 TB daily
     // shape). First run with a missing file profiles the baseline ONCE and
-    // persists it; every later run loads the (tiny) profile and the baseline
-    // snapshot is never read again — same verdicts bit-for-bit (EngineSpec).
+    // persists it; every later run loads the (tiny) profile and the engine
+    // prefers it — same verdicts bit-for-bit (EngineSpec). The baseline
+    // DataFrame stays available: the rare HistogramTooLarge fallback (a
+    // high-NDV CURRENT column) needs baseline rows for its two-pass KS/chi²
+    // path, and withholding them would turn that fallback into a crash.
+    // The profile records its identity (baseline id + rule-set hash) and a
+    // later run against a different baseline fails fast instead of serving
+    // stale verdicts.
+    val profileMeta = Map(
+      "baseline" -> s"synth-$rows-$repos",
+      "ruleSetHash" -> suite.ruleSetHash)
     val profile: Option[graft.checks.Drift.Profile] =
-      sys.env.get("GRAFT_BASELINE_PROFILE").map(java.nio.file.Paths.get(_)).map { p =>
-        if (java.nio.file.Files.exists(p)) {
-          println(s"[graft] drift baseline: stored profile $p (snapshot not scanned)")
-          graft.checks.Drift.loadProfile(p)
-        } else phase("profile-baseline") {
-          val prof = graft.checks.Drift.profile(baseline, suite.driftColumns)
-          graft.checks.Drift.saveProfile(prof, p)
-          println(s"[graft] drift baseline: profiled [${suite.driftColumns.mkString(",")}] -> $p")
-          prof
+      sys.env.get("GRAFT_BASELINE_PROFILE").map(java.nio.file.Paths.get(_))
+        .filter(_ => suite.driftColumns.nonEmpty) // no drift rules → nothing to profile
+        .map { p =>
+          if (java.nio.file.Files.exists(p)) {
+            println(s"[graft] drift baseline: stored profile $p (snapshot not rescanned)")
+            graft.checks.Drift.loadProfile(p, expect = profileMeta)
+          } else phase("profile-baseline") {
+            val prof = graft.checks.Drift.profile(baseline, suite.driftColumns)
+            graft.checks.Drift.saveProfile(prof, p, profileMeta)
+            println(s"[graft] drift baseline: profiled [${suite.driftColumns.mkString(",")}] -> $p")
+            prof
+          }
         }
-      }
-    // with a covering profile the baseline DataFrame is withheld entirely,
-    // proving no code path can fall back to scanning it
-    val base = if (profile.exists(p => suite.driftColumns.forall(p.contains))) None
-               else Some(baseline)
 
     ckptDir match {
       case Some(dir) =>
@@ -133,14 +140,14 @@ object Main {
         verdicts.foreach(r =>
           println(f"[graft] ${r.getString(0)}%-22s ${r.getLong(1)}%12d ${r.getLong(2)}%12d"))
         val (tv, _, tablePersisted) = phase("table-checks") {
-          engine.tableChecks(spark, df, dims, base, profile)
+          engine.tableChecks(spark, df, dims, Some(baseline), profile)
         }
         tv.groupBy("rule").agg(sum("violations").as("v")).orderBy("rule").collect()
           .foreach(r => println(f"[graft] ${r.getString(0)}%-22s ${"" }%12s ${r.getLong(1)}%12d"))
         tablePersisted.foreach { p => p.unpersist(); () }
       case None =>
         val (result, stages) = phase("eval(concurrent)") {
-          engine.runConcurrent(spark, df, dims, base, profile)
+          engine.runConcurrent(spark, df, dims, Some(baseline), profile)
         }
         stages.toSeq.sortBy(-_._2).foreach { case (n, s) =>
           println(f"[graft]   stage $n%-20s $s%8.2fs")

@@ -24,7 +24,8 @@ object IncDedupProbe {
     val spark = SparkSession.builder().master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1") // isolate: no AQE surprise broadcasts
-      .config("spark.driver.memory", "60g")
+      // NOTE: heap comes from spark-submit --driver-memory; a builder conf
+      // here would be silently ignored (the JVM is already up)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val blessed = spark.read.parquet(s"$dataDir/baseline")

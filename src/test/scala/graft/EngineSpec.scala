@@ -290,6 +290,19 @@ class EngineSpec extends SparkSpec {
         baselineProfile = Some(partial)).verdicts.collect()
     }
     assert(err.getMessage.contains("baseline"))
+    // identity pinning: recorded meta must match or the load fails fast —
+    // a profile of a re-blessed baseline must never silently serve verdicts
+    val p2 = path.resolveSibling("with_meta.json")
+    Drift.saveProfile(prof, p2, Map("baseline" -> "synth-2000-100", "hash" -> "abc"))
+    assert(Drift.loadProfile(p2, Map("baseline" -> "synth-2000-100")) === prof)
+    val stale = intercept[IllegalArgumentException] {
+      Drift.loadProfile(p2, Map("baseline" -> "synth-9999-100"))
+    }
+    assert(stale.getMessage.contains("stale"))
+    val absent = intercept[IllegalArgumentException] {
+      Drift.loadProfile(path, Map("baseline" -> "synth-2000-100")) // no meta recorded
+    }
+    assert(absent.getMessage.contains("<absent>"))
   }
 
   test("drift histogram cap: high-NDV column falls back to two-pass, same verdicts") {

@@ -671,14 +671,19 @@ class OpsSpec extends SparkSpec {
     assert(cols === Seq("id", "text", "lang"))
   }
 
-  test("paragraph dedup: rebuild join broadcasts, no sort-merge join") {
+  test("paragraph dedup: sparse-dup broadcast rebuild plans map-only, both modes agree") {
     val corpus = docs.where(col("text").isNotNull)
       .select(col("doc_id").as("id"),
         concat(lit("hdr para text\n\n"), col("text")).as("text"))
-    val plan = Dedup.dropDuplicateParagraphs(corpus, "id", "text", minLen = 5)
-      .queryExecution.executedPlan.toString
+    val bc = Dedup.dropDuplicateParagraphs(corpus, "id", "text", minLen = 5,
+      broadcastDrops = true)
+    val plan = bc.queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    val shuffled = Dedup.dropDuplicateParagraphs(corpus, "id", "text", minLen = 5)
+      .select("id", "text").collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(shuffled === bc.select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted)
   }
 
   test("incremental dedup: bloom prefilter is exact at any fpp, nulls always new") {
@@ -717,6 +722,34 @@ class OpsSpec extends SparkSpec {
     val p = java.nio.file.Files.createTempDirectory("graft_bloom").resolve("b.bin")
     IncrementalDedup.saveBloom(bloom, p)
     assert(java.util.Arrays.equals(IncrementalDedup.loadBloom(p), bloom))
+  }
+
+  test("incremental dedup: empty/all-null blessed corpus builds a valid empty bloom") {
+    import spark.implicits._
+    // day-zero: no blessed snapshot yet — the aggregate evals to NULL, which
+    // must become an empty filter, never a null literal (a null bloom makes
+    // every streaming probe three-valued and silently drops keyed rows)
+    for (blessed <- Seq(
+      Seq.empty[String].toDF("key"),
+      Seq(null.asInstanceOf[String], null.asInstanceOf[String]).toDF("key"))) {
+      val bloom = IncrementalDedup.buildBloom(blessed, "key", 1000L, 0.01)
+      assert(bloom != null && bloom.nonEmpty)
+      val incoming = Seq((1L, "a"), (2L, "b")).toDF("id", "key")
+      assert(incoming.where(IncrementalDedup.mightContain(bloom, col("key"))).count() === 0,
+        "empty filter must match nothing")
+      assert(IncrementalDedup.newRows(incoming, blessed, "key", bloom).count() === 2)
+      // and the streaming face keeps every row
+      implicit val sq = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamValidate.incrementalNewRowsStream(
+        mem.toDF().toDF("id", "key"), "key", bloom, blessed)
+        .writeStream.format("memory").queryName(s"empty_bloom_${blessed.count()}")
+        .outputMode("append").start()
+      mem.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      assert(spark.table(s"empty_bloom_${blessed.count()}").count() === 2)
+      q.stop()
+    }
   }
 
   test("incremental dedup: broadcast confirm never sort-merge-joins either corpus") {
