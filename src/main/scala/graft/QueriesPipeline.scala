@@ -200,6 +200,16 @@ object QueriesPipeline {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         queryVec(s, dir), k = 5)),
 
+    // similarity: scalar-quantized (int8) ANN — per-dimension bounds
+    // trained in one dim-sized aggregation, vectors stored as 0..255 codes
+    // (4× smaller scans — the 100 TB lever), query scored against decoded
+    // codes. The oracle replays train → encode → decode → cosine.
+    "q_ann_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.sqTopK(emb, "vec_id", "embedding", queryVec(s, dir), k = 5,
+        Similarity.sqTrain(emb, "embedding"))
+    }),
+
     // similarity: LSH-bucketed ANN (query scans only its own bucket)
     "q_ann_lsh" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -761,6 +771,27 @@ object QueriesPipeline {
        |SELECT vec_id, round(${sqlCos("embedding", "qv", 64)}, 5) AS cos
        |FROM embeddings, q ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
 
+  private val annSq8Oracle =
+    s"""WITH b AS (SELECT g.pos AS pos,
+       |    round(min(CAST(embedding[g.pos] AS DOUBLE)), 6) AS lo,
+       |    round(max(CAST(embedding[g.pos] AS DOUBLE)), 6) AS hi
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(pos)
+       |  GROUP BY g.pos),
+       |ba AS (SELECT list(lo ORDER BY pos) AS los,
+       |              list(hi - lo ORDER BY pos) AS spans FROM b),
+       |enc AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+       |    CASE WHEN spans[i] = 0 THEN 0
+       |         ELSE CAST(round(least(greatest(
+       |           (CAST(embedding[i] AS DOUBLE) - los[i]) / spans[i], 0), 1) * 255)
+       |           AS INT) END) AS codes
+       |  FROM embeddings, ba),
+       |dec AS (SELECT vec_id, list_transform(generate_series(1, 64), i ->
+       |    los[i] + CAST(codes[i] AS DOUBLE) / 255 * spans[i]) AS dv
+       |  FROM enc, ba),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, round(${sqlCos("dv", "qv", 64)}, 5) AS cos
+       |FROM dec, q ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+
   private def sqlPlaneDot(vec: String, j: String): String =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(generate_series(1, 64), d -> " +
@@ -1027,6 +1058,7 @@ object QueriesPipeline {
     "q_simhash_pairs" -> simhashPairsOracle,
     "q_embed_neardup" -> embedNeardupOracle,
     "q_ann_topk" -> annTopkOracle,
+    "q_ann_sq8" -> annSq8Oracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_langid" -> langidOracle,

@@ -41,6 +41,65 @@ object Similarity {
       .limit(k)
   }
 
+  // ---- scalar quantization (SQ8) -----------------------------------------
+  // The memory-bounded ANN path that complements IVF's compute bound: store
+  // int8 codes (4× smaller than float32, 8× than double) and score decoded
+  // values against the raw query (asymmetric). At 100 TB the embedding scan
+  // IS the cost of brute-force/IVF-list search, so 4× fewer bytes is 4×
+  // faster before any algorithmic pruning — and SQ composes with IVF (codes
+  // inside inverted lists). Training = per-dimension (min, max), rounded to
+  // 6 decimals like the IVF centroids so any engine reproduces the codec
+  // bit-exactly; encode = affine clip-round to 0..255.
+
+  /** Per-dimension (lo, hi) over a deterministic hash sample of the corpus
+    * — ONE dim-sized aggregation, collected like a query vector.
+    */
+  def sqTrain(df: DataFrame, vecCol: String,
+              trainFraction: Double = 1.0, idCol: String = ""): Seq[(Double, Double)] = {
+    require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction in (0, 1]")
+    val base = if (trainFraction >= 1.0) df
+      else df.where(sampleKey(col(idCol)) < lit(sampleThreshold(trainFraction)))
+    base.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(min("x"), 6).as("lo"), round(max("x"), 6).as("hi"))
+      .orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+  }
+
+  /** int8 codes: code_i = round(clip((x_i − lo_i)/(hi_i − lo_i), 0, 1)·255);
+    * a collapsed dimension (hi == lo) codes to 0 and decodes to lo.
+    */
+  def sqEncode(vec: Column, bounds: Seq[(Double, Double)]): Column = {
+    val lows = array(bounds.map(b => lit(b._1)): _*)
+    val spans = array(bounds.map(b => lit(b._2 - b._1)): _*)
+    transform(toDouble(vec), (x, i) => {
+      val lo = element_at(lows, i + 1)
+      val span = element_at(spans, i + 1)
+      when(span === 0d, lit(0))
+        .otherwise(round(least(greatest((x - lo) / span, lit(0d)), lit(1d)) * 255d)
+          .cast("int"))
+    })
+  }
+
+  /** Decoded (reconstructed) values: lo_i + code_i/255·span_i. */
+  def sqDecode(codes: Column, bounds: Seq[(Double, Double)]): Column = {
+    val lows = array(bounds.map(b => lit(b._1)): _*)
+    val spans = array(bounds.map(b => lit(b._2 - b._1)): _*)
+    transform(codes, (c, i) =>
+      element_at(lows, i + 1) + c.cast("double") / 255d * element_at(spans, i + 1))
+  }
+
+  /** Approximate top-k: encode once (the stored index — persist THIS), score
+    * the query against decoded codes. Same output shape as the exact path;
+    * OpsSpec bounds its recall against [[bruteForceTopK]].
+    */
+  def sqTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
+             k: Int, bounds: Seq[(Double, Double)]): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.select(col(idCol), sqEncode(col(vecCol), bounds).as("codes"))
+      .select(col(idCol), round(cosine(sqDecode(col("codes"), bounds), q), 5).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic integer hyperplanes: plane j, dim d weight =
     * ((31(j+1) + 17d) mod 97) − 48 ∈ [−48,48]. Integer arithmetic ⇒ exactly
     * reproducible anywhere.

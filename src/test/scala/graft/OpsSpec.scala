@@ -724,6 +724,39 @@ class OpsSpec extends SparkSpec {
     assert(java.util.Arrays.equals(IncrementalDedup.loadBloom(p), bloom))
   }
 
+  test("sq8 quantization: codec bounds, roundtrip error, recall vs exact top-k") {
+    import spark.implicits._
+    val bounds = Similarity.sqTrain(emb, "embedding")
+    assert(bounds.forall { case (lo, hi) => hi >= lo })
+    // codes live in 0..255; reconstruction error per element ≤ span/255/2
+    // (+ rounding slack from the 6-dp bound rounding)
+    val checked = emb.select(
+      Similarity.toDouble(col("embedding")).as("v"),
+      Similarity.sqDecode(Similarity.sqEncode(col("embedding"), bounds), bounds).as("d"),
+      Similarity.sqEncode(col("embedding"), bounds).as("c"))
+    val maxCode = checked.select(max(array_max(col("c")))).head().getInt(0)
+    val minCode = checked.select(min(array_min(col("c")))).head().getInt(0)
+    assert(minCode >= 0 && maxCode <= 255)
+    val spanMax = bounds.map { case (lo, hi) => hi - lo }.max
+    val worst = checked.select(max(aggregate(
+      zip_with(col("v"), col("d"), (x, y) => abs(x - y)),
+      lit(0.0), (a, x) => greatest(a, x)))).head().getDouble(0)
+    assert(worst <= spanMax / 255.0 / 2.0 + 1e-5, s"reconstruction error $worst")
+    // approximate top-k overlaps the exact answer (int8 on these embeddings
+    // is near-lossless; require ≥ 4 of 5)
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 5)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.sqTopK(emb, "vec_id", "embedding", q, 5, bounds)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & approx).size >= 4, s"recall too low: $exact vs $approx")
+    // sample-trained bounds clip out-of-sample values instead of failing
+    val sampled = Similarity.sqTrain(emb, "embedding", trainFraction = 0.5, idCol = "vec_id")
+    val codes2 = emb.select(Similarity.sqEncode(col("embedding"), sampled).as("c"))
+    assert(codes2.select(max(array_max(col("c")))).head().getInt(0) <= 255)
+  }
+
   test("incremental dedup: empty/all-null blessed corpus builds a valid empty bloom") {
     import spark.implicits._
     // day-zero: no blessed snapshot yet — the aggregate evals to NULL, which
