@@ -87,18 +87,63 @@ object Similarity {
       element_at(lows, i + 1) + c.cast("double") / 255d * element_at(spans, i + 1))
   }
 
-  /** Approximate top-k: encode once (the stored index — persist THIS), score
-    * the query against decoded codes. Same output shape as the exact path;
-    * OpsSpec bounds its recall against [[bruteForceTopK]].
+  /** Approximate top-k over raw vectors: encode, then score like
+    * [[sqTopKEncoded]]. Same output shape as the exact path; OpsSpec bounds
+    * its recall against [[bruteForceTopK]].
     */
   def sqTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
-             k: Int, bounds: Seq[(Double, Double)]): DataFrame = {
+             k: Int, bounds: Seq[(Double, Double)]): DataFrame =
+    sqTopKEncoded(df.select(col(idCol), sqEncode(col(vecCol), bounds).as("codes")),
+      idCol, "codes", query, k, bounds)
+
+  /** Approximate top-k over a STORED code column — the deployment shape:
+    * the persisted index is the int8 codes (+ the dim-sized bounds), the
+    * float vectors are never read again.
+    */
+  def sqTopKEncoded(df: DataFrame, idCol: String, codesCol: String,
+                    query: Seq[Double], k: Int,
+                    bounds: Seq[(Double, Double)]): DataFrame = {
     val q = array(query.map(lit): _*)
-    df.select(col(idCol), sqEncode(col(vecCol), bounds).as("codes"))
-      .select(col(idCol), round(cosine(sqDecode(col("codes"), bounds), q), 5).as("cos"))
+    df.select(col(idCol), round(cosine(sqDecode(col(codesCol), bounds), q), 5).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Asymmetric-distance (ADC) cosine against a constant query, computed on
+    * the RAW codes — the decode loop disappears into three weighted dots:
+    *   dot(x̃, q)  = Σ lo·q  +  Σ c·(s·q)          (s = span/255)
+    *   |x̃|²       = Σ lo²  +  Σ c·(2·lo·s)  +  Σ c²·s²
+    * with every per-dimension weight folded on the driver. Algebraically
+    * identical to decode-then-cosine; floating-point association differs,
+    * so OpsSpec pins |adc − decode| and top-k equality rather than
+    * bit-parity (the oracle replays the decode form).
+    */
+  def sqCosineAdc(codes: Column, query: Seq[Double],
+                  bounds: Seq[(Double, Double)]): Column = {
+    val lo = bounds.map(_._1)
+    val s = bounds.map { case (l, h) => (h - l) / 255.0 }
+    def dotOn(weights: Seq[Double], sq: Boolean): Column =
+      aggregate(zip_with(codes, array(weights.map(lit): _*), (c, w) => {
+        val cd = c.cast("double")
+        (if (sq) cd * cd else cd) * w
+      }), lit(0.0), (a, x) => a + x)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val dotConst = lo.zip(query).map { case (l, q) => l * q }.sum
+    val dotX = lit(dotConst) + dotOn(s.zip(query).map { case (si, qi) => si * qi }, sq = false)
+    val normSq = lit(lo.map(l => l * l).sum) +
+      dotOn(lo.zip(s).map { case (l, si) => 2 * l * si }, sq = false) +
+      dotOn(s.map(si => si * si), sq = true)
+    try_divide(dotX, sqrt(normSq) * lit(qn))
+  }
+
+  /** [[sqTopKEncoded]] with ADC scoring — the fast path over stored codes. */
+  def sqTopKAdc(df: DataFrame, idCol: String, codesCol: String,
+                query: Seq[Double], k: Int,
+                bounds: Seq[(Double, Double)]): DataFrame =
+    df.select(col(idCol),
+        round(sqCosineAdc(col(codesCol), query, bounds), 5).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
 
   /** Deterministic integer hyperplanes: plane j, dim d weight =
     * ((31(j+1) + 17d) mod 97) − 48 ∈ [−48,48]. Integer arithmetic ⇒ exactly

@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.ops.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: the bytes/scan win of int8 scalar quantization at ANN scale.
+  * Synthesizes N deterministic 64-dim vectors, writes float32 and SQ8
+  * parquet side by side, reports on-disk size and interleaved brute-force
+  * top-k wall time over each. Usage: SqProbe <cores> <rows> <dir>
+  */
+object SqProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val rows = args.lift(1).map(_.toLong).getOrElse(2000000L)
+    val dir = args.lift(2).getOrElse("/dev/shm/graft_sq")
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // deterministic synthetic embeddings: dim d of id = portable sin-free
+    // integer mix scaled to [-1, 1)
+    val vec = transform(sequence(lit(0), lit(63)), d =>
+      ((pmod(col("id") * lit(2654435761L) + d * lit(40503L), lit(65536L))
+        .cast("double") / 32768d) - 1d).cast("float"))
+    val base = spark.range(rows).select(col("id"), vec.as("embedding"))
+    base.write.mode("overwrite").parquet(s"$dir/f32")
+    val f32 = spark.read.parquet(s"$dir/f32")
+    val bounds = Similarity.sqTrain(f32, "embedding")
+    // storage shifts 0..255 to signed -128..127 (tinyint); scoring shifts back
+    f32.select(col("id"),
+        transform(Similarity.sqEncode(col("embedding"), bounds), c => c - 128)
+          .cast("array<tinyint>").as("codes"))
+      .write.mode("overwrite").parquet(s"$dir/sq8")
+    val sq8raw = spark.read.parquet(s"$dir/sq8")
+    val sq8 = sq8raw.select(col("id"),
+      transform(col("codes"), c => c.cast("int") + 128).as("codes"))
+
+    def du(p: String): Long = {
+      val d = new java.io.File(p)
+      d.listFiles().filter(_.isFile).map(_.length).sum
+    }
+    println(f"[sq $cores] f32 bytes=${du(s"$dir/f32") / 1e6}%9.1f MB   " +
+      f"sq8 bytes=${du(s"$dir/sq8") / 1e6}%9.1f MB   " +
+      f"ratio=${du(s"$dir/f32").toDouble / du(s"$dir/sq8")}%5.2f")
+
+    val q = (0 until 64).map(d =>
+      (((17L * 2654435761L + d * 40503L) % 65536L) / 32768.0) - 1.0)
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[sq $cores] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs ($r)")
+    }
+    for (r <- 1 to 3) {
+      t(s"f32/topk r$r") {
+        Similarity.bruteForceTopK(f32, "id", "embedding", q, 10).collect().length
+      }
+      t(s"sq8/topk(decode) r$r") {
+        Similarity.sqTopKEncoded(sq8, "id", "codes", q, 10, bounds)
+          .collect().length
+      }
+      t(s"sq8/topk(adc) r$r") {
+        Similarity.sqTopKAdc(sq8, "id", "codes", q, 10, bounds)
+          .collect().length
+      }
+    }
+    spark.stop()
+  }
+}

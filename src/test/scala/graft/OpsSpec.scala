@@ -755,6 +755,20 @@ class OpsSpec extends SparkSpec {
     val sampled = Similarity.sqTrain(emb, "embedding", trainFraction = 0.5, idCol = "vec_id")
     val codes2 = emb.select(Similarity.sqEncode(col("embedding"), sampled).as("c"))
     assert(codes2.select(max(array_max(col("c")))).head().getInt(0) <= 255)
+    // ADC scoring is the same function as decode-then-cosine up to fp
+    // association: per-row delta tiny, top-k identical
+    val codes = emb.select(col("vec_id"),
+      Similarity.sqEncode(col("embedding"), bounds).as("codes"))
+    val delta = codes.select(max(abs(
+      Similarity.sqCosineAdc(col("codes"), q, bounds) -
+        Similarity.cosine(Similarity.sqDecode(col("codes"), bounds),
+          array(q.map(lit): _*))))).head().getDouble(0)
+    assert(delta < 1e-9, s"adc vs decode cosine drift: $delta")
+    val viaAdc = Similarity.sqTopKAdc(codes, "vec_id", "codes", q, 5, bounds)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaDecode = Similarity.sqTopKEncoded(codes, "vec_id", "codes", q, 5, bounds)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaAdc === viaDecode)
   }
 
   test("incremental dedup: empty/all-null blessed corpus builds a valid empty bloom") {
