@@ -301,6 +301,17 @@ object QueriesPipeline {
         "doc_id", "tokens", budget = PackBudget, shards = PackShards)
         .orderBy("doc_id")),
 
+    // text analysis: unigram-LM perplexity gate (CCNet-style) — per-doc
+    // cross-entropy under a Laplace-smoothed unigram model of the corpus
+    // itself; vocab = words seen ≥ 2 times, rarer words score as OOV mass.
+    // Only (word, count) and (id, logp-partial) pairs ever shuffle.
+    "q_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (vocab, oov) = TextAnalysis.unigramModel(docs, "text", minCount = PplMinCount)
+      TextAnalysis.crossEntropy(docs, "doc_id", "text", vocab, oov)
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    }),
+
     // text analysis: word-repetition quality gates (duplicate-word fraction,
     // top-word share) — sorted-run fold per row, zero shuffle; the oracle
     // recomputes both via unnest + GROUP BY, proving the fold against the
@@ -462,6 +473,7 @@ object QueriesPipeline {
   val ParaMinLen = 5
   val RepRates: Map[String, Double] = Map("en" -> 2.5, "zh" -> 0.3)
   val RepDefault = 1.0
+  val PplMinCount = 2L
 
   // --------------------------------------------------------------- oracles
 
@@ -554,6 +566,21 @@ object QueriesPipeline {
        |  sha256(text) AS sha
        |FROM c5 ORDER BY doc_id""".stripMargin
   }
+
+  private def perplexityOracle =
+    s"""WITH w AS (SELECT doc_id, unnest(${TextAnalysis.sqlWords("text")}) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |wc AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+       |tot AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS n FROM wc),
+       |voc AS (SELECT word, c FROM wc WHERE c >= $PplMinCount),
+       |vn AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM voc),
+       |lp AS (SELECT word, ln(CAST(c + 1 AS DOUBLE) / (n + v)) AS logp
+       |  FROM voc, tot, vn),
+       |oov AS (SELECT ln(1.0 / (n + v)) AS logp FROM tot, vn)
+       |SELECT w.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  round(avg(-coalesce(lp.logp, (SELECT logp FROM oov))), 6) AS xent
+       |FROM w LEFT JOIN lp USING (word)
+       |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
 
   private def domainRepOracle =
     s"""WITH r AS (SELECT doc_id, lang,
@@ -1047,6 +1074,7 @@ object QueriesPipeline {
     "q_incremental_dedup" -> incDedupOracle,
     "q_paragraph_dedup" -> paraDedupOracle,
     "q_domain_repetition" -> domainRepOracle,
+    "q_perplexity" -> perplexityOracle,
     "q_training_pipeline" -> trainingPipelineOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_ngram_jaccard" -> jaccardOracle,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: language ID,
@@ -159,6 +159,49 @@ object TextAnalysis {
         }))
 
   def tokenHashes(c: Column): Column = transform(words(c), w => polyHash(w))
+
+  // ---- unigram-LM perplexity gate ----------------------------------------
+  // The CCNet-style quality filter: score each document by its cross-entropy
+  // under a unigram language model of the corpus itself (or of a trusted
+  // reference corpus) — gibberish, boilerplate soup, and wrong-language text
+  // all sit far from the corpus distribution. Laplace-smoothed so unseen
+  // words cost ln(N+V), never blow up.
+
+  /** Train the model: (vocab(word, logp), oovLogp). Vocabulary keeps words
+    * with count ≥ minCount; everything rarer scores as OOV mass. ONE
+    * word-count aggregation (map-side combined; only (word, count) pairs
+    * shuffle, never text) + two driver scalars. The vocab DataFrame is
+    * dimension-sized — broadcast it into [[crossEntropy]].
+    */
+  def unigramModel(df: DataFrame, textCol: String,
+                   minCount: Long = 2): (DataFrame, Double) = {
+    val wc = df.where(col(textCol).isNotNull)
+      .select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    wc.persist()
+    val n = wc.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    val vocab = wc.where(col("c") >= minCount)
+    val v = vocab.count() + 1 // + the OOV bucket
+    val den = (n + v).toDouble
+    val withLogp = vocab.select(col("word"),
+      log((col("c") + lit(1L)).cast("double") / lit(den)).as("logp"))
+    (withLogp, math.log(1.0 / den))
+  }
+
+  /** Per-doc cross-entropy (nats/token) under the model: explode words,
+    * map-side broadcast-join the vocab, one partial-aggregated groupBy —
+    * text never shuffles, only (id, logp-partial) pairs do. Returns
+    * (id, n_words, xent) with xent rounded to 6 dp (the shared
+    * cross-engine float discipline). Lower = more corpus-like; gate on a
+    * band (too low = degenerate repetition, too high = gibberish).
+    */
+  def crossEntropy(df: DataFrame, idCol: String, textCol: String,
+                   vocab: DataFrame, oovLogp: Double): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("id").agg(count(lit(1)).as("n_words"),
+        round(avg(-coalesce(col("logp"), lit(oovLogp))), 6).as("xent"))
 
   // ---- DuckDB-SQL mirrors of the same computations (shared constants) ----
 

@@ -811,6 +811,31 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("unigram perplexity: JVM replay per doc, all-OOV text scores exactly the OOV mass") {
+    import spark.implicits._
+    val (vocab, oov) = TextAnalysis.unigramModel(docs, "text", minCount = 2)
+    assert(oov < 0)
+    val vmap = vocab.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val scored = TextAnalysis.crossEntropy(docs, "doc_id", "text", vocab, oov)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // replay three docs on the driver word for word
+    docs.where(col("doc_id") < 3).select("doc_id", "text").collect().foreach { r =>
+      val ws = r.getString(1).trim.split("\\s+").toSeq
+      val expect = ws.map(w => -vmap.getOrElse(w, oov)).sum / ws.size
+      val (n, xent) = scored(r.getLong(0))
+      assert(n === ws.size)
+      assert(math.abs(xent - expect) < 1e-5, s"doc ${r.getLong(0)}: $xent vs $expect")
+    }
+    // a doc of pure OOV gibberish costs exactly -oovLogp per token; a doc of
+    // the corpus's own words costs less
+    val custom = Seq((1L, "zqxj vvqpa mmzkw"), (2L, "value table row key")).toDF("id", "text")
+    val cs = TextAnalysis.crossEntropy(custom, "id", "text", vocab, oov)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(cs(1L) - BigDecimal(-oov).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(cs(2L) < cs(1L), "corpus-like text must score lower than gibberish")
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
