@@ -203,6 +203,22 @@ object TextAnalysis {
       .groupBy("id").agg(count(lit(1)).as("n_words"),
         round(avg(-coalesce(col("logp"), lit(oovLogp))), 6).as("xent"))
 
+  /** Per-ROW cross-entropy with the vocabulary shipped as a typed map
+    * literal — the stateless face of [[crossEntropy]] (same artifact-as-
+    * literal pattern as the dedup bloom): one row in, one score out, no
+    * explode, no join, no state, so it drops straight into a structured
+    * stream or a row-rule predicate. Right for a bounded gate vocabulary
+    * (the CCNet shape: top-k words of a reference corpus); the join face
+    * remains the path for unbounded vocabularies.
+    */
+  def crossEntropyCol(text: Column, vocab: Map[String, Double],
+                      oovLogp: Double): Column = {
+    val m = typedLit(vocab)
+    ColUtil.letBound(words(text))(ws =>
+      round(aggregate(ws, lit(0.0),
+        (acc, w) => acc - coalesce(element_at(m, w), lit(oovLogp))) / size(ws), 6))
+  }
+
   // ---- DuckDB-SQL mirrors of the same computations (shared constants) ----
 
   def sqlChars(col: String): String =

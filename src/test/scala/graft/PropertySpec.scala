@@ -109,6 +109,58 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup invariants on random corpora (idempotent, identity, conservation)") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    val paraGen = Gen.oneOf("shared header block", "promo footer block",
+      "alpha body words here", "beta body words here", "gamma body words",
+      "tiny", "delta unique paragraph content")
+    val docGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, paraGen))
+    (0 until 8).foreach { k =>
+      val docs = (0 until 12).map(i =>
+        (i.toLong, sample(docGen, 1000L * k + i).mkString("\n\n")))
+      val df = docs.toDF("id", "text")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        Dedup.dropDuplicateParagraphs(d, "id", "text", minLen = 5)
+      val once = run(df).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val twice = run(run(df)).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(once === twice, s"seed $k: not idempotent")
+      // conservation: every kept paragraph instance appears in the input at
+      // the same doc; the MULTISET of (doc, para) outputs ⊆ inputs, and
+      // globally each distinct long paragraph survives exactly once
+      val outParas = once.flatMap { case (id, t) =>
+        t.split("\n\n").filter(p => p.length >= 5).map(p => (id, p)) }
+      val inParas = docs.flatMap { case (id, t) =>
+        t.split("\n\n").filter(_.length >= 5).map(p => (id, p)) }.toSet
+      assert(outParas.forall(inParas.contains), s"seed $k: invented a paragraph")
+      val longIn = docs.flatMap(_._2.split("\n\n")).filter(_.length >= 5).toSet
+      val survivors = outParas.map(_._2).groupBy(identity).view.mapValues(_.length)
+      assert(longIn.forall(p => survivors.getOrElse(p, 0) == 1),
+        s"seed $k: a duplicated paragraph survived ${survivors.filter(_._2 != 1)}")
+    }
+  }
+
+  test("incremental dedup partitions the incoming corpus (new ∪ dups == all, disjoint)") {
+    import graft.ops.IncrementalDedup
+    import org.apache.spark.sql.functions._
+    val keyGen = Gen.oneOf(Gen.chooseNum(0, 30).map(i => s"k$i"), Gen.const(null: String))
+    (0 until 6).foreach { k =>
+      val blessedKeys = (0 until 10).map(i => sample(keyGen, 99L * k + i))
+        .filter(_ != null).distinct
+      val blessed = blessedKeys.toDF("key")
+      val incoming = (0 until 40).map(i => (i.toLong, sample(keyGen, 7L * k + 13 * i)))
+        .toDF("id", "key")
+      val bloom = IncrementalDedup.buildBloom(blessed, "key", 1000L, 0.3)
+      val newIds = IncrementalDedup.newRows(incoming, blessed, "key", bloom)
+        .select("id").as[Long].collect().toSet
+      val dupIds = incoming.join(blessed, Seq("key"), "left_semi")
+        .select("id").as[Long].collect().toSet
+      val allIds = incoming.select("id").as[Long].collect().toSet
+      assert((newIds & dupIds).isEmpty, s"seed $k: overlap")
+      assert((newIds | dupIds) === allIds, s"seed $k: lost rows")
+    }
+  }
+
   test("salted duplicate detection == naive groupBy (10 random skewed tables)") {
     val keyGen = Gen.frequency((8, Gen.const("hot")), (3, Gen.oneOf("a", "b", "c")),
       (2, Gen.alphaNumStr.map(_.take(4))))

@@ -111,6 +111,29 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming perplexity gate: map-literal vocab scores rows statelessly, equals batch") {
+    import graft.ops.TextAnalysis
+    implicit val sq = spark.sqlContext
+    val corpus = Seq((1L, "value table row key value"), (2L, "key row value"),
+      (3L, "table table value row")).toDF("id", "text")
+    val (vocabDf, oov) = TextAnalysis.unigramModel(corpus, "text", minCount = 2)
+    val vocab = vocabDf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "text")
+      .select(col("id"), TextAnalysis.crossEntropyCol(col("text"), vocab, oov).as("xent"))
+      .writeStream.format("memory").queryName("ppl").outputMode("append").start()
+    val incoming = Seq((10L, "value table row"), (11L, "zz qq totally unseen"))
+    mem.addData(incoming: _*)
+    q.processAllAvailable()
+    val got = spark.table("ppl").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = TextAnalysis.crossEntropy(incoming.toDF("id", "text"), "id", "text",
+      vocabDf, oov).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    got.foreach { case (id, x) =>
+      assert(math.abs(x - batch(id)) < 1e-9, s"row $id: $x vs ${batch(id)}") }
+    assert(got(11L) > got(10L), "all-OOV gibberish must score higher")
+    q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark, bounded state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[FileEvent]
