@@ -226,6 +226,16 @@ object QueriesPipeline {
         queryVec(s, dir), topK = 5, k = 8, nprobe = 3,
         trainFraction = IvfTrainFraction)),
 
+    // similarity: IVF × SQ8 — probed inverted lists store int8 codes (the
+    // FAISS deployment shape: prune compute AND shrink lists 4-8×); the
+    // oracle replays coarse training, assignment, codec, and probe.
+    "q_ann_ivf_sq8" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfSqTopK(emb, "vec_id", "embedding", queryVec(s, dir),
+        topK = 5, k = 8, nprobe = 3, Similarity.sqTrain(emb, "embedding"),
+        trainFraction = IvfTrainFraction)
+    }),
+
     // text analysis: language-ID heuristic with auditable marker scores
     "q_langid" -> ((s, dir) => {
       val sc = TextAnalysis.langScores(col("text"))
@@ -867,6 +877,41 @@ object QueriesPipeline {
        |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  private val annIvfSq8Oracle = {
+    val K = 8; val nprobe = 3
+    s"""WITH train AS (SELECT vec_id, embedding, CAST(vec_id % $K AS INT) AS c
+       |   FROM embeddings WHERE ${Similarity.sampleSql("vec_id", IvfTrainFraction)}),
+       | cent0 AS (SELECT c, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+       |   FROM train CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY c, i),
+       | cent AS (SELECT c, list(m ORDER BY i) AS cv FROM cent0 GROUP BY c),
+       | scored AS (SELECT e.vec_id, e.embedding, cent.c,
+       |   row_number() OVER (PARTITION BY e.vec_id
+       |     ORDER BY ${sqlCos("e.embedding", "cent.cv", 64)} DESC, cent.c) AS rn
+       |  FROM embeddings e CROSS JOIN cent),
+       | asg AS (SELECT vec_id, embedding, c AS cluster FROM scored WHERE rn = 1),
+       | b AS (SELECT g.pos AS pos,
+       |    round(min(CAST(embedding[g.pos] AS DOUBLE)), 6) AS lo,
+       |    round(max(CAST(embedding[g.pos] AS DOUBLE)), 6) AS hi
+       |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(pos)
+       |  GROUP BY g.pos),
+       | ba AS (SELECT list(lo ORDER BY pos) AS los,
+       |               list(hi - lo ORDER BY pos) AS spans FROM b),
+       | enc AS (SELECT vec_id, cluster, list_transform(generate_series(1, 64), i ->
+       |    CASE WHEN spans[i] = 0 THEN 0
+       |         ELSE CAST(round(least(greatest(
+       |           (CAST(embedding[i] AS DOUBLE) - los[i]) / spans[i], 0), 1) * 255)
+       |           AS INT) END) AS codes
+       |  FROM asg, ba),
+       | dec AS (SELECT vec_id, cluster, list_transform(generate_series(1, 64), i ->
+       |    los[i] + CAST(codes[i] AS DOUBLE) / 255 * spans[i]) AS dv
+       |  FROM enc, ba),
+       | q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       | probed AS (SELECT c FROM cent, q ORDER BY ${sqlCos("cv", "qv", 64)} DESC, c LIMIT $nprobe)
+       |SELECT vec_id, round(${sqlCos("dv", "qv", 64)}, 5) AS cos
+       |FROM dec JOIN probed ON dec.cluster = probed.c CROSS JOIN q
+       |ORDER BY cos DESC, vec_id LIMIT 5""".stripMargin
+  }
+
   private val langidOracle = {
     val scores = TextAnalysis.LangMarkers.map { case (l, re) =>
       s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS score_$l"
@@ -1087,6 +1132,7 @@ object QueriesPipeline {
     "q_embed_neardup" -> embedNeardupOracle,
     "q_ann_topk" -> annTopkOracle,
     "q_ann_sq8" -> annSq8Oracle,
+    "q_ann_ivf_sq8" -> annIvfSq8Oracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_langid" -> langidOracle,

@@ -299,6 +299,33 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol)).limit(topK)
   }
 
+  /** IVF × SQ8: the FAISS-deployment composition — coarse quantizer prunes
+    * to `nprobe` inverted lists, whose entries are STORED as int8 codes
+    * (the raw vectors are freed after indexing), and the probed lists score
+    * by decode-cosine. Combines IVF's compute pruning with SQ's 4-8×
+    * smaller lists; recall degrades only by the codec (near-lossless,
+    * OpsSpec-bounded) on top of the probe miss rate.
+    */
+  def ivfSqTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
+                topK: Int, k: Int, nprobe: Int, bounds: Seq[(Double, Double)],
+                trainFraction: Double = 1.0): DataFrame = {
+    val (assign, _, cents) =
+      ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1, trainFraction)
+    val indexed = assign.select(col("id"), col("cluster"),
+      sqEncode(col("v"), bounds).as("codes"))
+    def ddot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    val probed = cents.map { case (c, cv) =>
+        val den = math.sqrt(ddot(cv, cv)) * math.sqrt(ddot(query, query))
+        (c, if (den == 0.0) Double.NegativeInfinity else ddot(cv, query) / den) }
+      .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+    val q = array(query.map(lit): _*)
+    indexed.where(col("cluster").isin(probed: _*))
+      .select(col("id").as(idCol),
+        round(cosine(sqDecode(col("codes"), bounds), q), 5).as("cos"))
+      .orderBy(col("cos").desc, col(idCol)).limit(topK)
+  }
+
   /** Near-duplicate pairs by cosine within composite (blockCol, lshBucket)
     * blocks. Blocking on a label alone leaves one hot label O(n²); composing
     * it with the sign-hash bucket bounds every block: candidates must agree

@@ -771,6 +771,19 @@ class OpsSpec extends SparkSpec {
     assert(viaAdc === viaDecode)
   }
 
+  test("ivf x sq8: probing every list degenerates to the flat sq8 answer") {
+    import spark.implicits._
+    val bounds = Similarity.sqTrain(emb, "embedding")
+    val q = emb.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble)
+    val full = Similarity.sqTopK(emb, "vec_id", "embedding", q, 5, bounds)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivf = Similarity.ivfSqTopK(emb, "vec_id", "embedding", q,
+      topK = 5, k = 4, nprobe = 4, bounds)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivf === full)
+  }
+
   test("incremental dedup: empty/all-null blessed corpus builds a valid empty bloom") {
     import spark.implicits._
     // day-zero: no blessed snapshot yet — the aggregate evals to NULL, which
