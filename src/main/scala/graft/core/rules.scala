@@ -63,6 +63,26 @@ final case class NoPii(name: String, column: String) extends RowRule
 final case class NoBlockedUrls(name: String, column: String,
                                domains: Seq[String]) extends RowRule
 
+/** Per-row cross-entropy (nats/token) under a unigram LM stays ≤ max — the
+  * corpus-likeness gate ([[graft.ops.TextAnalysis.crossEntropyCol]]) in the
+  * rule plane, next to [[NoSecrets]]/[[NoPii]]. The vocabulary rides with
+  * the rule as a bounded map (loaded at suite-parse from a persisted vocab
+  * artifact); `toString` — the ruleSetHash input — covers the vocab by
+  * content hash so the canonical rule string stays bounded and two suites
+  * with the same vocab hash identically.
+  */
+final case class MaxCrossEntropy(name: String, column: String,
+                                 vocab: Map[String, Double], oovLogp: Double,
+                                 max: Double) extends RowRule {
+  override def toString: String = {
+    val d = MessageDigest.getInstance("SHA-256")
+    vocab.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      d.update(s"$k=$v;".getBytes(StandardCharsets.UTF_8)) }
+    val vh = d.digest().map("%02x".format(_)).mkString.take(16)
+    s"MaxCrossEntropy($name,$column,vocab#$vh,$oovLogp,$max)"
+  }
+}
+
 /** format → named predicate from the pluggable format registry (the analog of
   * the reference registering formats in its container, jsonschema/mod.rs:511-513).
   */

@@ -219,6 +219,31 @@ object TextAnalysis {
         (acc, w) => acc - coalesce(element_at(m, w), lit(oovLogp))) / size(ws), 6))
   }
 
+  /** Persist a gate vocabulary: {"oovLogp": x, "logp": {word: logp}} —
+    * the perplexity analog of the drift profile / dedup bloom artifacts.
+    */
+  def saveVocab(vocab: Map[String, Double], oovLogp: Double,
+                path: java.nio.file.Path): Unit = {
+    val m = graft.suite.SchemaDocs.json
+    val root = m.createObjectNode()
+    root.put("oovLogp", oovLogp)
+    val lp = root.putObject("logp")
+    vocab.toSeq.sortBy(_._1).foreach { case (k, v) => lp.put(k, v) }
+    java.nio.file.Files.createDirectories(path.toAbsolutePath.getParent)
+    java.nio.file.Files.write(path,
+      m.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+  }
+
+  def loadVocab(path: java.nio.file.Path): (Map[String, Double], Double) = {
+    val m = graft.suite.SchemaDocs.json
+    val root = m.readTree(java.nio.file.Files.readAllBytes(path))
+    require(root.has("oovLogp") && root.has("logp"), s"$path: not a vocab artifact")
+    val it = root.get("logp").properties().iterator()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+    (b.result(), root.get("oovLogp").asDouble())
+  }
+
   // ---- DuckDB-SQL mirrors of the same computations (shared constants) ----
 
   def sqlChars(col: String): String =

@@ -45,6 +45,8 @@ object RuleCompiler {
       case NoSecrets(_, _)     => nullSafe(graft.ops.CodeScan.clean(c))
       case NoPii(_, _)         => nullSafe(graft.ops.PiiScan.clean(c))
       case NoBlockedUrls(_, _, ds) => nullSafe(graft.ops.UrlAnalysis.cleanOf(c, ds))
+      case MaxCrossEntropy(_, _, v, o, m) =>
+        nullSafe(graft.ops.TextAnalysis.crossEntropyCol(c, v, o) <= m)
       case HasFormat(_, _, f) =>
         val fn = formats.getOrElse(f, sys.error(s"unknown format '$f'"))
         nullSafe(fn(c))

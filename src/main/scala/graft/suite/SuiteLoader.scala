@@ -130,6 +130,16 @@ object SuiteLoader {
         val ds = s.get("domains").elements().asScala.map(_.asText()).toSeq
         rules += NoBlockedUrls(s"no_blocked_urls_$c", c, ds)
       }
+      // perplexity gate: the vocab artifact path resolves at SUITE-PARSE
+      // time (fail fast on a missing/foreign file, like the Draft4
+      // meta-schema), and the rule carries the bounded map
+      Option(xc.get("maxXent")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+        val c = s.get("column").asText()
+        val (vocab, oov) = graft.ops.TextAnalysis.loadVocab(
+          java.nio.file.Paths.get(s.get("vocab").asText()))
+        rules += MaxCrossEntropy(s"max_xent_$c", c, vocab, oov,
+          s.get("max").asDouble())
+      }
       Option(xc.get("sha256")).toSeq.flatMap(_.elements().asScala).foreach { s =>
         val c = s.get("column").asText()
         rules += Sha256Invariant(s"sha256_$c", c, s.get("shaColumn").asText())
@@ -288,6 +298,7 @@ object SuiteLoader {
     case x: NoSecrets => x.copy(name = s"${prefix}_${x.name}")
     case x: NoPii => x.copy(name = s"${prefix}_${x.name}")
     case x: NoBlockedUrls => x.copy(name = s"${prefix}_${x.name}")
+    case x: MaxCrossEntropy => x.copy(name = s"${prefix}_${x.name}")
   }
 
   /** Rules for one union variant that is an object schema ACROSS columns

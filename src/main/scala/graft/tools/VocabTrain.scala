@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.SparkSession
+
+/** Artifact producer for the `maxXent` rule: train a unigram gate
+  * vocabulary from a blessed snapshot ONCE and persist it, like the drift
+  * profile and the dedup bloom. Usage:
+  *   VocabTrain <out.json> [rows] [repos] [minCount]
+  * (trains on the synthetic baseline snapshot; point a real deployment at
+  * its blessed corpus instead).
+  */
+object VocabTrain {
+  def main(args: Array[String]): Unit = {
+    val out = args(0)
+    val rows = args.lift(1).map(_.toLong).getOrElse(50000L)
+    val repos = args.lift(2).map(_.toInt).getOrElse(500)
+    val minCount = args.lift(3).map(_.toLong).getOrElse(2L)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = graft.data.Synth.baseline(spark, rows, repos)
+    val (vdf, oov) = TextAnalysis.unigramModel(base, "content", minCount)
+    val vocab = vdf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    TextAnalysis.saveVocab(vocab, oov, java.nio.file.Paths.get(out))
+    println(s"[vocabtrain] ${vocab.size} words, oovLogp=$oov -> $out")
+    spark.stop()
+  }
+}

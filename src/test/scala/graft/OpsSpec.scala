@@ -849,6 +849,22 @@ class OpsSpec extends SparkSpec {
     assert(cs(2L) < cs(1L), "corpus-like text must score lower than gibberish")
   }
 
+  test("maxXent rule plane: trained vocab gates gibberish rows, nulls pass") {
+    import spark.implicits._
+    import graft.core.MaxCrossEntropy
+    val ref = Seq("value table row key value", "key row value table").toDF("t")
+    val (vdf, oov) = TextAnalysis.unigramModel(ref, "t", minCount = 2)
+    val vocab = vdf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the toy corpus has N+V=14 → OOV costs ln(14)≈2.64 nats; corpus-like
+    // text averages ~1.4 — gate between them
+    val rule = MaxCrossEntropy("max_xent_content", "content", vocab, oov, max = 2.0)
+    val pred = graft.rules.RuleCompiler.predicate(rule)
+    val rows = Seq((1L, "value table row"), (2L, "zq xv qqq unseen junk"),
+      (3L, null.asInstanceOf[String])).toDF("id", "content")
+    val passes = rows.where(pred).select("id").as[Long].collect().toSet
+    assert(passes === Set(1L, 3L), s"got $passes")
+  }
+
   test("fingerprint: stable and order-sensitive") {
     val fp1 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()
     val fp2 = docs.limit(10).select(TextAnalysis.fingerprint(col("text"))).collect()

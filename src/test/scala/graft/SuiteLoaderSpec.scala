@@ -176,6 +176,27 @@ class SuiteLoaderSpec extends AnyFunSuite {
       "content", Seq("ads.bad", "mal.bad"))))
   }
 
+  test("x-checks maxXent: vocab artifact loads at parse, hash input bounded") {
+    import graft.ops.TextAnalysis
+    val vocab = Map("value" -> -1.2, "table" -> -1.5, "row" -> -1.9)
+    val oov = -4.7
+    val p = java.nio.file.Files.createTempDirectory("graft_vocab").resolve("v.json")
+    TextAnalysis.saveVocab(vocab, oov, p)
+    assert(TextAnalysis.loadVocab(p) === ((vocab, oov)))
+    val suite = SuiteLoader.parse(
+      s"""{"type":"object","properties":{},
+         | "x-checks":{"maxXent":[{"column":"content","vocab":"$p","max":4.0}]}}""".stripMargin)
+    val rule = suite.rowRules.collectFirst { case r: MaxCrossEntropy => r }.get
+    assert(rule.name === "max_xent_content" && rule.vocab === vocab && rule.oovLogp === oov)
+    // ruleSetHash input stays bounded and vocab-content-sensitive
+    assert(rule.toString.length < 200 && rule.toString.contains("vocab#"))
+    assert(rule.copy(vocab = vocab + ("zzz" -> -1.0)).toString !== rule.toString)
+    // missing artifact fails at parse time, not at run time
+    intercept[Exception] { SuiteLoader.parse(
+      """{"type":"object","properties":{},
+        | "x-checks":{"maxXent":[{"column":"c","vocab":"/nonexistent/v.json","max":4}]}}""".stripMargin) }
+  }
+
   test("static validation catches bad regex without running (validate/mod.rs:30-42)") {
     val errs = SuiteLoader.staticValidate(
       """{"type":"object","properties":{"v":{"type":"string","pattern":"[unclosed"}}}""")
