@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass unigram cross-entropy kernel — the engine of
+  * [[graft.ops.TextAnalysis.crossEntropyCol]] and the `maxXent` row rule.
+  *
+  * The naive formulation (`aggregate` over `split` with `element_at` on a
+  * map LITERAL) pays O(vocab) string comparisons PER TOKEN: Catalyst's
+  * GetMapValue on a literal map is a linear key scan, so a 50k-word gate
+  * vocabulary × a 500-token document costs 25M comparisons per row on the
+  * rule-plane hot path. This expression holds the vocabulary as a real
+  * `HashMap[UTF8String, Double]` (hash lookups, byte-level equality) and
+  * tokenizes + scores in ONE pass over the text bytes.
+  *
+  * Tokenization reproduces `split(trim(text), "\\s+")` exactly — trim
+  * strips 0x20 ONLY (like Spark's `trim`), `\s` is Java's ASCII class
+  * `[ \t\n\x0B\f\r]`, a leading whitespace run yields a leading empty token
+  * and a trailing run yields a trailing one (Spark's split limit = -1
+  * keeps it), and empty text scores as the single token "" — so the
+  * kernel, the batch join face, and the DuckDB oracle agree token for
+  * token. The left-to-right fold and the final HALF_UP round(·, 6) match
+  * the Column formulation bit for bit (UnigramScoreSpec asserts it).
+  * UTF-8 continuation bytes are ≥ 0x80 (negative as Java bytes), so they
+  * never alias the ASCII whitespace tests.
+  *
+  * Codegen: a direct static call inside whole-stage codegen, with the
+  * vocabulary attached via `addReferenceObj` — no UDF, no serialization
+  * boundary per row; the interpreted path shares the kernel.
+  */
+case class UnigramScore(child: Expression, vocab: Map[String, Double],
+                        oovLogp: Double) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"UnigramScore requires a string column, got ${child.dataType}")
+  }
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](
+      math.max(16, vocab.size * 2))
+    vocab.foreach { case (k, v) => m.put(UTF8String.fromString(k), v) }
+    m
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnigramScore.score(v.asInstanceOf[UTF8String], table, oovLogp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("unigramVocab", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnigramScore.score($c, $tbl, ${oovLogp}D)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramScore =
+    copy(child = newChild)
+}
+
+object UnigramScore {
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def score(s: UTF8String,
+            vocab: java.util.HashMap[UTF8String, java.lang.Double],
+            oovLogp: Double): Double = {
+    val bytes = s.getBytes
+    var start = 0
+    var end = bytes.length
+    while (start < end && bytes(start) == ' ') start += 1
+    while (end > start && bytes(end - 1) == ' ') end -= 1
+    var sum = 0.0
+    var count = 0L
+    def emit(from: Int, to: Int): Unit = {
+      val lp = vocab.get(UTF8String.fromBytes(bytes, from, to - from))
+      sum -= (if (lp == null) oovLogp else lp.doubleValue())
+      count += 1
+    }
+    var i = start
+    var tokenStart = start
+    while (i < end) {
+      if (isWs(bytes(i))) {
+        emit(tokenStart, i) // leading run → leading empty token, like split
+        while (i < end && isWs(bytes(i))) i += 1
+        tokenStart = i
+      } else i += 1
+    }
+    emit(tokenStart, end) // trailing run → trailing empty token (limit -1)
+    new java.math.BigDecimal(sum / count)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  /** Cross-entropy (nats/token) as a Column (double; null on null text). */
+  def scoreCol(text: Column, vocab: Map[String, Double], oovLogp: Double): Column =
+    GraftExpressionBridge.column(
+      UnigramScore(GraftExpressionBridge.expression(text), vocab, oovLogp))
+}

@@ -57,6 +57,8 @@ object Similarity {
   def sqTrain(df: DataFrame, vecCol: String,
               trainFraction: Double = 1.0, idCol: String = ""): Seq[(Double, Double)] = {
     require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction in (0, 1]")
+    require(trainFraction >= 1.0 || idCol.nonEmpty,
+      "sqTrain: idCol is required when trainFraction < 1 (the sample keys on it)")
     val base = if (trainFraction >= 1.0) df
       else df.where(sampleKey(col(idCol)) < lit(sampleThreshold(trainFraction)))
     base.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
@@ -133,7 +135,11 @@ object Similarity {
     val normSq = lit(lo.map(l => l * l).sum) +
       dotOn(lo.zip(s).map { case (l, si) => 2 * l * si }, sq = false) +
       dotOn(s.map(si => si * si), sq = true)
-    try_divide(dotX, sqrt(normSq) * lit(qn))
+    // the three-term expansion can round to a tiny NEGATIVE for a ~zero
+    // reconstructed vector; sqrt(negative) = NaN and Spark ranks NaN above
+    // every double — clamp so the degenerate case divides by zero and
+    // yields null (sorts last, like the decode path and the oracle)
+    try_divide(dotX, sqrt(greatest(normSq, lit(0.0))) * lit(qn))
   }
 
   /** [[sqTopKEncoded]] with ADC scoring — the fast path over stored codes. */
@@ -278,22 +284,29 @@ object Similarity {
     * `nprobe` nearest inverted lists, exact cosine top-k within them.
     * `nprobe = k` degrades to the exact brute-force answer.
     */
+  /** Probe selection: the `nprobe` centroids nearest the query by cosine,
+    * as driver math over the already-collected centroids — left-to-right
+    * folds, so the doubles (and hence the probed set) match the
+    * distributed/oracle arithmetic exactly; no extra Spark job. Zero-norm
+    * centroids sort last, like the engines' null cosines. Shared by
+    * [[ivfTopK]] and [[ivfSqTopK]] so the oracle contract lives once.
+    */
+  private def probeClusters(cents: Seq[(Int, Seq[Double])], query: Seq[Double],
+                            nprobe: Int): Seq[Int] = {
+    def ddot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+    cents.map { case (c, cv) =>
+        val den = math.sqrt(ddot(cv, cv)) * math.sqrt(ddot(query, query))
+        (c, if (den == 0.0) Double.NegativeInfinity else ddot(cv, query) / den) }
+      .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+  }
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
               topK: Int, k: Int, nprobe: Int, trainFraction: Double = 1.0): DataFrame = {
     val (assign, _, cents) =
       ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1, trainFraction)
     val q = array(query.map(lit): _*)
-    // probe ranking is driver math over the already-collected centroids —
-    // left-to-right folds, so the doubles (and hence the probed set) match
-    // the distributed/oracle arithmetic exactly; no extra Spark job
-    def ddot(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
-    val probed = cents
-      .map { case (c, cv) =>
-        val den = math.sqrt(ddot(cv, cv)) * math.sqrt(ddot(query, query))
-        // zero-norm centroid sorts last, like the engines' null cosines
-        (c, if (den == 0.0) Double.NegativeInfinity else ddot(cv, query) / den) }
-      .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+    val probed = probeClusters(cents, query, nprobe)
     assign.where(col("cluster").isin(probed: _*))
       .select(col("id").as(idCol), round(cosine(col("v"), q), 5).as("cos"))
       .orderBy(col("cos").desc, col(idCol)).limit(topK)
@@ -313,12 +326,7 @@ object Similarity {
       ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1, trainFraction)
     val indexed = assign.select(col("id"), col("cluster"),
       sqEncode(col("v"), bounds).as("codes"))
-    def ddot(a: Seq[Double], b: Seq[Double]): Double =
-      a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
-    val probed = cents.map { case (c, cv) =>
-        val den = math.sqrt(ddot(cv, cv)) * math.sqrt(ddot(query, query))
-        (c, if (den == 0.0) Double.NegativeInfinity else ddot(cv, query) / den) }
-      .sortBy { case (c, s) => (-s, c) }.take(nprobe).map(_._1)
+    val probed = probeClusters(cents, query, nprobe)
     val q = array(query.map(lit): _*)
     indexed.where(col("cluster").isin(probed: _*))
       .select(col("id").as(idCol),

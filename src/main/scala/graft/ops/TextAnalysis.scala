@@ -179,13 +179,22 @@ object TextAnalysis {
       .select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
     wc.persist()
-    val n = wc.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
-    val vocab = wc.where(col("c") >= minCount)
-    val v = vocab.count() + 1 // + the OOV bucket
-    val den = (n + v).toDouble
-    val withLogp = vocab.select(col("word"),
-      log((col("c") + lit(1L)).cast("double") / lit(den)).as("logp"))
-    (withLogp, math.log(1.0 / den))
+    try {
+      val n = wc.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+      // the vocab is dimension-sized by contract (it broadcasts into
+      // crossEntropy), so materialize it and release the cached corpus-
+      // scale word counts before returning — a lazily-dependent return
+      // value would pin the cache for the session's lifetime
+      val kept = wc.where(col("c") >= minCount).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val den = (n + kept.length + 1).toDouble // + the OOV bucket
+      val sp = df.sparkSession
+      import sp.implicits._
+      val withLogp = kept.toSeq.toDF("word", "c")
+        .select(col("word"),
+          log((col("c") + lit(1L)).cast("double") / lit(den)).as("logp"))
+      (withLogp, math.log(1.0 / den))
+    } finally { wc.unpersist(); () }
   }
 
   /** Per-doc cross-entropy (nats/token) under the model: explode words,
@@ -203,21 +212,19 @@ object TextAnalysis {
       .groupBy("id").agg(count(lit(1)).as("n_words"),
         round(avg(-coalesce(col("logp"), lit(oovLogp))), 6).as("xent"))
 
-  /** Per-ROW cross-entropy with the vocabulary shipped as a typed map
-    * literal — the stateless face of [[crossEntropy]] (same artifact-as-
-    * literal pattern as the dedup bloom): one row in, one score out, no
-    * explode, no join, no state, so it drops straight into a structured
-    * stream or a row-rule predicate. Right for a bounded gate vocabulary
-    * (the CCNet shape: top-k words of a reference corpus); the join face
-    * remains the path for unbounded vocabularies.
+  /** Per-ROW cross-entropy with the vocabulary riding inside the
+    * expression — the stateless face of [[crossEntropy]] (same artifact-
+    * in-the-plan pattern as the dedup bloom): one row in, one score out,
+    * no explode, no join, no state, so it drops straight into a structured
+    * stream or a row-rule predicate. Backed by the codegen'd one-pass
+    * [[graft.functions.UnigramScore]] kernel (hash lookups — a map LITERAL
+    * would linear-scan the vocab per token). Right for a bounded gate
+    * vocabulary (the CCNet shape: top-k words of a reference corpus); the
+    * join face remains the path for unbounded vocabularies.
     */
   def crossEntropyCol(text: Column, vocab: Map[String, Double],
-                      oovLogp: Double): Column = {
-    val m = typedLit(vocab)
-    ColUtil.letBound(words(text))(ws =>
-      round(aggregate(ws, lit(0.0),
-        (acc, w) => acc - coalesce(element_at(m, w), lit(oovLogp))) / size(ws), 6))
-  }
+                      oovLogp: Double): Column =
+    graft.functions.UnigramScore.scoreCol(text, vocab, oovLogp)
 
   /** Persist a gate vocabulary: {"oovLogp": x, "logp": {word: logp}} —
     * the perplexity analog of the drift profile / dedup bloom artifacts.

@@ -1,0 +1,85 @@
+package graft
+
+import graft.functions.UnigramScore
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The one-pass unigram-score kernel: tokenization parity with
+  * split(trim(s), "\\s+") down to leading/trailing empty tokens, Column
+  * face == JVM kernel == the naive map-literal formulation, null
+  * propagation, and codegen execution without fallback.
+  */
+class UnigramScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Map("value" -> -1.2, "table" -> -1.5, "row" -> -1.9, "" -> -0.1)
+  private val oov = -4.7
+
+  private def jvm(s: String, v: Map[String, Double] = vocab): Double = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double]()
+    v.foreach { case (k, x) => m.put(UTF8String.fromString(k), x) }
+    UnigramScore.score(UTF8String.fromString(s), m, oov)
+  }
+
+  /** The naive Column formulation the kernel replaced — kept here as the
+    * semantic oracle: split(trim(s), "\\s+") + per-token map lookup.
+    */
+  private def naive(text: org.apache.spark.sql.Column,
+                    v: Map[String, Double]): org.apache.spark.sql.Column = {
+    val m = typedlit(v)
+    graft.ops.ColUtil.letBound(split(trim(text), "\\s+"))(ws =>
+      round(aggregate(ws, lit(0.0),
+        (acc, w) => acc - coalesce(element_at(m, w), lit(oov))) / size(ws), 6))
+  }
+
+  test("kernel == naive split/lookup formulation on every tokenization edge") {
+    val texts = Seq(
+      "value table row",            // all in vocab
+      "zq xv unseen",               // all OOV
+      "value zq table",             // mixed
+      "",                           // empty → single "" token (in vocab here)
+      " ",                          // trims to empty
+      "  value   table  ",          // inner runs + trimmed outer spaces
+      "\tvalue",                    // leading non-space ws → leading "" token
+      "value\n",                    // trailing non-space ws → trailing "" token
+      "value\t\n\f\rtable",   // every \s class member in one run
+      "valueü zq日本")              // multibyte bytes inside tokens
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.crossEntropyCol(col("t"), vocab, oov).as("k"),
+        naive(col("t"), vocab).as("n"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    got.foreach { case (i, k, n) =>
+      assert(k === n, s"text ${texts(i).replace("\n", "\\n")}: kernel $k vs naive $n")
+      assert(k === jvm(texts(i)), s"row $i: Column vs JVM")
+    }
+    // without "" in the vocab, the empty token costs the OOV mass
+    assert(jvm("", vocab - "") === BigDecimal(-oov).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("null text yields null; scoring runs inside codegen without fallback") {
+    val withNull = Seq((0, "value table"), (1, null.asInstanceOf[String])).toDF("id", "t")
+    val r = withNull.select(TextAnalysis.crossEntropyCol(col("t"), vocab, oov))
+      .collect()
+    assert(!r(0).isNullAt(0) && r(1).isNullAt(0))
+    val df = spark.range(1, 3).select(col("id"),
+      when(col("id") === 1, lit("value table row"))
+        .otherwise(lit("zq unseen junk")).as("t"))
+    val q = df.select(col("id"),
+      TextAnalysis.crossEntropyCol(col("t"), vocab, oov).as("x"))
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("unigramscore"), p)
+    val strict = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val got = q.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got(0)._2 < got(1)._2, "vocab text must score below OOV text")
+    } finally strict match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+}
