@@ -1,0 +1,50 @@
+package graft.tools
+
+import graft.ops.{ColUtil, TextAnalysis}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev probe: the maxXent hot path — codegen'd UnigramScore kernel vs the
+  * naive map-literal formulation (element_at on a literal map = linear key
+  * scan per token) at gate-realistic vocabulary sizes.
+  * Usage: UnigramProbe <cores> <dataDir> <sampleDiv> [vocabSize...]
+  * sampleDiv keeps 1/div of rows (by id) — the literal path at real vocab
+  * sizes is unrunnable on the full 20 M (that IS the finding; the probe
+  * quantifies the ratio on a slice both paths can finish).
+  */
+object UnigramProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val dataDir = args(1)
+    val div = args.lift(2).map(_.toInt).getOrElse(100)
+    val sizes = if (args.length > 3) args.drop(3).map(_.toInt).toSeq
+                else Seq(100, 1000, 10000)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = spark.read.parquet(s"$dataDir/code_files")
+      .where(pmod(col("id"), lit(div)) === 0)
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[uni $cores] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2fs ($r)")
+    }
+    def naive(text: Column, v: Map[String, Double], oov: Double): Column = {
+      val m = typedlit(v)
+      ColUtil.letBound(split(trim(text), "\\s+"))(ws =>
+        round(aggregate(ws, lit(0.0),
+          (acc, w) => acc - coalesce(element_at(m, w), lit(oov))) / size(ws), 6))
+    }
+    for (r <- 1 to 2; n <- sizes) {
+      // n-1 filler words + one real token so lookups hit AND miss
+      val vocab = (1 until n).map(i => s"w$i" -> -3.0).toMap + ("val" -> -1.0)
+      t(s"kernel  v=$n r$r") {
+        df.where(TextAnalysis.crossEntropyCol(col("content"), vocab, -9.0) > 8.5).count()
+      }
+      t(s"literal v=$n r$r") {
+        df.where(naive(col("content"), vocab, -9.0) > 8.5).count()
+      }
+    }
+    spark.stop()
+  }
+}
