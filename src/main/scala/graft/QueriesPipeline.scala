@@ -311,6 +311,23 @@ object QueriesPipeline {
         "doc_id", "tokens", budget = PackBudget, shards = PackShards)
         .orderBy("doc_id")),
 
+    // multimodal: deterministic uniform frame sampling over video-like
+    // media (duration/fps metadata synthesized from n_chars) — k indices
+    // per clip dedup'd below k frames, byte offsets as pure column
+    // arithmetic; the payload slice stays in the codec seam (OpsSpec)
+    "q_frame_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val media = docs.where(col("text").isNotNull).select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        (col("n_chars") / lit(100.0)).as("duration"),
+        lit(2.0).as("fps"))
+      graft.ops.Multimodal.sampleFrameOffsets(media, FrameK, "duration", "fps")
+        .select(col("doc_id"), col("n_frames"), col("frame"), col("byte_offset"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // text analysis: unigram-LM perplexity gate (CCNet-style) — per-doc
     // cross-entropy under a Laplace-smoothed unigram model of the corpus
     // itself; vocab = words seen ≥ 2 times, rarer words score as OOV mass.
@@ -484,6 +501,7 @@ object QueriesPipeline {
   val RepRates: Map[String, Double] = Map("en" -> 2.5, "zh" -> 0.3)
   val RepDefault = 1.0
   val PplMinCount = 2L
+  val FrameK = 5
 
   // --------------------------------------------------------------- oracles
 
@@ -591,6 +609,19 @@ object QueriesPipeline {
        |  round(avg(-coalesce(lp.logp, (SELECT logp FROM oov))), 6) AS xent
        |FROM w LEFT JOIN lp USING (word)
        |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin
+
+  private def frameSampleOracle =
+    s"""WITH media AS (SELECT doc_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       |    greatest(CAST(floor((n_chars / 100.0) * 2.0) AS BIGINT), 1) AS n_frames
+       |  FROM documents WHERE text IS NOT NULL),
+       |f AS (SELECT doc_id, n_bytes, n_frames, unnest(list_distinct(
+       |    list_transform(generate_series(0, ${FrameK - 1}),
+       |      j -> CAST(floor(j * n_frames / ${FrameK}.0) AS BIGINT)))) AS frame
+       |  FROM media)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_frames, frame,
+       |  CAST(floor(frame * n_bytes / CAST(n_frames AS DOUBLE)) AS BIGINT) AS byte_offset
+       |FROM f ORDER BY doc_id, frame""".stripMargin
 
   private def domainRepOracle =
     s"""WITH r AS (SELECT doc_id, lang,
@@ -1120,6 +1151,7 @@ object QueriesPipeline {
     "q_paragraph_dedup" -> paraDedupOracle,
     "q_domain_repetition" -> domainRepOracle,
     "q_perplexity" -> perplexityOracle,
+    "q_frame_sample" -> frameSampleOracle,
     "q_training_pipeline" -> trainingPipelineOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_ngram_jaccard" -> jaccardOracle,

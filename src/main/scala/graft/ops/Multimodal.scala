@@ -33,6 +33,49 @@ object Multimodal {
       // string column would count characters and disagree on non-ASCII)
       length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
 
+  final case class FrameSlice(doc_id: Long, frame: Long, byte_offset: Long,
+                              slice: Array[Byte])
+
+  /** Deterministic uniform frame sampling over video-like media rows:
+    * `n_frames = max(1, floor(duration·fps))`, and the k sampled indices
+    * are `floor(j·n_frames/k)`, j = 0..k−1, dedup'd when a clip has fewer
+    * frames than samples. Emits one row per sampled frame with the frame's
+    * byte offset (`floor(frame·n_bytes/n_frames)`) — pure column
+    * arithmetic, so the row expansion is the only cost and the whole
+    * sampling plan is replayable by the oracle. The payload slice itself
+    * happens in [[sliceFrames]] (the codec seam — a real pipeline seeks
+    * the container index there instead).
+    */
+  def sampleFrameOffsets(media: DataFrame, k: Int,
+                         durationCol: String, fpsCol: String): DataFrame = {
+    require(k >= 1, "need at least one sampled frame")
+    val nFrames = greatest(floor(col(durationCol) * col(fpsCol)).cast("long"), lit(1L))
+    media.withColumn("n_frames", nFrames)
+      .select(col("doc_id"), col("payload"), col("n_bytes"), col("n_frames"),
+        explode(array_distinct(transform(sequence(lit(0), lit(k - 1)),
+          j => floor(j * col("n_frames") / k).cast("long")))).as("frame"))
+      .withColumn("byte_offset",
+        floor(col("frame") * col("n_bytes") / col("n_frames")).cast("long"))
+  }
+
+  /** The frame-decode seam: slice `sliceLen` bytes at each sampled offset —
+    * stand-in for a real demuxer/decoder call, batched per partition like
+    * [[decodeStub]]. Slices are clamped to the payload tail.
+    */
+  def sliceFrames(spark: SparkSession, sampled: DataFrame,
+                  sliceLen: Int = 16): Dataset[FrameSlice] = {
+    import spark.implicits._
+    sampled.select(col("doc_id"), col("frame"), col("byte_offset"), col("payload"))
+      .as[(Long, Long, Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, frame, off, payload) =>
+          val from = math.min(off, payload.length.toLong).toInt
+          val to = math.min(from + sliceLen.toLong, payload.length.toLong).toInt
+          FrameSlice(id, frame, off, java.util.Arrays.copyOfRange(payload, from, to))
+        }
+      }
+  }
+
   /** The decode seam: replace the histogram body with a real decoder call
     * (e.g. image decode + resize + feature extraction) in production. Runs
     * per-partition so a batched native call amortizes setup per task, not

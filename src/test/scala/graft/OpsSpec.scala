@@ -849,6 +849,38 @@ class OpsSpec extends SparkSpec {
     assert(cs(2L) < cs(1L), "corpus-like text must score lower than gibberish")
   }
 
+  test("frame sampling: uniform indices, offsets in range, slice seam replays on the driver") {
+    import spark.implicits._
+    val media = docs.where(col("text").isNotNull).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"),
+      (col("n_chars") / lit(100.0)).as("duration"), lit(2.0).as("fps"))
+    val sampled = Multimodal.sampleFrameOffsets(media, 5, "duration", "fps")
+    val rows = sampled.select("doc_id", "n_frames", "frame", "byte_offset", "n_bytes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, f, off, nb) =>
+      assert(nf >= 1 && f >= 0 && f < nf, s"doc $id: frame $f of $nf")
+      assert(off >= 0 && off <= nb, s"doc $id: offset $off of $nb bytes")
+    }
+    // ≤ 5 per doc, dedup'd below 5 frames, exactly 5 when frames ≥ 5
+    val perDoc = rows.groupBy(_._1).view.mapValues(v => (v.length, v.head._2))
+    perDoc.foreach { case (id, (n, nf)) =>
+      assert(n == math.min(5, nf), s"doc $id: $n samples for $nf frames") }
+    // the codec-seam slice equals a driver-side slice of the same payload
+    val slices = Multimodal.sliceFrames(spark, sampled, sliceLen = 16)
+      .collect().map(s => (s.doc_id, s.frame) -> s.slice).toMap
+    val payloads = media.select("doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    rows.foreach { case (id, _, f, off, _) =>
+      val p = payloads(id)
+      val from = math.min(off, p.length.toLong).toInt
+      val expect = java.util.Arrays.copyOfRange(p, from, math.min(from + 16, p.length))
+      assert(java.util.Arrays.equals(slices((id, f)), expect), s"doc $id frame $f")
+    }
+  }
+
   test("maxXent rule plane: trained vocab gates gibberish rows, nulls pass") {
     import spark.implicits._
     import graft.core.MaxCrossEntropy
