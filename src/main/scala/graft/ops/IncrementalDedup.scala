@@ -96,6 +96,24 @@ object IncrementalDedup {
     B.column(new BloomFilterMightContain(Literal(bloom, BinaryType),
       B.expression(xxhash64(key))))
 
+  /** Re-blessing: OR a newly-accepted batch's filter into the stored one,
+    * so tomorrow's run dedups against blessed ∪ accepted without rebuilding
+    * over the whole corpus. Build both with the SAME expectedItems/fpp —
+    * bloom OR requires identical bit width and hash count (the sketch
+    * library enforces it) — and size expectedItems for the corpus the
+    * filter will GROW to, since merging never re-sizes.
+    */
+  def mergeBlooms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val fa = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val bos = new java.io.ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
   def saveBloom(bloom: Array[Byte], path: java.nio.file.Path): Unit = {
     java.nio.file.Files.createDirectories(path.toAbsolutePath.getParent)
     java.nio.file.Files.write(path, bloom)

@@ -812,6 +812,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: re-blessing merges an accepted batch into the stored bloom") {
+    import spark.implicits._
+    val blessed = Seq("a", "b").toDF("key")
+    val accepted = Seq("c", "d").toDF("key")
+    val b1 = IncrementalDedup.buildBloom(blessed, "key", 10000L, 0.01)
+    val b2 = IncrementalDedup.buildBloom(accepted, "key", 10000L, 0.01)
+    val merged = IncrementalDedup.mergeBlooms(b1, b2)
+    val probe = Seq("a", "b", "c", "d", "nope1", "nope2").toDF("key")
+    val hits = probe.where(IncrementalDedup.mightContain(merged, col("key")))
+      .as[String].collect().toSet
+    assert(Set("a", "b", "c", "d").subsetOf(hits))
+    // tomorrow's run against the merged filter drops yesterday's acceptances
+    val incoming = Seq((1L, "c"), (2L, "fresh")).toDF("id", "key")
+    val newIds = IncrementalDedup.newRows(incoming,
+      blessed.unionByName(accepted), "key", merged).select("id").as[Long].collect()
+    assert(newIds.toSeq === Seq(2L))
+    // the empty-corpus fallback filter merges with an aggregate-built one
+    val empty = IncrementalDedup.buildBloom(Seq.empty[String].toDF("key"), "key", 10000L, 0.01)
+    val m2 = IncrementalDedup.mergeBlooms(empty, b1)
+    assert(probe.where(IncrementalDedup.mightContain(m2, col("key")))
+      .as[String].collect().toSet.intersect(Set("a", "b")) === Set("a", "b"))
+  }
+
   test("incremental dedup: broadcast confirm never sort-merge-joins either corpus") {
     val blessed = docs.where(col("doc_id") % 3 === 0)
       .select(sha2(col("text"), 256).as("key"))
