@@ -59,6 +59,31 @@ final case class RunResult(
     * blocks across runs.
     */
   def cleanup(): Unit = persisted.foreach { df => df.unpersist(); () }
+
+  /** Deterministic per-rule violation exemplars for the human report — the
+    * first `perRule` violations by (part, rowRef, detail). At 100 TB a
+    * failing rule can carry billions of violation rows, so a single window
+    * partitioned by rule would serialize each rule through one task; this
+    * runs TWO bounded phases: top-k inside every (rule, part) — each
+    * window bounded by one part's violations — then top-k per rule over
+    * the ≤ perRule·parts survivors. Same rows as the naive global window
+    * (EngineSpec asserts it), never a rule-sized sort on one task.
+    */
+  def exemplars(perRule: Int = 5): Dataset[Violation] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = violations.sparkSession
+    import spark.implicits._
+    val order = Seq(col("part"), col("rowRef"), col("detail"))
+    val perPart = violations.toDF()
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("rule", "part").orderBy(order: _*)))
+      .where(col("_rn") <= perRule).drop("_rn")
+    perPart
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy("rule").orderBy(order: _*)))
+      .where(col("_rn") <= perRule).drop("_rn")
+      .as[Violation]
+  }
 }
 
 /** The validation engine: schema-tools' `validate` command re-expressed as

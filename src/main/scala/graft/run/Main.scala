@@ -159,6 +159,12 @@ object Main {
           println(f"[graft] $rule%-22s ${vs.map(_.evaluated).sum}%12d " +
             f"${vs.map(_.violations).sum}%12d ${vs.forall(_.pass)}")
         }
+        phase("exemplars") {
+          result.exemplars(perRule = 2).orderBy("rule", "part", "rowRef").collect()
+            .foreach(v => println(
+              s"[graft] exemplar ${v.rule} part=${v.part} row=${v.rowRef}: " +
+                v.detail.take(80)))
+        }
         val nViol = phase("violations") { result.violations.count() }
         val nStats = phase("stats") { result.stats.count() }
         println(s"[graft] violation rows=$nViol statsRows=$nStats")

@@ -256,6 +256,27 @@ class EngineSpec extends SparkSpec {
     seq.cleanup(); conc.cleanup()
   }
 
+  test("violation exemplars: two-phase top-k equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val res = new ValidationEngine(suite, EngineConfig(numParts = 8))
+      .run(spark, df, Map("dim_repos" -> Synth.dimRepos(spark, 100)))
+    val got = res.exemplars(perRule = 3).collect()
+      .map(v => (v.rule, v.part, v.rowRef, v.detail)).sorted
+    val naive = res.violations.toDF()
+      .withColumn("_rn", row_number().over(Window.partitionBy("rule")
+        .orderBy(col("part"), col("rowRef"), col("detail"))))
+      .where(col("_rn") <= 3).drop("_rn")
+      .collect().map(r => (r.getString(1), r.getInt(0), r.getString(2), r.getString(3)))
+      .sorted
+    assert(got.nonEmpty && got === naive)
+    // per-rule bound holds and the selection is deterministic
+    assert(got.groupBy(_._1).values.forall(_.length <= 3))
+    val again = res.exemplars(perRule = 3).collect()
+      .map(v => (v.rule, v.part, v.rowRef, v.detail)).sorted
+    assert(again === got)
+    res.cleanup()
+  }
+
   test("baseline profile: drift from a stored profile equals drift from the scan") {
     val dims = Map("dim_repos" -> Synth.dimRepos(spark, 100))
     val base = Synth.baseline(spark, 2000, 100).withColumn("len", length(col("content")))
