@@ -156,6 +156,14 @@ object Dedup {
     *  4. one full-width pass rebuilds text with an index-aware
     *     higher-order filter; docs without drops pass through untouched
     *     (null text stays null).
+    *
+    * Skew: a universal boilerplate paragraph makes its hash a maximally
+    * skewed join key in step 3 (every doc's copy lands on one shuffle
+    * partition against the single winner row). The winner aggregation
+    * itself is immune (min(struct) partial-aggregates map-side); for the
+    * join, AQE's skew-join splitting (on by default) divides the hot
+    * partition and replicates the one-row winner side — keep it enabled
+    * at scale.
     */
   def dropDuplicateParagraphs(df: DataFrame, idCol: String, textCol: String,
                               sep: String = "\n\n", minLen: Int = 1,
