@@ -94,7 +94,13 @@ object UnigramScore {
       } else i += 1
     }
     emit(tokenStart, end) // trailing run → trailing empty token (limit -1)
-    new java.math.BigDecimal(sum / count)
+    val mean = sum / count
+    // mirror Spark's Round exactly: non-finite passes through (RoundBase
+    // guards before BigDecimal), and ties round via BigDecimal.valueOf —
+    // the SHORTEST-decimal representation — not the exact binary expansion
+    // (new BigDecimal(d)), which resolves 7th-decimal ties differently
+    if (java.lang.Double.isNaN(mean) || java.lang.Double.isInfinite(mean)) mean
+    else java.math.BigDecimal.valueOf(mean)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
 

@@ -65,7 +65,11 @@ object Multimodal {
   def sliceFrames(spark: SparkSession, sampled: DataFrame,
                   sliceLen: Int = 16): Dataset[FrameSlice] = {
     import spark.implicits._
-    sampled.select(col("doc_id"), col("frame"), col("byte_offset"), col("payload"))
+    // rows without a payload or a computable offset (null media / null
+    // duration metadata) carry no frame to slice — skip them rather than
+    // NPE in the typed seam
+    sampled.where(col("payload").isNotNull && col("byte_offset").isNotNull)
+      .select(col("doc_id"), col("frame"), col("byte_offset"), col("payload"))
       .as[(Long, Long, Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, frame, off, payload) =>

@@ -226,6 +226,19 @@ object TextAnalysis {
                       oovLogp: Double): Column =
     graft.functions.UnigramScore.scoreCol(text, vocab, oovLogp)
 
+  /** The naive Column formulation [[crossEntropyCol]]'s kernel replaced —
+    * kept as the ONE shared semantic oracle (UnigramScoreSpec parity,
+    * UnigramProbe cost comparison). O(vocab) per token: `element_at` on a
+    * map literal is a linear key scan — never use on a hot path.
+    */
+  private[graft] def crossEntropyColNaive(text: Column, vocab: Map[String, Double],
+                                          oovLogp: Double): Column = {
+    val m = typedLit(vocab)
+    ColUtil.letBound(words(text))(ws =>
+      round(aggregate(ws, lit(0.0),
+        (acc, w) => acc - coalesce(element_at(m, w), lit(oovLogp))) / size(ws), 6))
+  }
+
   /** Persist a gate vocabulary: {"oovLogp": x, "logp": {word: logp}} —
     * the perplexity analog of the drift profile / dedup bloom artifacts.
     */

@@ -29,12 +29,6 @@ object UnigramProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"[uni $cores] $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2fs ($r)")
     }
-    def naive(text: Column, v: Map[String, Double], oov: Double): Column = {
-      val m = typedlit(v)
-      ColUtil.letBound(split(trim(text), "\\s+"))(ws =>
-        round(aggregate(ws, lit(0.0),
-          (acc, w) => acc - coalesce(element_at(m, w), lit(oov))) / size(ws), 6))
-    }
     for (r <- 1 to 2; n <- sizes) {
       // n-1 filler words + one real token so lookups hit AND miss
       val vocab = (1 until n).map(i => s"w$i" -> -3.0).toMap + ("val" -> -1.0)
@@ -42,7 +36,8 @@ object UnigramProbe {
         df.where(TextAnalysis.crossEntropyCol(col("content"), vocab, -9.0) > 8.5).count()
       }
       t(s"literal v=$n r$r") {
-        df.where(naive(col("content"), vocab, -9.0) > 8.5).count()
+        df.where(TextAnalysis.crossEntropyColNaive(col("content"), vocab, -9.0) > 8.5)
+          .count()
       }
     }
     spark.stop()

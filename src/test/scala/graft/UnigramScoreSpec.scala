@@ -22,16 +22,10 @@ class UnigramScoreSpec extends SparkSpec {
     UnigramScore.score(UTF8String.fromString(s), m, oov)
   }
 
-  /** The naive Column formulation the kernel replaced — kept here as the
-    * semantic oracle: split(trim(s), "\\s+") + per-token map lookup.
-    */
+  // the ONE shared semantic oracle: TextAnalysis.crossEntropyColNaive
   private def naive(text: org.apache.spark.sql.Column,
-                    v: Map[String, Double]): org.apache.spark.sql.Column = {
-    val m = typedlit(v)
-    graft.ops.ColUtil.letBound(split(trim(text), "\\s+"))(ws =>
-      round(aggregate(ws, lit(0.0),
-        (acc, w) => acc - coalesce(element_at(m, w), lit(oov))) / size(ws), 6))
-  }
+                    v: Map[String, Double]): org.apache.spark.sql.Column =
+    TextAnalysis.crossEntropyColNaive(text, v, oov)
 
   test("kernel == naive split/lookup formulation on every tokenization edge") {
     val texts = Seq(
