@@ -134,6 +134,38 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stateless faces compose in ONE stream: gates → incremental dedup → perplexity") {
+    import graft.ops.{IncrementalDedup, PiiScan, TextAnalysis}
+    implicit val sq = spark.sqlContext
+    // blessed corpus + trained gate vocab — both persisted-once artifacts
+    val blessedDocs = Seq((1L, "value table row key value"), (2L, "key row value table"))
+      .toDF("doc_id", "text")
+    val blessed = blessedDocs.select(sha2(col("text"), 256).as("key"))
+    val bloom = IncrementalDedup.buildBloom(blessed, "key", 1000L, 0.01)
+    val (vdf, oov) = TextAnalysis.unigramModel(blessedDocs, "text", minCount = 2)
+    val vocab = vdf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    // one declarative stream: PII gate → scrub → dedup vs blessed → score
+    val staged = mem.toDF().toDF("doc_id", "text")
+      .where(PiiScan.clean(col("text")) || col("text").isNull)
+      .withColumn("text", PiiScan.redact(col("text")))
+      .withColumn("key", sha2(col("text"), 256))
+    val piped = StreamValidate.incrementalNewRowsStream(staged, "key", bloom, blessed)
+      .withColumn("xent", TextAnalysis.crossEntropyCol(col("text"), vocab, oov))
+      .where(col("xent") <= 2.0)
+    val q = piped.writeStream.format("memory").queryName("composed")
+      .outputMode("append").start()
+    mem.addData(
+      (10L, "value table row key value"),       // blessed dup → dropped
+      (11L, "value table row"),                  // new + corpus-like → kept
+      (12L, "zq xv unseen gibberish entirely"),  // new but high xent → gated
+      (13L, "row key value call 555-867-5309"))  // PII: fails the clean gate
+    q.processAllAvailable()
+    val got = spark.table("composed").select("doc_id").as[Long].collect().sorted
+    assert(got === Array(11L))
+    q.stop()
+  }
+
   test("streaming dedup drops duplicate keys within the watermark, bounded state") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[FileEvent]
