@@ -485,7 +485,70 @@ object QueriesPipeline {
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeStub(s,
         Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    // license detection + family classification: SPDX headers and license
+    // phrases planted at the file HEAD on coprime moduli (headers live at
+    // the top of real files — which is also why the detector head-scans).
+    // doc_id 0 carries several plants: the SPDX tag wins over any phrase,
+    // and the FIRST SPDX tag wins among two — the oracle replays the same
+    // concat order, the same regexes, and the same first-match-wins CASE
+    // chain, so precedence itself is correctness-checked
+    "q_license_scan" -> ((s, dir) => {
+      import graft.ops.CodeQuality
+      val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 7 === 0,
+          lit("// SPDX-License-Identifier: Apache-2.0\n")).otherwise(lit("")),
+        when(col("doc_id") % 19 === 0,
+          lit("// SPDX-License-Identifier: GPL-3.0-only\n")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("/* Permission is hereby granted, free of charge */\n")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("// This program is covered by the GNU General Public License.\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("// Subject to the Mozilla Public License v2.0.\n")).otherwise(lit("")),
+        col("text")).as("content"))
+      val id = CodeQuality.licenseId(col("content"), headChars = 256)
+      aug.select(col("doc_id"), id.as("license"),
+          CodeQuality.licenseFamily(id).as("family"),
+          when(CodeQuality.licenseAllowed(col("content"),
+            Seq("permissive", "none"), headChars = 256), 1L).otherwise(0L)
+            .as("mix_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // generated/minified-file detection: per-doc code-shape statistics from
+    // the one-pass LineStats kernel (line count, longest line, mean line,
+    // alnum fraction) plus the three gate flags; plants on coprime moduli —
+    // a generated-marker head, a 1200-char minified line, a punctuation
+    // block that sinks the alnum fraction. The oracle recomputes the stats
+    // relationally (string_split + list aggregation) and the flags from the
+    // same thresholds, so the kernel is proven against the canonical
+    // formulation, not smoke-tested
+    "q_autogen_stats" -> ((s, dir) => {
+      import graft.ops.CodeQuality
+      val aug = t(s, dir, "documents").select(col("doc_id"), concat(
+        when(col("doc_id") % 7 === 0,
+          lit("// Code generated by protoc. DO NOT EDIT.\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("\n"), repeat(lit("x;"), 600))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("\n"), repeat(lit(". "), 400))).otherwise(lit("")))
+        .as("content"))
+      val st = CodeQuality.lineStats(col("content"))
+      aug.select(col("doc_id"),
+          CodeQuality.nLines(st).as("n_lines"),
+          CodeQuality.maxLineLen(st).as("max_line_len"),
+          round(CodeQuality.avgLineLen(col("content"), st), 6).as("avg_line_len"),
+          round(CodeQuality.alnumFrac(col("content"), st), 6).as("alnum_frac"),
+          when(CodeQuality.generatedMarker(col("content")), 1L).otherwise(0L)
+            .as("autogen"),
+          when(CodeQuality.humanCode(col("content")), 1L).otherwise(0L)
+            .as("human_code"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Training-mix constants shared between queries and oracles. */
@@ -1136,7 +1199,69 @@ object QueriesPipeline {
        |FROM f""".stripMargin
   }
 
+  private val licenseScanOracle = {
+    import graft.ops.CodeQuality
+    // the same first-match-wins phrase chain as CodeQuality.licenseId
+    val phraseCase = CodeQuality.PhraseDetectors.map { case (id, re) =>
+      s"WHEN regexp_matches(hd, '$re') THEN '$id'"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+    def likeAny(ps: Seq[String]) =
+      ps.map(p => s"lower(license) LIKE '$p%'").mkString(" OR ")
+    s"""WITH c AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN '// SPDX-License-Identifier: Apache-2.0' || chr(10) ELSE '' END
+       |  || CASE WHEN doc_id % 19 = 0 THEN '// SPDX-License-Identifier: GPL-3.0-only' || chr(10) ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0 THEN '/* Permission is hereby granted, free of charge */' || chr(10) ELSE '' END
+       |  || CASE WHEN doc_id % 13 = 0 THEN '// This program is covered by the GNU General Public License.' || chr(10) ELSE '' END
+       |  || CASE WHEN doc_id % 17 = 0 THEN '// Subject to the Mozilla Public License v2.0.' || chr(10) ELSE '' END
+       |  || text AS content FROM documents),
+       | h AS (SELECT doc_id, substr(content, 1, 256) AS hd FROM c),
+       | l AS (SELECT doc_id, coalesce(
+       |    nullif(regexp_extract(hd, '${CodeQuality.SpdxRe}', 1), ''),
+       |    $phraseCase) AS license FROM h),
+       | f AS (SELECT doc_id, license,
+       |   CASE WHEN license IS NULL THEN 'none'
+       |        WHEN ${likeAny(CodeQuality.WeakCopyleftPrefixes)} THEN 'weak-copyleft'
+       |        WHEN ${likeAny(CodeQuality.CopyleftPrefixes)} THEN 'copyleft'
+       |        WHEN ${likeAny(CodeQuality.PermissivePrefixes)} THEN 'permissive'
+       |        ELSE 'unknown' END AS family FROM l)
+       |SELECT doc_id, license, family,
+       |  CAST(CASE WHEN family IN ('permissive', 'none') THEN 1 ELSE 0 END AS BIGINT) AS mix_ok
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  private val autogenStatsOracle = {
+    import graft.ops.CodeQuality
+    s"""WITH c AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 7 = 0 THEN '// Code generated by protoc. DO NOT EDIT.' || chr(10) ELSE '' END
+       |  || text
+       |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || repeat('x;', 600) ELSE '' END
+       |  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || repeat('. ', 400) ELSE '' END
+       |  AS content FROM documents),
+       | s AS (SELECT doc_id, content, length(content) AS len,
+       |   len(string_split(content, chr(10))) AS n_lines,
+       |   list_max(list_transform(string_split(content, chr(10)), x -> length(x))) AS max_line_len,
+       |   length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS n_alnum
+       |  FROM c),
+       | k AS (SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       |   CAST(max_line_len AS BIGINT) AS max_line_len,
+       |   CAST(len - (n_lines - 1) AS DOUBLE) / n_lines AS avg_raw,
+       |   CAST(n_alnum AS DOUBLE) / nullif(len, 0) AS frac_raw,
+       |   CASE WHEN regexp_matches(substr(content, 1, 500), '${CodeQuality.AutogenRe}')
+       |        THEN 1 ELSE 0 END AS autogen
+       |  FROM s)
+       |SELECT doc_id, n_lines, max_line_len,
+       |  round(avg_raw, 6) AS avg_line_len,
+       |  round(frac_raw, 6) AS alnum_frac,
+       |  CAST(autogen AS BIGINT) AS autogen,
+       |  CAST(CASE WHEN autogen = 0 AND max_line_len <= 1000 AND avg_raw <= 100
+       |            AND coalesce(frac_raw >= 0.25, FALSE) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS human_code
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_license_scan" -> licenseScanOracle,
+    "q_autogen_stats" -> autogenStatsOracle,
     "q_char_entropy" -> charEntropyOracle,
     "q_content_gates" -> contentGatesOracle,
     "q_repetition" -> repetitionOracle,

@@ -63,6 +63,24 @@ final case class NoPii(name: String, column: String) extends RowRule
 final case class NoBlockedUrls(name: String, column: String,
                                domains: Seq[String]) extends RowRule
 
+/** The detected license family of the column's text (SPDX tag or license
+  * phrase, head-bounded scan) is in `allow` — the mix-policy gate of
+  * [[graft.ops.CodeQuality]]: "no copyleft file ships into a permissively-
+  * licensed training mix". Undetected license is family "none" (most files
+  * inherit the repo license), so "none" is policy-addressable.
+  */
+final case class LicenseAllowed(name: String, column: String,
+                                allow: Seq[String], headChars: Int) extends RowRule
+
+/** The column's text passes the code-shape gates (no generated-code marker
+  * in the head, longest/mean line under the thresholds, at least
+  * `minAlnumFrac` alphanumeric) — [[graft.ops.CodeQuality.humanCode]]: the
+  * vendored/minified/protoc-output filter of a code-corpus curation.
+  */
+final case class HumanCode(name: String, column: String, maxLine: Int,
+                           maxAvg: Int, minAlnumFrac: Double,
+                           headChars: Int) extends RowRule
+
 /** Per-row cross-entropy (nats/token) under a unigram LM stays ≤ max — the
   * corpus-likeness gate ([[graft.ops.TextAnalysis.crossEntropyCol]]) in the
   * rule plane, next to [[NoSecrets]]/[[NoPii]]. The vocabulary rides with

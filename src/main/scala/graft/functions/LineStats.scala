@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass per-row line/character statistics for the code-shape quality
+  * gates ([[graft.ops.CodeQuality]]): generated/minified-file detection
+  * needs (line count, longest line, alphanumeric count) per content row.
+  *
+  * The relational formulation — `split(text, '\n')` + higher-order
+  * `transform`/`array_max` — materializes a per-row string array and
+  * evaluates the lambdas interpreted (outside whole-stage codegen, the
+  * repo's measured HOF cost, BENCH.md round 1); this expression computes
+  * all three numbers in ONE pass over the UTF8String's bytes with zero
+  * allocation beyond the 3-element result, following the
+  * [[GateSignals]] kernel pattern: `doGenCode` emits a direct static call
+  * inside whole-stage codegen, the interpreted path shares the kernel.
+  *
+  * Semantics (chosen to be replayable verbatim by a DuckDB oracle):
+  *   - lines    = count('\n') + 1 — `len(string_split(text, chr(10)))`:
+  *     empty text is one empty line; a trailing newline opens a final
+  *     empty line.
+  *   - maxLine  = max CHARACTER length over those lines (newline bytes are
+  *     separators, not line content). Characters are counted as non-
+  *     continuation UTF-8 bytes ((b & 0xC0) != 0x80), so multi-byte code
+  *     points count once, matching `length()` in Spark and DuckDB.
+  *   - alnum    = count of ASCII [A-Za-z0-9] characters — the portable
+  *     subset both planes agree on; continuation bytes are ≥ 0x80 and
+  *     never alias an ASCII comparison.
+  *
+  * Byte-level scanning is exact here: '\n' (0x0A) never occurs inside a
+  * UTF-8 multi-byte sequence.
+  *
+  * Null text yields null (UnaryExpression's default null propagation).
+  */
+case class LineStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"LineStats requires a string column, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    LineStats.stats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LineStats.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression): LineStats =
+    copy(newChild)
+}
+
+object LineStats {
+  /** Result slot indexes (1-based for element_at). */
+  val Lines = 1
+  val MaxLine = 2
+  val Alnum = 3
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def stats(s: UTF8String): ArrayData = {
+    val n = s.numBytes
+    var i = 0
+    var lines = 1L
+    var cur = 0L
+    var maxLine = 0L
+    var alnum = 0L
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == '\n') {
+        if (cur > maxLine) maxLine = cur
+        cur = 0
+        lines += 1
+      } else if ((b & 0xC0) != 0x80) {
+        cur += 1
+        if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9')) alnum += 1
+      }
+      i += 1
+    }
+    if (cur > maxLine) maxLine = cur
+    new GenericArrayData(Array(lines, maxLine, alnum))
+  }
+
+  /** The stats as a Column (array<long> [lines, maxLine, alnum]; null on
+    * null text).
+    */
+  def statsCol(text: Column): Column =
+    GraftExpressionBridge.column(LineStats(GraftExpressionBridge.expression(text)))
+}

@@ -47,6 +47,10 @@ object RuleCompiler {
       case NoBlockedUrls(_, _, ds) => nullSafe(graft.ops.UrlAnalysis.cleanOf(c, ds))
       case MaxCrossEntropy(_, _, v, o, m) =>
         nullSafe(graft.ops.TextAnalysis.crossEntropyCol(c, v, o) <= m)
+      case LicenseAllowed(_, _, allow, hd) =>
+        nullSafe(graft.ops.CodeQuality.licenseAllowed(c, allow, hd))
+      case HumanCode(_, _, maxLine, maxAvg, minFrac, hd) =>
+        nullSafe(graft.ops.CodeQuality.humanCode(c, maxLine, maxAvg, minFrac, hd))
       case HasFormat(_, _, f) =>
         val fn = formats.getOrElse(f, sys.error(s"unknown format '$f'"))
         nullSafe(fn(c))

@@ -130,6 +130,20 @@ object SuiteLoader {
         val ds = s.get("domains").elements().asScala.map(_.asText()).toSeq
         rules += NoBlockedUrls(s"no_blocked_urls_$c", c, ds)
       }
+      Option(xc.get("licenseFamilies")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+        val c = s.get("column").asText()
+        val allow = s.get("allow").elements().asScala.map(_.asText()).toSeq
+        val hd = Option(s.get("head")).map(_.asInt()).getOrElse(4096)
+        rules += LicenseAllowed(s"license_$c", c, allow, hd)
+      }
+      Option(xc.get("humanCode")).toSeq.flatMap(_.elements().asScala).foreach { s =>
+        val c = s.get("column").asText()
+        rules += HumanCode(s"human_code_$c", c,
+          Option(s.get("maxLine")).map(_.asInt()).getOrElse(1000),
+          Option(s.get("maxAvg")).map(_.asInt()).getOrElse(100),
+          Option(s.get("minAlnumFrac")).map(_.asDouble()).getOrElse(0.25),
+          Option(s.get("head")).map(_.asInt()).getOrElse(500))
+      }
       // perplexity gate: the vocab artifact path resolves at SUITE-PARSE
       // time (fail fast on a missing/foreign file, like the Draft4
       // meta-schema), and the rule carries the bounded map

@@ -1,0 +1,159 @@
+package graft
+
+import graft.functions.LineStats
+import graft.ops.CodeQuality
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Code-shape quality gates: the LineStats kernel at its byte boundaries,
+  * kernel == the canonical relational (split + HOF) formulation, codegen
+  * contract, license detection precedence, and the humanCode gate's
+  * threshold semantics.
+  */
+class CodeQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def st(s: String): (Long, Long, Long) = {
+    val a = LineStats.stats(UTF8String.fromString(s)).toLongArray()
+    (a(0), a(1), a(2))
+  }
+
+  test("kernel semantics at the split boundaries") {
+    assert(st("") === ((1L, 0L, 0L)))               // one empty line
+    assert(st("abc") === ((1L, 3L, 3L)))
+    assert(st("ab\ncdef") === ((2L, 4L, 6L)))
+    assert(st("ab\n") === ((2L, 2L, 2L)))           // trailing \n opens a line
+    assert(st("\n\n") === ((3L, 0L, 0L)))           // consecutive separators
+    assert(st("a.b c!") === ((1L, 6L, 3L)))         // alnum counts a, b, c
+    assert(st("A1z9") === ((1L, 4L, 4L)))
+    // multibyte: counted once per code point, never alnum, never a separator
+    assert(st("日本語") === ((1L, 3L, 0L)))
+    assert(st("ü\né") === ((2L, 1L, 0L)))
+  }
+
+  test("kernel == the relational split/transform formulation") {
+    val docs = (0 until 200).map { i =>
+      val parts = (0 to i % 7).map(k => ("ab c1." * (1 + (i + k) % 9)).take(3 + (i * k) % 17))
+      (i.toLong, parts.mkString("\n") + (if (i % 5 == 0) "\n" else ""))
+    }.toDF("id", "t")
+    val got = docs.select(col("id"), CodeQuality.lineStats(col("t")).as("st"),
+        size(split(col("t"), "\n", -1)).cast("long").as("rl_lines"),
+        array_max(transform(split(col("t"), "\n", -1), x => length(x)))
+          .cast("long").as("rl_max"),
+        length(regexp_replace(col("t"), "[^A-Za-z0-9]", "")).cast("long").as("rl_alnum"))
+      .select(col("id"),
+        CodeQuality.nLines(col("st")).as("k_lines"), col("rl_lines"),
+        CodeQuality.maxLineLen(col("st")).as("k_max"), col("rl_max"),
+        CodeQuality.alnumCount(col("st")).as("k_alnum"), col("rl_alnum"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2), s"lines @id=${r.getLong(0)}")
+      assert(r.getLong(3) === r.getLong(4), s"max @id=${r.getLong(0)}")
+      assert(r.getLong(5) === r.getLong(6), s"alnum @id=${r.getLong(0)}")
+    }
+  }
+
+  test("column face: null text yields null stats") {
+    val df = Seq((1L, "ab\nc"), (2L, null)).toDF("id", "t")
+    val rows = df.select(col("id"), CodeQuality.lineStats(col("t")).as("st"))
+      .orderBy("id").collect()
+    assert(rows(0).getSeq[Long](1) === Seq(2L, 2L, 3L))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("LineStats runs inside whole-stage codegen (no fallback)") {
+    val df = spark.range(1, 3).select(col("id"),
+      concat(lit("line one\nline "), col("id").cast("string")).as("t"))
+    val q = df.select(col("id"), CodeQuality.lineStats(col("t")).as("st"))
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val projLines = p.linesIterator.filter(_.contains("Project")).toSeq
+    assert(projLines.nonEmpty && projLines.forall(l =>
+      l.contains("* Project") || l.contains("codegen id")), p)
+    assert(!p.contains("Fallback"), p)
+    assert(p.toLowerCase.contains("linestats"), p)
+    // and it executes with codegen fallback disabled
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(q.collect().length === 2)
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("license detection: SPDX wins over phrases, first SPDX wins") {
+    val docs = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\n// GNU General Public License\ncode"),
+      (2L, "// SPDX-License-Identifier: GPL-3.0-only\n// SPDX-License-Identifier: MIT\n"),
+      (3L, "Permission is hereby granted, free of charge, to any person"),
+      (4L, "This uses the GNU Affero General Public License v3."),
+      (5L, "under the GNU Lesser General Public License 2.1"),
+      (6L, "released under the GNU General Public License"),
+      (7L, "plain code, no license text at all"),
+      (8L, "// SPDX-License-Identifier: WTFPL\n"),
+      (9L, null)).toDF("id", "t")
+    val got = docs.select(col("id"),
+        CodeQuality.licenseId(col("t")).as("lic"),
+        CodeQuality.licenseFamily(CodeQuality.licenseId(col("t"))).as("fam"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2)))).toMap
+    assert(got(1L) === ((Some("MIT"), "permissive")))
+    assert(got(2L) === ((Some("GPL-3.0-only"), "copyleft")))
+    assert(got(3L) === ((Some("MIT"), "permissive")))
+    assert(got(4L) === ((Some("AGPL-3.0"), "copyleft")))
+    assert(got(5L) === ((Some("LGPL-2.1"), "weak-copyleft"))) // lgpl is NOT gpl
+    assert(got(6L) === ((Some("GPL-3.0"), "copyleft")))
+    assert(got(7L) === ((None, "none")))
+    assert(got(8L) === ((Some("WTFPL"), "unknown")))
+    assert(got(9L) === ((None, "none")))
+  }
+
+  test("headChars bounds the license scan; licenseAllowed gates families") {
+    val tail = "x" * 300 + " SPDX-License-Identifier: GPL-3.0-only"
+    val df = Seq((1L, tail)).toDF("id", "t")
+    val full = df.select(CodeQuality.licenseId(col("t"), headChars = 0)).head().getString(0)
+    val headed = df.select(CodeQuality.licenseId(col("t"), headChars = 256)).head()
+    assert(full === "GPL-3.0-only")
+    assert(headed.isNullAt(0)) // beyond the head window → undetected
+    val allow = df.select(
+      CodeQuality.licenseAllowed(col("t"), Seq("permissive", "none"), headChars = 256),
+      CodeQuality.licenseAllowed(col("t"), Seq("permissive", "none"), headChars = 0)).head()
+    assert(allow.getBoolean(0))     // head-bounded: family none → allowed
+    assert(!allow.getBoolean(1))    // full scan: copyleft → blocked
+  }
+
+  test("rule plane: licenseFamilies + humanCode compile and verdict correctly") {
+    import graft.core.{HumanCode, LicenseAllowed}
+    import graft.rules.RuleCompiler
+    val df = Seq(
+      (1L, "// SPDX-License-Identifier: MIT\nval x = 1"),
+      (2L, "// SPDX-License-Identifier: GPL-3.0-only\nval x = 1"),
+      (3L, "plain code, nothing declared"),
+      (4L, "// @generated do not edit\nval x = 1"),
+      (5L, null)).toDF("id", "content")
+    val rules = Seq(
+      LicenseAllowed("license_content", "content", Seq("permissive", "none"), 4096),
+      HumanCode("human_code_content", "content", 1000, 100, 0.25, 500))
+    val compiled = RuleCompiler.compile(rules)
+    val got = df.select(col("id") +: compiled.map(c => c.pred.as(c.rule.name)): _*)
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((true, true)))
+    assert(got(2L) === ((false, true)))   // copyleft blocked, shape fine
+    assert(got(3L) === ((true, true)))    // none is allowed
+    assert(got(4L) === ((true, false)))   // generated marker fails the shape
+    assert(got(5L) === ((true, true)))    // null passes, like every row rule
+  }
+
+  test("humanCode gate: each threshold flips it independently") {
+    val base = Seq.fill(20)("val x = compute(a, b)").mkString("\n")
+    val docs = Seq(
+      (1L, base),                                             // human
+      (2L, "// @generated by tool\n" + base),                 // marker
+      (3L, base + "\n" + "y;" * 600),                         // 1200-char line
+      (4L, Seq.fill(20)("w" * 150).mkString("\n")),           // avg > 100
+      (5L, Seq.fill(40)(".,;: -=+ <>(){}[]").mkString("\n"))  // alnum < 0.25
+    ).toDF("id", "t")
+    val got = docs.select(col("id"),
+        CodeQuality.humanCode(col("t")).as("ok")).orderBy("id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false, 5L -> false))
+  }
+}

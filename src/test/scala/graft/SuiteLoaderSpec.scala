@@ -176,6 +176,19 @@ class SuiteLoaderSpec extends AnyFunSuite {
       "content", Seq("ads.bad", "mal.bad"))))
   }
 
+  test("x-checks code-shape gates: licenseFamilies / humanCode harvest") {
+    val suite = SuiteLoader.parse(
+      """{"type":"object","properties":{},
+        | "x-checks":{
+        |  "licenseFamilies":[{"column":"content","allow":["permissive","none"],"head":2048}],
+        |  "humanCode":[{"column":"content","maxLine":800}]}}""".stripMargin)
+    assert(suite.rowRules.contains(LicenseAllowed("license_content", "content",
+      Seq("permissive", "none"), 2048)))
+    // unstated humanCode knobs take the documented defaults
+    assert(suite.rowRules.contains(HumanCode("human_code_content", "content",
+      800, 100, 0.25, 500)))
+  }
+
   test("x-checks maxXent: vocab artifact loads at parse, hash input bounded") {
     import graft.ops.TextAnalysis
     val vocab = Map("value" -> -1.2, "table" -> -1.5, "row" -> -1.9)
