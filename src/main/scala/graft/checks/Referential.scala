@@ -40,23 +40,39 @@ object Referential {
     *   0 forces the sort-merge path.
     * @param dimRowsHint exact dimension cardinality when the caller already
     *   knows it (catalog stats, a prior count) — skips the estimate.
+    * @param nullSafeKeys true (default): keys compare with `<=>` — a null
+    *   fact key matches a null dim key. false: plain equality, for layouts
+    *   whose keys are non-null (enforced by `required` row rules) — a null
+    *   fact key then reports as an orphan (a dangling null reference).
+    *   The strategies differ physically: EqualNullSafe SMJ keys compile to
+    *   `(coalesce(k, default), isnull(k))` hash keys, which no bucketed
+    *   layout provides, so the planner disables the bucketed scan and
+    *   re-shuffles the fact side; plain equality lets a fact table bucketed
+    *   on the key join with zero fact-side exchange (BucketSpec).
     */
   def orphans(fact: DataFrame, dim: DataFrame, factKeys: Seq[String], dimKeys: Seq[String],
               broadcastMaxRows: Long = 10000000L,
-              dimRowsHint: Option[Long] = None): Result = {
+              dimRowsHint: Option[Long] = None,
+              nullSafeKeys: Boolean = true): Result = {
     // one atomic select: sequential withColumnRenamed collides when the key
     // lists overlap crosswise (renaming a dim key onto another pair's fact
     // key name duplicates columns -> AMBIGUOUS_REFERENCE)
     val dimProj = dim.select(
       dimKeys.zip(factKeys).map { case (dk, fk) => col(dk).as(fk) }: _*).distinct()
     val n = dimRowsHint.getOrElse(estimateRows(dimProj))
-    val cond = factKeys.map(k => fact(k) <=> dimProj(k)).reduce(_ && _)
+    val cond = factKeys.map(k =>
+      if (nullSafeKeys) fact(k) <=> dimProj(k) else fact(k) === dimProj(k))
+      .reduce(_ && _)
     if (n <= broadcastMaxRows)
       Result(fact.join(broadcast(dimProj), cond, "left_anti"), "broadcast-hash", n)
-    else {
-      val f = fact.repartition(factKeys.map(col): _*)
-      Result(f.join(dimProj.hint("merge"), factKeys.map(k => f(k) <=> dimProj(k)).reduce(_ && _),
-        "left_anti"), "sort-merge", n)
-    }
+    else
+      // the merge hint picks the strategy; the key-clustered exchanges are
+      // LEFT TO EnsureRequirements rather than forced with an explicit
+      // repartition — on flat input Catalyst inserts exactly the exchange a
+      // manual repartition would, but on a layout already clustered on the
+      // join key (a bucketed/Iceberg-partitioned fact table) the fact-side
+      // exchange is elided entirely and only the dim side shuffles
+      // (BucketSpec asserts both shapes)
+      Result(fact.join(dimProj.hint("merge"), cond, "left_anti"), "sort-merge", n)
   }
 }

@@ -37,6 +37,14 @@ object Uniqueness {
     * bound ≈ n²/2⁶⁵), never correctness.
     */
   def duplicateKeys(df: DataFrame, keys: Seq[String], salts: Int = 16): DataFrame = {
+    // salts == 0 declares the input CO-LOCATED on (a prefix of) the keys —
+    // a table bucketed/Iceberg-partitioned by repo hash, the 100 TB layout.
+    // The direct groupBy then needs NO exchange at all (the scan's
+    // HashPartitioning satisfies the aggregation's distribution —
+    // BucketSpec asserts it), so the hash-compaction below, whose whole
+    // point is shrinking a wide shuffle, would only ADD a hash pass and a
+    // broadcast round against a shuffle that no longer exists.
+    if (salts == 0) return duplicateKeysNaive(df, keys)
     val keyCols = keys.map(col)
     val h1 = xxhash64(keyCols: _*)
     // Candidate-hash phase. salts <= 1 selects the DIRECT single-shuffle

@@ -31,7 +31,9 @@ final case class EngineConfig(
     // 1 = direct single-shuffle duplicate counting (the measured-fastest
     // default: map-side combine already collapses hot keys for pure counts);
     // >1 selects the salted two-phase for payload aggregations that cannot
-    // partial-combine (see Uniqueness.duplicateKeys)
+    // partial-combine; 0 declares the input co-located on the key (bucketed
+    // layout) — the direct groupBy then runs with zero exchange
+    // (see Uniqueness.duplicateKeys, BucketSpec)
     salts: Int = 1,
     broadcastMaxRows: Long = 10000000L,
     statsColumns: Seq[String] = Nil,

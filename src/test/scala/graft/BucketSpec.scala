@@ -1,0 +1,90 @@
+package graft
+
+import graft.checks.{Referential, Uniqueness}
+import graft.data.Synth
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Co-located-layout plan shapes: on a fact table bucketed by the join/
+  * grouping key — the sandbox stand-in for an Iceberg table hash-
+  * partitioned by repo, the layout a 100 TB deployment stores — the
+  * key-clustered exchanges disappear because the scan's HashPartitioning
+  * already satisfies the operator's required distribution. These tests pin
+  * that structurally: the same check code produces a shuffle-free (or
+  * dim-only-shuffle) plan purely from the layout, with results identical
+  * to the flat-layout plans.
+  */
+class BucketSpec extends SparkSpec {
+
+  private def plan(d: DataFrame): String =
+    d.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  /** Count SHUFFLE exchange NODES only: a BroadcastExchange moves a tiny
+    * build side, not the data — it is the point of the broadcast plans.
+    * Formatted explain prints each node twice (tree line + detail header);
+    * count the `(n) Exchange` detail headers, one per node.
+    */
+  private def exchanges(p: String): Int =
+    p.linesIterator.count(_.matches("""\(\d+\) Exchange\s*"""))
+
+  lazy val tmp: String = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+
+  /** The same rows twice: flat parquet and a repo-bucketed external table. */
+  lazy val flat: DataFrame = {
+    Synth.codeFiles(spark, 4000, repos = 40)
+      .write.mode("overwrite").parquet(s"$tmp/flat")
+    spark.read.parquet(s"$tmp/flat")
+  }
+  lazy val bucketed: DataFrame = {
+    spark.sql("DROP TABLE IF EXISTS code_bucketed")
+    flat.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "repo").option("path", s"$tmp/bucketed")
+      .saveAsTable("code_bucketed")
+    spark.table("code_bucketed")
+  }
+
+  test("bucketed layout: co-located uniqueness groupBy runs with zero exchange") {
+    val keys = Seq("repo", "path", "commit")
+    val co = Uniqueness.duplicateKeys(bucketed, keys, salts = 0)
+    val p = plan(co)
+    assert(exchanges(p) === 0, p)
+    // the flat layout pays the shuffle the bucketing elides
+    assert(exchanges(plan(Uniqueness.duplicateKeys(flat, keys, salts = 0))) > 0)
+    // and the co-located plan agrees with the hash-compacted flat plan
+    val expected = Uniqueness.duplicateKeys(flat, keys)
+      .orderBy(keys.map(col): _*).collect().toSeq
+    assert(co.orderBy(keys.map(col): _*).collect().toSeq === expected)
+    assert(expected.nonEmpty) // Synth plants duplicate keys — a vacuous pass would hide a broken plan
+  }
+
+  test("bucketed layout: co-located duplicateRows stays exchange-free") {
+    val keys = Seq("repo", "path", "commit")
+    val rows = Uniqueness.duplicateRows(bucketed, keys, salts = 0)
+    assert(exchanges(plan(rows)) === 0, plan(rows))
+    assert(rows.count() === Uniqueness.duplicateRows(flat, keys).count())
+  }
+
+  test("bucketed layout: SMJ referential shuffles only the dimension side") {
+    val dim = Synth.dimRepos(spark, 40)
+    // plain-equality keys: the synth fact's repo is non-null (enforced by
+    // the suite's required rule at the engine level), and EqualNullSafe's
+    // (coalesce, isnull) hash keys would disable the bucketed scan
+    val b = Referential.orphans(bucketed, dim, Seq("repo"), Seq("repo"),
+      broadcastMaxRows = 0, nullSafeKeys = false)
+    val f = Referential.orphans(flat, dim, Seq("repo"), Seq("repo"),
+      broadcastMaxRows = 0, nullSafeKeys = false)
+    assert(b.strategy === "sort-merge" && f.strategy === "sort-merge")
+    val (pb, pf) = (plan(b.orphans), plan(f.orphans))
+    assert(pb.contains("SortMergeJoin") && pf.contains("SortMergeJoin"))
+    // dim side always pays its distinct-agg exchange (whose output
+    // partitioning then also satisfies the join); only the flat layout pays
+    // the FACT-side exchange — the one proportional to the data
+    assert(exchanges(pb) === 1, pb)
+    assert(exchanges(pf) === 2, pf)
+    assert(b.orphans.count() === f.orphans.count())
+    // and the null-safe default agrees on this (non-null-key) corpus
+    val ns = Referential.orphans(flat, dim, Seq("repo"), Seq("repo"),
+      broadcastMaxRows = 0)
+    assert(ns.orphans.count() === f.orphans.count())
+  }
+}
