@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Generic case-insensitive multi-needle containment — the prescreen kernel
+  * for gates whose detectors are CASE-INSENSITIVE regex alternations
+  * (license phrases, generated-code markers), where [[GateSignals]]'s
+  * case-sensitive `contains` implications don't apply.
+  *
+  * Returns a bitmask: bit k set iff the ASCII-case-folded text contains
+  * `needles(k)` (each needle given lowercase). One pass over the bytes,
+  * all needles tested per position (they are few and short), early exit
+  * once every bit is set. ASCII folding is exact for these needles: every
+  * needle byte is ASCII, UTF-8 continuation bytes are ≥ 0x80 and never
+  * alias a folded comparison, and Java-regex `(?i:…)` on ASCII letters is
+  * precisely A-Z↔a-z folding — so `needle ⊆ folded(text)` is IMPLIED BY
+  * any match of a detector branch containing that needle, which is what
+  * makes `candidate && rlike ≡ rlike` hold exactly.
+  *
+  * Codegen: direct static call inside whole-stage codegen with the needle
+  * table attached via `addReferenceObj`; the interpreted path shares the
+  * kernel. Null text yields null.
+  */
+case class CiNeedles(child: Expression, needles: Seq[String]) extends UnaryExpression {
+  require(needles.nonEmpty && needles.size <= 30 &&
+    needles.forall(n => n.nonEmpty && n.forall(c => c < 0x80 && !c.isUpper)),
+    "needles must be 1..30 non-empty lowercase-ASCII strings")
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"CiNeedles requires a string column, got ${child.dataType}")
+  }
+
+  @transient private lazy val table: Array[Array[Byte]] =
+    needles.map(_.getBytes("US-ASCII")).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    CiNeedles.signals(v.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("ciNeedles", table, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.CiNeedles.signals($c, $tbl)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CiNeedles =
+    copy(child = newChild)
+}
+
+object CiNeedles {
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def signals(s: UTF8String, needles: Array[Array[Byte]]): Int = {
+    val n = s.numBytes
+    val all = (1 << needles.length) - 1
+    var mask = 0
+    var i = 0
+    while (i < n && mask != all) {
+      var k = 0
+      while (k < needles.length) {
+        if ((mask & (1 << k)) == 0) {
+          val nd = needles(k)
+          if (i + nd.length <= n) {
+            var j = 0
+            var ok = true
+            while (ok && j < nd.length) {
+              var b = s.getByte(i + j)
+              if (b >= 'A' && b <= 'Z') b = (b + 32).toByte
+              if (b == nd(j)) j += 1 else ok = false
+            }
+            if (ok) mask |= (1 << k)
+          }
+        }
+        k += 1
+      }
+      i += 1
+    }
+    mask
+  }
+
+  /** Bitmask as a Column (int; null on null text). */
+  def signalsCol(text: Column, needles: Seq[String]): Column =
+    GraftExpressionBridge.column(
+      CiNeedles(GraftExpressionBridge.expression(text), needles))
+
+  /** True iff ANY of the needles occurs (case-insensitive). */
+  def containsAnyCol(text: Column, needles: Seq[String]): Column =
+    signalsCol(text, needles) =!= 0
+}

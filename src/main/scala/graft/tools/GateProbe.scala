@@ -32,6 +32,23 @@ object GateProbe {
         df.where(!(CodeScan.clean(col("content")) && PiiScan.clean(col("content")) &&
           UrlAnalysis.cleanOf(col("content"), blocked))).count()
       }
+      // code-shape gates: LineStats kernel vs the interpreted HOF chain,
+      // the head-bounded license scan, and the combined humanCode gate
+      t("line-stats-kernel") {
+        df.select(sum(graft.ops.CodeQuality.maxLineLen(
+          graft.ops.CodeQuality.lineStats(col("content"))))).collect()(0).getLong(0)
+      }
+      t("line-stats-hof") {
+        df.select(sum(array_max(transform(split(col("content"), "\n", -1),
+          x => length(x))).cast("long"))).collect()(0).getLong(0)
+      }
+      t("license-head4k") {
+        df.where(!graft.ops.CodeQuality.licenseAllowed(col("content"),
+          Seq("permissive", "none"))).count()
+      }
+      t("human-code") {
+        df.where(!graft.ops.CodeQuality.humanCode(col("content"))).count()
+      }
     }
     spark.stop()
   }

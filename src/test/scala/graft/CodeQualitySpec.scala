@@ -78,6 +78,64 @@ class CodeQualitySpec extends SparkSpec {
     finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("CiNeedles kernel: case-folded containment at the boundaries") {
+    import graft.functions.CiNeedles
+    def sig(s: String, ns: Seq[String]): Int =
+      CiNeedles.signals(UTF8String.fromString(s),
+        ns.map(_.getBytes("US-ASCII")).toArray)
+    val ns = Seq("license", "hereby granted")
+    assert(sig("", ns) === 0)
+    assert(sig("LICENSE", ns) === 1)
+    assert(sig("LiCeNsE", ns) === 1)
+    assert(sig("licens", ns) === 0)                       // prefix only
+    assert(sig("xlicensex HEREBY  GRANTED", ns) === 1)    // double space breaks needle 2
+    assert(sig("HEREBY GRANTED license", ns) === 3)
+    assert(sig("日本語 License 語", ns) === 1)             // multibyte never aliases
+    // needle at the very end of the text
+    assert(sig("xyz license", ns) === 1)
+    assert(sig("xyz licens", ns) === 0)
+  }
+
+  test("prescreened license/marker detection == bare detection (adversarial corpus)") {
+    import graft.functions.CiNeedles
+    // rows crafted to stress the implication: needle present without a
+    // detector match, detector matches of every branch, and plain rows
+    val texts = Seq(
+      "the license word alone, no phrase",
+      "hereby granted but not the MIT phrase",
+      "redistribution mentioned casually",
+      "Permission is hereby granted, free of charge, to any person",
+      "REDISTRIBUTION AND USE IN SOURCE AND BINARY FORMS",
+      "gnu general public license",
+      "SPDX-License-Identifier: Zlib",
+      "re-generate the docs",                 // 'generat' without a marker
+      "do not edit this file",
+      "// Code generated by tool",
+      "plain row, nothing at all",
+      null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    // bare = the detectors WITHOUT the candidate gate
+    val bareId = {
+      val spdx = nullif(regexp_extract(col("t"), CodeQuality.SpdxRe, 1), lit(""))
+      val phrase = CodeQuality.PhraseDetectors.tail.foldLeft(
+        when(col("t").rlike(CodeQuality.PhraseDetectors.head._2),
+          lit(CodeQuality.PhraseDetectors.head._1))) {
+        case (acc, (id, re)) => acc.when(col("t").rlike(re), lit(id))
+      }
+      coalesce(spdx, phrase)
+    }
+    val rows = df.select(col("id"),
+        CodeQuality.licenseId(col("t")) <=> bareId,
+        CodeQuality.generatedMarker(col("t"), 0) <=> col("t").rlike(CodeQuality.AutogenRe),
+        CiNeedles.signalsCol(col("t"), CodeQuality.LicenseNeedles).isNull === col("t").isNull)
+      .collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(1), s"licenseId mismatch @id=${r.getLong(0)}")
+      assert(r.getBoolean(2), s"marker mismatch @id=${r.getLong(0)}")
+      assert(r.getBoolean(3), s"null propagation @id=${r.getLong(0)}")
+    }
+  }
+
   test("license detection: SPDX wins over phrases, first SPDX wins") {
     val docs = Seq(
       (1L, "// SPDX-License-Identifier: MIT\n// GNU General Public License\ncode"),

@@ -145,8 +145,13 @@ class StreamingSpec extends SparkSpec {
     val (vdf, oov) = TextAnalysis.unigramModel(blessedDocs, "text", minCount = 2)
     val vocab = vdf.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val mem = MemoryStream[(Long, String)]
-    // one declarative stream: PII gate → scrub → dedup vs blessed → score
+    // one declarative stream: code-shape gates → PII gate → scrub → dedup
+    // vs blessed → score (the CodeQuality gates are stateless Columns, so
+    // they drop into the stream like any other row predicate)
     val staged = mem.toDF().toDF("doc_id", "text")
+      .where(graft.ops.CodeQuality.humanCode(col("text")) || col("text").isNull)
+      .where(graft.ops.CodeQuality.licenseAllowed(col("text"),
+        Seq("permissive", "none")) || col("text").isNull)
       .where(PiiScan.clean(col("text")) || col("text").isNull)
       .withColumn("text", PiiScan.redact(col("text")))
       .withColumn("key", sha2(col("text"), 256))
@@ -159,7 +164,9 @@ class StreamingSpec extends SparkSpec {
       (10L, "value table row key value"),       // blessed dup → dropped
       (11L, "value table row"),                  // new + corpus-like → kept
       (12L, "zq xv unseen gibberish entirely"),  // new but high xent → gated
-      (13L, "row key value call 555-867-5309"))  // PII: fails the clean gate
+      (13L, "row key value call 555-867-5309"),  // PII: fails the clean gate
+      (14L, "value table row // @generated DO NOT EDIT"), // code-shape gate
+      (15L, "value table row under the GNU General Public License")) // license gate
     q.processAllAvailable()
     val got = spark.table("composed").select("doc_id").as[Long].collect().sorted
     assert(got === Array(11L))
