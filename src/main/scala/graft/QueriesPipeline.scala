@@ -518,6 +518,40 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // repo-level curation rollup: per-SOURCE aggregate of the license and
+    // code-shape signals plus the keep/drop verdict — the "filter whole
+    // repos by aggregate quality" stage of a code-corpus pipeline (a repo
+    // that is mostly generated output or carries a copyleft license mix is
+    // dropped wholesale, not file by file). Per-file signals ride ONE
+    // map-only projection; the rollup is one partial-aggregated groupBy on
+    // the low-cardinality source key — output ∝ repos, not files
+    "q_corpus_rollup" -> ((s, dir) => {
+      import graft.ops.CodeQuality
+      val aug = t(s, dir, "documents").select(col("doc_id"), col("source"), concat(
+        when(col("doc_id") % 19 === 0,
+          lit("// SPDX-License-Identifier: GPL-3.0-only\n")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("// Code generated by protoc. DO NOT EDIT.\n")).otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 11 === 0,
+          concat(lit("\n"), repeat(lit("x;"), 600))).otherwise(lit("")))
+        .as("content"))
+      val flags = aug.select(col("source"),
+        when(CodeQuality.licenseAllowed(col("content"),
+          Seq("permissive", "none"), headChars = 256), 1L).otherwise(0L).as("mix_ok"),
+        when(CodeQuality.generatedMarker(col("content")), 1L).otherwise(0L).as("autogen"),
+        CodeQuality.maxLineLen(CodeQuality.lineStats(col("content"))).as("maxline"))
+      flags.groupBy(col("source")).agg(
+          count(lit(1L)).as("n_docs"),
+          sum(col("mix_ok")).as("n_mix_ok"),
+          sum(col("autogen")).as("n_autogen"),
+          max(col("maxline")).as("worst_line"),
+          // keep: ≥90% license-clean AND ≤20% generated
+          when(sum(col("mix_ok")) * 10L >= count(lit(1L)) * 9L &&
+            sum(col("autogen")) * 5L <= count(lit(1L)), 1L).otherwise(0L).as("keep"))
+        .orderBy("source")
+    }),
+
     // generated/minified-file detection: per-doc code-shape statistics from
     // the one-pass LineStats kernel (line count, longest line, mean line,
     // alnum fraction) plus the three gate flags; plants on coprime moduli —
@@ -1229,6 +1263,39 @@ object QueriesPipeline {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  private val corpusRollupOracle = {
+    import graft.ops.CodeQuality
+    val phraseCase = CodeQuality.PhraseDetectors.map { case (id, re) =>
+      s"WHEN regexp_matches(hd, '$re') THEN '$id'"
+    }.mkString("CASE ", " ", " ELSE NULL END")
+    def likeAny(ps: Seq[String]) =
+      ps.map(p => s"lower(license) LIKE '$p%'").mkString(" OR ")
+    s"""WITH c AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 19 = 0 THEN '// SPDX-License-Identifier: GPL-3.0-only' || chr(10) ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 0 THEN '// Code generated by protoc. DO NOT EDIT.' || chr(10) ELSE '' END
+       |  || text
+       |  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || repeat('x;', 600) ELSE '' END
+       |  AS content FROM documents),
+       | h AS (SELECT doc_id, source, content, substr(content, 1, 256) AS hd FROM c),
+       | l AS (SELECT doc_id, source, content, coalesce(
+       |    nullif(regexp_extract(hd, '${CodeQuality.SpdxRe}', 1), ''),
+       |    $phraseCase) AS license FROM h),
+       | f AS (SELECT source,
+       |   CASE WHEN license IS NULL
+       |          OR ${likeAny(CodeQuality.PermissivePrefixes)} THEN 1 ELSE 0 END AS mix_ok,
+       |   CASE WHEN regexp_matches(substr(content, 1, 500), '${CodeQuality.AutogenRe}')
+       |        THEN 1 ELSE 0 END AS autogen,
+       |   list_max(list_transform(string_split(content, chr(10)), x -> length(x))) AS maxline
+       |  FROM l)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(mix_ok) AS BIGINT) AS n_mix_ok,
+       |  CAST(sum(autogen) AS BIGINT) AS n_autogen,
+       |  CAST(max(maxline) AS BIGINT) AS worst_line,
+       |  CAST(CASE WHEN sum(mix_ok) * 10 >= count(*) * 9
+       |             AND sum(autogen) * 5 <= count(*) THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private val autogenStatsOracle = {
     import graft.ops.CodeQuality
     s"""WITH c AS (SELECT doc_id,
@@ -1262,6 +1329,7 @@ object QueriesPipeline {
   val oracles: Map[String, String] = Map(
     "q_license_scan" -> licenseScanOracle,
     "q_autogen_stats" -> autogenStatsOracle,
+    "q_corpus_rollup" -> corpusRollupOracle,
     "q_char_entropy" -> charEntropyOracle,
     "q_content_gates" -> contentGatesOracle,
     "q_repetition" -> repetitionOracle,
