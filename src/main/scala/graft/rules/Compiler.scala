@@ -31,10 +31,26 @@ object RuleCompiler {
 
   final case class Compiled(rule: RowRule, pred: Column, detail: Column)
 
-  /** True iff the value passes; null column values pass unless `required`. */
-  def predicate(r: RowRule, formats: Map[String, Column => Column] = builtinFormats): Column = {
+  /** True iff the value passes; null column values pass unless `required`.
+    *
+    * `lengthWitness` maps column → sibling column that MATERIALIZES its
+    * character length at write time (the fact layout's `content_len`, the
+    * same trust model as `content_sha256` witnessing content; the
+    * `lengthEquals` x-check is the audit). Min/MaxLength rules on a
+    * witnessed column then compile against the witness — nullness
+    * included, since the write invariant makes them null together — so a
+    * suite whose only fat-column rules are length bounds never decodes the
+    * fat column at all (PlanSpec asserts ReadSchema excludes it).
+    */
+  def predicate(r: RowRule, formats: Map[String, Column => Column] = builtinFormats,
+                lengthWitness: Map[String, String] = Map.empty): Column = {
     def c = col(r.column)
     def nullSafe(p: Column): Column = coalesce(c.isNull || p, lit(false))
+    def lengthOf: Column = lengthWitness.get(r.column).map(col).getOrElse(length(c))
+    def nullSafeLen(p: Column): Column = lengthWitness.get(r.column) match {
+      case Some(w) => coalesce(col(w).isNull || p, lit(false))
+      case None => nullSafe(p)
+    }
     r match {
       case TypeIs(_, _, _)     => lit(true) // static check, see conformsToSchema
       case Required(_, _)      => c.isNotNull
@@ -54,8 +70,8 @@ object RuleCompiler {
       case HasFormat(_, _, f) =>
         val fn = formats.getOrElse(f, sys.error(s"unknown format '$f'"))
         nullSafe(fn(c))
-      case MinLength(_, _, n)  => nullSafe(length(c) >= n)
-      case MaxLength(_, _, n)  => nullSafe(length(c) <= n)
+      case MinLength(_, _, n)  => nullSafeLen(lengthOf >= n)
+      case MaxLength(_, _, n)  => nullSafeLen(lengthOf <= n)
       case MinValue(_, _, v, ex) => nullSafe(if (ex) c > lit(v) else c >= lit(v))
       case MaxValue(_, _, v, ex) => nullSafe(if (ex) c < lit(v) else c <= lit(v))
       case MinItems(_, _, n)   => nullSafe(size(c) >= n)
@@ -99,22 +115,28 @@ object RuleCompiler {
           lit(false))
       case AnyOfRule(name, _, ms) =>
         require(ms.nonEmpty, s"AnyOfRule '$name' has no members (invalid anyOf: [])")
-        ms.map(predicate(_, formats)).reduce(_ || _)
+        ms.map(predicate(_, formats, lengthWitness)).reduce(_ || _)
       case AllOfRule(name, _, ms) =>
         require(ms.nonEmpty, s"AllOfRule '$name' has no members (invalid allOf: [])")
-        ms.map(predicate(_, formats)).reduce(_ && _)
+        ms.map(predicate(_, formats, lengthWitness)).reduce(_ && _)
     }
   }
 
   /** Human-readable failure detail, analog of the reference logging each
     * `iter_errors` item with its value (validate/mod.rs:19-23).
     */
-  def detail(r: RowRule): Column = r match {
+  def detail(r: RowRule, lengthWitness: Map[String, String] = Map.empty): Column = r match {
     // Union rules may carry a synthetic column name (e.g. a root-level
     // oneOf without a discriminator) — never dereference it; report via
     // the first leaf member, which always names a real column.
-    case AnyOfRule(name, _, ms) => concat(lit(s"AnyOfRule $name (no variant matched): "), detail(ms.head))
-    case AllOfRule(name, _, ms) => concat(lit(s"AllOfRule $name: "), detail(ms.head))
+    case AnyOfRule(name, _, ms) => concat(lit(s"AnyOfRule $name (no variant matched): "), detail(ms.head, lengthWitness))
+    case AllOfRule(name, _, ms) => concat(lit(s"AllOfRule $name: "), detail(ms.head, lengthWitness))
+    // witnessed length rules report the witness value, not the fat value:
+    // a detail that dereferenced the fat column would pull it back into the
+    // violations scan the witness just freed
+    case (_: MinLength | _: MaxLength) if lengthWitness.contains(r.column) =>
+      concat(lit(s"${kind(r)} failed on ${r.column}: length="),
+        coalesce(col(lengthWitness(r.column)).cast(StringType), lit("null")))
     case _ =>
       val shown = r match {
         case s: Sha256Invariant => substring(coalesce(col(s.column).cast(StringType), lit("null")), 1, 40)
@@ -126,7 +148,8 @@ object RuleCompiler {
   private def kind(r: RowRule): String = r.getClass.getSimpleName
 
   def compile(rules: Seq[RowRule],
-              formats: Map[String, Column => Column] = builtinFormats): Seq[Compiled] = {
+              formats: Map[String, Column => Column] = builtinFormats,
+              lengthWitness: Map[String, String] = Map.empty): Seq[Compiled] = {
     // Regex interning analog (jsonschema/mod.rs:177-189): identical predicate
     // trees across rules are deduped by Catalyst CSE at codegen time; here we
     // just validate patterns once up front so a bad regex fails at compile
@@ -137,7 +160,8 @@ object RuleCompiler {
       case MapClosedKeys(_, _, ps) => ps
       case _ => Nil
     }.distinct.foreach(java.util.regex.Pattern.compile(_))
-    rules.map(r => Compiled(r, predicate(r, formats), detail(r)))
+    rules.map(r => Compiled(r, predicate(r, formats, lengthWitness),
+      detail(r, lengthWitness)))
   }
 
   /** Static schema-conformance check for TypeIs rules — the analog of the

@@ -40,6 +40,12 @@ final case class EngineConfig(
     // driver-safety cap on the fused drift histogram collect; beyond it the
     // engine falls back to the two-pass distributed ks/chiSquare per rule
     driftHistMaxRows: Int = 100000,
+    // column → sibling column materializing its character length at write
+    // time (the layout's content_len; the lengthEquals x-check audits it).
+    // Min/MaxLength rules on a witnessed column compile against the witness
+    // so a suite whose only fat-column rules are length bounds never
+    // decodes the fat column (RuleCompiler.predicate, PlanSpec).
+    lengthWitness: Map[String, String] = Map.empty,
     // name of a column that ALREADY carries the engine's partition id —
     // set when the fact table is stored physically partitioned/bucketed by
     // the part id (the layout a 100 TB deployment uses): every per-part /
@@ -150,7 +156,8 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
   /** Per-partition verdicts for all row rules in ONE aggregation. */
   def rowVerdicts(spark: SparkSession, df: DataFrame): Dataset[Verdict] = {
     import spark.implicits._
-    val compiled = RuleCompiler.compile(suite.rowRules)
+    val compiled = RuleCompiler.compile(suite.rowRules,
+      lengthWitness = cfg.lengthWitness)
     if (compiled.isEmpty) return spark.emptyDataset[Verdict]
     val aggs = count(lit(1)).as("__evaluated") +:
       compiled.map(c => sum(when(!c.pred, 1L).otherwise(0L)).as(c.rule.name))
@@ -209,7 +216,8 @@ final class ValidationEngine(suite: RuleSuite, cfg: EngineConfig = EngineConfig(
                     observeWith: Option[(org.apache.spark.sql.Observation, Seq[Column])] = None
                    ): Dataset[Violation] = {
     import spark.implicits._
-    val compiled = RuleCompiler.compile(suite.rowRules)
+    val compiled = RuleCompiler.compile(suite.rowRules,
+      lengthWitness = cfg.lengthWitness)
     if (compiled.isEmpty) return spark.emptyDataset[Violation]
     val pdf = observeWith match {
       case Some((obs, exprs)) => partitioned(df).observe(obs, exprs.head, exprs.tail: _*)

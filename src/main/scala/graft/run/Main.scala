@@ -93,7 +93,12 @@ object Main {
     val dims = Map("dim_repos" -> Synth.dimRepos(spark, repos))
     val engine = new ValidationEngine(suite, EngineConfig(
       numParts = numParts,
-      statsColumns = Seq("repo", "path", "commit", "lang", "content_len")))
+      statsColumns = Seq("repo", "path", "commit", "lang", "content_len"),
+      // the layout materializes content_len at write time, so any user
+      // suite's length bounds on content ride the witness instead of
+      // decoding content (measured 5.6× on that scan, ViolProbe); the
+      // lengthEquals x-check is the layout audit
+      lengthWitness = Map("content" -> "content_len")))
 
     // GRAFT_BASELINE_PROFILE=<path>: drift against a stored profile of the
     // blessed baseline instead of rescanning it every run (the 100 TB daily

@@ -41,6 +41,23 @@ object ViolProbe {
         df.where(anyFail || !coalesce(gates, lit(true))).count()
       }
       t("verdict-agg") { engine.rowVerdicts(spark, df).count() }
+      // the length-witness saving: a content-length-bounded suite (no sha
+      // rule — that one must read content by definition) compiled bare vs
+      // against the stored content_len witness
+      val lenSuite = SuiteLoader.parse(
+        """{"type":"object","required":["repo"],"properties":{
+          |  "repo":{"type":"string"},
+          |  "content":{"type":["null","string"],"minLength":1,"maxLength":4096}}}"""
+          .stripMargin)
+      t("len-suite-bare") {
+        new ValidationEngine(lenSuite, EngineConfig(numParts = 64))
+          .rowViolations(spark, df).count()
+      }
+      t("len-suite-witness") {
+        new ValidationEngine(lenSuite, EngineConfig(numParts = 64,
+          lengthWitness = Map("content" -> "content_len")))
+          .rowViolations(spark, df).count()
+      }
     }
     spark.stop()
   }

@@ -67,6 +67,42 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Filter [codegen id"), "prefilter not codegen'd:\n" + p.take(800))
   }
 
+  test("length witness: content-length rules never decode the content column") {
+    val suite = RuleSuite(Seq(
+      Required("req_repo", "repo"),
+      MaxLength("maxlen_content", "content", 400),
+      MinLength("minlen_content", "content", 1)))
+    val witnessed = new ValidationEngine(suite, EngineConfig(numParts = 8,
+      lengthWitness = Map("content" -> "content_len")))
+    val bare = new ValidationEngine(suite, EngineConfig(numParts = 8))
+    // the witness must be STORED (as in the bench/fact layout), not derived
+    // at scan time — a lazy length(content) column would re-read content
+    // through the expression and erase exactly the saving under test
+    df.withColumn("content_len", length(col("content")))
+      .write.mode("overwrite").parquet(s"$tmp/code_witnessed")
+    val wdf = spark.read.parquet(s"$tmp/code_witnessed")
+    val pw = plan(witnessed.rowViolations(spark, wdf).toDF())
+    val pb = plan(bare.rowViolations(spark, wdf).toDF())
+    val readW = pw.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    val readB = pb.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readW.contains("content:"), s"witness did not free the fat column:\n$readW")
+    assert(readB.contains("content:"), s"control: bare compile must read content:\n$readB")
+    // identical verdicts AND violation details, null rows included (null
+    // content → null content_len by the write invariant; both pass)
+    val ndf = wdf.unionByName(wdf.limit(1)
+      .withColumn("content", lit(null).cast("string"))
+      .withColumn("content_len", lit(null).cast("int")))
+    def verdicts(e: ValidationEngine) =
+      e.rowVerdicts(spark, ndf).orderBy("part", "rule").collect().toSeq
+    assert(verdicts(witnessed) === verdicts(bare))
+    val vw = witnessed.rowViolations(spark, ndf).where(col("rule") === "maxlen_content")
+    val vb = bare.rowViolations(spark, ndf).where(col("rule") === "maxlen_content")
+    assert(vw.count() === vb.count() && vw.count() > 0)
+    // the witnessed detail reports the length, never the fat value
+    assert(vw.select("detail").as[String](org.apache.spark.sql.Encoders.STRING)
+      .head().startsWith("MaxLength failed on content: length="))
+  }
+
   test("union/discriminator suite still evaluates in ONE aggregation scan") {
     val suite = graft.suite.SuiteLoader.parse(
       """{"type":"object",
