@@ -76,8 +76,9 @@ object Chain {
       sys.error(s"validate $sub needs a schema path (or '-')")
     case Seq("bump", "openapi", ref, _*) => Some(ref)
     case Seq("bump", "openapi") => sys.error("bump openapi needs a schema path (or '-')")
-    case Seq("codegen", "openapi", ref, _*) => Some(ref)
-    case Seq("codegen", "openapi") => sys.error("codegen openapi needs a schema path (or '-')")
+    case Seq("codegen", sub, ref, _*) if sub == "openapi" || sub == "jsonschema" => Some(ref)
+    case Seq("codegen", sub) if sub == "openapi" || sub == "jsonschema" =>
+      sys.error(s"codegen $sub needs a schema path (or '-')")
     case Seq("validate", ref, _*) => Some(ref)
     case Seq("output", _*) => None
     case other => sys.error(s"unknown chain command '${other.headOption.getOrElse("")}'")
@@ -313,6 +314,65 @@ object Chain {
         println(s"[graft-chain]   codegen openapi: ${written.size} unit(s), " +
           s"${openapi.endpoints.size} endpoint(s), ${openapi.models.models.size} model(s)")
         body
+
+      // codegen jsonschema <path|-> --template <dir> --target-dir <dir>
+      //   [--wrappers] [--optional-and-nullable-as-models]
+      //   [--nested-arrays-as-models] [--merge-similar-models]
+      //   [--base-name N] [--format cmd] [-o key=value]
+      // — the reference's second codegen target (codegen.rs:43-88,178-217):
+      // FlatModel extraction over a json-schema document + the
+      // renderer.models walk (models/static templates only)
+      case Seq("codegen", "jsonschema", _, flags @ _*) =>
+        val templateSpecs = flags.sliding(2).collect {
+          case Seq("--template", t) => t }.toSeq
+        require(templateSpecs.nonEmpty, "codegen jsonschema needs --template <dir>")
+        val targetDir = flags.sliding(2).collectFirst { case Seq("--target-dir", d) => d }
+          .getOrElse(sys.error("codegen jsonschema needs --target-dir <dir>"))
+        val fmOpts = FlatModels.Options(
+          wrappers = flags.contains("--wrappers"),
+          nestedArraysAsModels = flags.contains("--nested-arrays-as-models"),
+          optionalAndNullableAsModels = flags.contains("--optional-and-nullable-as-models"),
+          baseName = flags.sliding(2).collectFirst { case Seq("--base-name", v) => v },
+          mergeSimilarModels = flags.contains("--merge-similar-models"),
+          // the CLI extracts with allow_list unconditionally (codegen.rs:190)
+          allowList = true)
+        val container = SchemaDocs.json.createObjectNode()
+        val optNode = container.putObject("options")
+        flags.sliding(2).foreach {
+          case Seq("-o", kv) if kv.contains("=") =>
+            val Array(k, v) = kv.split("=", 2); optNode.put(k, v); ()
+          case _ => ()
+        }
+        val deref = new Dereferencer(storage, DereferenceOptions(
+          skipRootInternalReferences = true, createInternalReferences = true))
+          .process(url, storage.resolve(url.toString))
+        val mc = FlatModels.extract(deref, fmOpts)
+        val discovered = new Discovery().resolve(templateSpecs)
+        val templates = Templates.fromDiscovered(discovered.templates)
+        require(templates.nonEmpty, "no templates discovered")
+        val written = Templates.renderModels(templates, mc, container,
+          discovered.templates).flatMap {
+          case Templates.Rendered(u, Some(text)) =>
+            val target = Paths.get(targetDir, u.target)
+            Option(target.getParent).foreach(Files.createDirectories(_))
+            Files.write(target, text.getBytes("UTF-8"))
+            Some(u)
+          case Templates.Rendered(_, None) => None
+        }
+        flags.sliding(2).collectFirst { case Seq("--format", cmd) => cmd }.foreach { cmd =>
+          val cmdParts = splitArgs(cmd)
+          written.foreach { u =>
+            val proc = new ProcessBuilder((cmdParts :+
+              Paths.get(targetDir, u.target).toString): _*).redirectErrorStream(true).start()
+            val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+            require(proc.waitFor() == 0,
+              s"codegen formatting command failed on ${u.target}: $out")
+          }
+        }
+        println(s"[graft-chain]   codegen jsonschema: ${written.size} unit(s), " +
+          s"${mc.models.size} model(s)")
+        body
+
       case Seq("output", outFile, _*) =>
         outputs(outFile) = body
         // Output::show format selection (cli commands/mod.rs:86-114): YAML

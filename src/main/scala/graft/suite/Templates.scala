@@ -446,6 +446,34 @@ object Templates {
     * endpoint-less openapi plus a `tags` array of {tag, endpoints} groups,
     * static templates only the container.
     */
+  /** The renderer.models walk (renderer.rs:37-73) — the `codegen
+    * jsonschema` back-end: ONLY models and static templates render (the
+    * reference filters to Template::Models | Template::Static), each
+    * against the FlatModel container's serde shape ({regexps, formats,
+    * models}, jsonschema/mod.rs:38-48) merged with the container fields,
+    * exactly the context process_render builds.
+    */
+  def renderModels(templates: Seq[Template], mc: FlatModels.ModelContainer,
+                   container: JsonNode,
+                   registry: Map[String, String] = Map.empty): Seq[Rendered] =
+    templates.flatMap { t =>
+      def passes: Boolean = t.condition.forall(_.check(container))
+      def emit(unit: RenderUnit, ctx: ObjNode): Rendered = {
+        val text = TeraLite.render(t.body, ctx, registry)
+        Rendered(unit, if (text.trim.isEmpty) None else Some(text))
+      }
+      t.kind match {
+        case "models" if passes =>
+          Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None,
+              0, mc.models.size),
+            withContainer(FlatModels.containerJson(mc), container)))
+        case "static" if passes =>
+          Seq(emit(RenderUnit(t.relative, t.kind, t.filename.resolve(container), None, 0, 0),
+            withContainer(JF.objectNode(), container)))
+        case _ => Nil
+      }
+    }
+
   def renderAll(templates: Seq[Template], openapi: Openapi,
                 container: JsonNode,
                 registry: Map[String, String] = Map.empty): Seq[Rendered] =

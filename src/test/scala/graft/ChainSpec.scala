@@ -177,6 +177,42 @@ class ChainSpec extends AnyFunSuite {
         |""".stripMargin)
   }
 
+  test("codegen jsonschema renders models templates from FlatModel extraction") {
+    val dir = Files.createTempDirectory("graft-codegen-js")
+    val tplDir = dir.resolve("templates"); Files.createDirectories(tplDir)
+    Files.write(tplDir.resolve("models.j2"),
+      ("{# type=models,filename=models.rs,min_version=0.1.0 #}\n" +
+        "{% for model in models %}" +
+        // NB: a literal '{' must not abut '{%' — '{{%' lexes as an
+        // expression open, in real Tera exactly as here
+        "{% if model.object %}pub struct {{ model.object.name | pascalcase }} {\n" +
+        "{% for p in model.object.properties %} {{ p.name | snakecase }}: {{ p.type }}" +
+        " req={{ p.required }};{% endfor %} }\n{% endif %}" +
+        "{% if model.enum %}pub enum {{ model.enum.name | pascalcase }}" +
+        " [{{ model.enum.options | join(sep=\", \") }}];\n{% endif %}" +
+        "{% endfor %}").getBytes("UTF-8"))
+    // an endpoints template must be IGNORED by the models walk
+    // (renderer.models filters to Models | Static, renderer.rs:47-52)
+    Files.write(tplDir.resolve("api.j2"),
+      "{# type=endpoints,filename=api.rs,min_version=0.1.0 #}\nnever".getBytes("UTF-8"))
+    val doc = dir.resolve("person.json")
+    Files.write(doc,
+      """{"title":"Person","type":"object",
+        | "properties":{
+        |   "firstName":{"type":"string"},
+        |   "age":{"type":"integer"},
+        |   "status":{"type":"string","enum":["active","retired"]}},
+        | "required":["firstName"]}""".stripMargin.getBytes("UTF-8"))
+    val out = dir.resolve("out").toString
+    Chain.run(Seq(s"codegen jsonschema $doc --template $tplDir --target-dir $out"))
+    val text = Files.readString(Paths.get(out, "models.rs")).stripPrefix("\n")
+    assert(text.contains("pub struct Person {"), text)
+    assert(text.contains("first_name: string req=true;"), text)
+    assert(text.contains("age: integer req=false;"), text)
+    assert(text.contains("[active, retired];"), text)
+    assert(!Files.exists(Paths.get(out, "api.rs")))
+  }
+
   test("codegen openapi resolves include/import against the discovered set") {
     val dir = Files.createTempDirectory("graft-codegen-macros")
     val tplDir = dir.resolve("templates"); Files.createDirectories(tplDir)
