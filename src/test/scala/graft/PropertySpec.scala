@@ -161,6 +161,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CiNeedles == lower().contains() and LineStats == JVM recompute on random unicode text") {
+    import org.apache.spark.sql.functions._
+    val needles = Seq("license", "do not edit", "generat")
+    val textGen: Gen[String] = Gen.oneOf(
+      Gen.listOfN(40, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\n', '\t', '.', 'ü', '語', '@')))
+        .map(_.mkString),
+      Gen.oneOf("LICENSE file", "Do Not EDIT", "regenerated\nlines\n", "",
+        "日本語 License", "licens", "x" * 300, "\n\n\n", null))
+    val rows = (0 until 300).map(i => (i.toLong, sample(textGen, 31L + i))).toSeq
+    val df = rows.toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.functions.CiNeedles.containsAnyCol(col("t"), needles),
+        graft.ops.CodeQuality.lineStats(col("t")))
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getBoolean(1)),
+          if (r.isNullAt(2)) None else Some(r.getSeq[Long](2))))).toMap
+    rows.foreach { case (id, t) =>
+      val expCi = Option(t).map(s => needles.exists(s.toLowerCase.contains))
+      val expLs = Option(t).map { s =>
+        val lines = s.split("\n", -1)
+        Seq(lines.length.toLong,
+          lines.map(l => l.codePointCount(0, l.length).toLong).max,
+          s.codePoints().toArray.count(cp =>
+            (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+              (cp >= '0' && cp <= '9')).toLong)
+      }
+      assert(got(id)._1 === expCi, s"CiNeedles @id=$id text=${Option(t)}")
+      assert(got(id)._2 === expLs, s"LineStats @id=$id text=${Option(t)}")
+    }
+  }
+
   test("salted duplicate detection == naive groupBy (10 random skewed tables)") {
     val keyGen = Gen.frequency((8, Gen.const("hot")), (3, Gen.oneOf("a", "b", "c")),
       (2, Gen.alphaNumStr.map(_.take(4))))
