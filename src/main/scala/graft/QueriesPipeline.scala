@@ -147,6 +147,15 @@ object QueriesPipeline {
       Dedup.duplicateSpanStats(nearDupCorpus(s, dir), "id", "text", window = 8)
         .orderBy("id")),
 
+    // dedup: winnowed (MOSS-selection) fingerprint clone pairs over the
+    // near-dup corpus — per-window minimum over the k-gram hash stream,
+    // overlap coefficient |∩|/min(|A|,|B|) on the selected sets with the
+    // stop-fingerprint df cutoff; oracle replays the identical windowed
+    // min, cutoff, and score in SQL
+    "q_winnow_clones" -> ((s, dir) =>
+      Dedup.winnowClonePairs(nearDupCorpus(s, dir), "id", "text")
+        .orderBy("id_a", "id_b")),
+
     // dedup: candidate pairs → transitive clusters with a canonical keeper
     // (min id per connected component); oracle recomputes components with a
     // recursive CTE over the identical pair list
@@ -801,6 +810,40 @@ object QueriesPipeline {
        |FROM win GROUP BY id ORDER BY id""".stripMargin
   }
 
+  /** Winnowing fingerprints + overlap-coefficient clone pairs, generated
+    * from the SAME constants as the Scala side (Dedup.WinnowK/WinnowW/
+    * ShingleBase) — per-window selection is list_min over the k-gram slice
+    * (the rightmost-min tie-break never changes the selected VALUE).
+    */
+  private val winnowClonesOracle = {
+    val B = Dedup.ShingleBase
+    val k = Dedup.WinnowK; val w = Dedup.WinnowW
+    val fold = (2 to k).foldLeft("whl[i+1]")((acc, kk) => s"($acc * $B + whl[i+$kk]) % $P")
+    s"""WITH $corpusCte,
+       | w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
+       | whc AS (SELECT id, list_transform(ws, tok -> ${sqlHash("tok", "ci")}) AS whl FROM w),
+       | kgl AS (SELECT id, CASE WHEN len(whl) >= $k
+       |   THEN list_transform(generate_series(0, len(whl) - $k), i -> $fold)
+       |   ELSE CAST([] AS BIGINT[]) END AS kg FROM whc),
+       | fpl AS (SELECT id, CASE
+       |   WHEN len(kg) >= $w THEN list_distinct(list_transform(
+       |     generate_series(0, len(kg) - $w), j -> list_min(kg[j+1:j+$w])))
+       |   WHEN len(kg) > 0 THEN [list_min(kg)]
+       |   ELSE CAST([] AS BIGINT[]) END AS fps FROM kgl),
+       | fp AS (SELECT id, unnest(fps) AS f FROM fpl),
+       | rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 1000),
+       | fpr AS (SELECT id, f FROM fp WHERE f IN (SELECT f FROM rare)),
+       | sz AS (SELECT id, count(*) AS n FROM fpr GROUP BY id),
+       | inter AS (SELECT a.id AS id_a, b.id AS id_b,
+       |     CAST(count(*) AS BIGINT) AS shared
+       |   FROM fpr a JOIN fpr b ON a.f = b.f AND a.id < b.id GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared,
+       |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+       |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+       |WHERE round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val minhashSigOracle =
     s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 30),
        | $shingleCte
@@ -1347,6 +1390,7 @@ object QueriesPipeline {
     "q_frame_sample" -> frameSampleOracle,
     "q_training_pipeline" -> trainingPipelineOracle,
     "q_dup_spans" -> dupSpansOracle,
+    "q_winnow_clones" -> winnowClonesOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,

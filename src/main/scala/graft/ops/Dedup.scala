@@ -203,6 +203,83 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** Winnowing parameters (k-gram size, window of k-gram hashes) shared
+    * with the SQL oracle. t = WinnowW + WinnowK - 1 is the guarantee
+    * threshold: any shared token run of ≥ t tokens yields ≥ 1 shared
+    * fingerprint.
+    */
+  val WinnowK = 4
+  val WinnowW = 4
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+    * — the MOSS code-clone detector's selection rule). Over the k-gram hash
+    * stream (word k-shingles via [[shingleHashesFromWords]] — the
+    * SQL-replayable constants), every window of w consecutive k-gram hashes
+    * selects its minimum; the fingerprint SET is the distinct selected
+    * values. The guarantee: any shared run of ≥ w+k-1 tokens between two
+    * documents yields ≥ 1 shared fingerprint, while expected density is
+    * 2/(w+1) of all k-grams — a ~(w+1)/2× index reduction with a hard
+    * detection floor, which is what separates winnowing from "hash ≡ 0 mod
+    * p" sampling (no guarantee) and full shingle indexing (no reduction).
+    *
+    * The paper's RIGHTMOST-minimal-position tie-break only affects which
+    * POSITION is recorded, never which VALUE: the rightmost minimum's value
+    * is the window minimum, and the fingerprint set keeps values — so the
+    * per-window selection is a plain `array_min(slice(...))` (OpsSpec
+    * proves set-equality against a position-aware JVM winnower).
+    *
+    * Docs with 0 < |kgrams| < w fingerprint as the single global minimum
+    * (one window covering the whole doc); docs shorter than k words have no
+    * k-grams and fingerprint empty. O(tokens × w) per row, no shuffle.
+    */
+  def winnowFingerprints(text: Column, k: Int = WinnowK, w: Int = WinnowW): Column =
+    ColUtil.letBound(shingleHashes(text, k)) { kg =>
+      when(size(kg) >= w,
+        array_distinct(transform(sequence(lit(0), size(kg) - w), j =>
+          array_min(slice(kg, j + 1, lit(w))))))
+        .otherwise(when(size(kg) > 0, array(array_min(kg)))
+          .otherwise(array().cast("array<bigint>")))
+    }
+
+  /** MOSS-style clone pairs from winnowed fingerprints: explode the (already
+    * distinct) fingerprint set, document-frequency cutoff (the same
+    * stop-shingle guard as [[jaccardPairs]] — a fingerprint shared by d docs
+    * emits d² join rows), self-join on the fingerprint, then score each pair
+    * by the OVERLAP COEFFICIENT |∩| / min(|A|,|B|) — the clone-detection
+    * convention (a small file pasted whole into a big one scores 1.0 where
+    * Jaccard dilutes it). Sizes count rare fingerprints only, mirroring the
+    * cutoff on both sides of the ratio.
+    *
+    * Scale shape: fingerprinting is per-row (zero shuffle on text); the
+    * inverted index the join shuffles is ~2/(w+1) of the full shingle
+    * volume — the winnowing paper's point is precisely that the index a
+    * clone detector materializes is (w+1)/2× smaller at a guaranteed
+    * detection floor. The three consumers of the rare-fingerprint set
+    * (sizes + both self-join sides) share one exchange via ReuseExchange.
+    */
+  def winnowClonePairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = WinnowK, w: Int = WinnowW,
+                       minOverlap: Double = 0.5, maxDf: Int = 1000): DataFrame = {
+    val fpAll = df.select(col(idCol).as("id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+    val rare = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("fp")
+    val fps = fpAll.join(rare, Seq("fp"), "left_semi")
+    val sizes = fps.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("overlap", round(col("shared").cast("double") /
+        least(col("sz_a"), col("sz_b")), 6))
+      .where(col("overlap") >= minOverlap)
+      .select("id_a", "id_b", "shared", "overlap")
+  }
+
   /** MinHash parameters: numHashes affine permutations (a_j h + b_j) mod P.
     * Deterministic constants shared with the SQL mirror.
     */

@@ -52,6 +52,51 @@ class OpsSpec extends SparkSpec {
     assert(stats === naive)
   }
 
+  test("winnowing: Spark set == position-aware JVM winnower; guarantee and density hold") {
+    import graft.ops.TextAnalysis.P
+    val k = Dedup.WinnowK; val w = Dedup.WinnowW
+    def polyH(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
+    def kgrams(text: String): Seq[Long] = {
+      val wh = text.trim.split("\\s+").toSeq.map(polyH)
+      if (wh.length < k) Seq.empty
+      else wh.sliding(k).map(_.foldLeft(0L)((a, h) => (a * Dedup.ShingleBase + h) % P)).toSeq
+    }
+    // the PAPER's winnower: rightmost minimal POSITION per window, selected
+    // (pos, hash) sites deduped, fingerprint set = selected values
+    def winnowJvm(kg: Seq[Long]): Set[Long] =
+      if (kg.isEmpty) Set.empty
+      else if (kg.length < w) Set(kg.min)
+      else (0 to kg.length - w).map { j =>
+        val win = kg.slice(j, j + w)
+        var bi = 0
+        win.indices.foreach(i => if (win(i) <= win(bi)) bi = i)
+        (j + bi, win(bi))
+      }.distinct.map(_._2).toSet
+    val corpus = docs.select(col("doc_id").as("id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(lit("zzz "), col("text")).as("text")))
+    val got = corpus.select(col("id"), Dedup.winnowFingerprints(col("text"), k, w).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) =>
+      val kg = kgrams(t)
+      assert(got(id) === winnowJvm(kg), s"fingerprint set mismatch @id=$id")
+      // density: never more fingerprints than windows, never empty when
+      // k-grams exist, and ≤ ~half the k-grams on real text (expected 2/(w+1))
+      if (kg.nonEmpty) assert(got(id).nonEmpty && got(id).size <= kg.length)
+    }
+    // the winnowing guarantee: a shared token run of ≥ w+k-1 tokens ⇒ ≥ 1
+    // shared fingerprint — the 'zzz'-prefixed clones share all but the first
+    // windows, so every clone pair must surface with high overlap
+    val pairs = Dedup.winnowClonePairs(corpus, "id", "text", k, w, minOverlap = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    (0L until 5L).foreach { i =>
+      val ov = pairs.get((i, i + 100000L))
+      assert(ov.exists(_ >= 0.8), s"clone pair ($i, ${i + 100000L}) overlap=$ov")
+    }
+  }
+
   test("ngram jaccard: prefixed near-dup pairs score high, random pairs filtered") {
     val corpus = docs.where(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
       .unionByName(docs.where(col("doc_id") < 5)
