@@ -453,6 +453,32 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // crawl-dedup URL canonicalization: six deterministic messy variants of
+    // the same logical pages (scheme/host case, www, default port, fragment,
+    // tracking params, param order, trailing slash) normalize to one
+    // canonical key, then dedup by it — (canonical, fetch count, distinct
+    // raw forms, keeper). Oracle replays the construction and every
+    // normalization step in SQL.
+    "q_url_canonical" -> ((s, dir) => {
+      import graft.ops.UrlAnalysis
+      val k = (col("doc_id") % 25).cast("string")
+      val m = col("doc_id") % 6
+      val url = when(m === 0, concat(lit("HTTPS://WWW.Example.org:443/p/"), k, lit("/")))
+        .when(m === 1, concat(lit("https://example.org/p/"), k, lit("?utm_source=x&b=2&a=1")))
+        .when(m === 2, concat(lit("https://example.org/p/"), k, lit("#frag")))
+        .when(m === 3, concat(lit("http://example.org:80/p/"), k))
+        .when(m === 4, concat(lit("https://example.org/p/"), k, lit("?b=2&fbclid=zz&a=1")))
+        .otherwise(concat(lit("https://example.org/p/"), k))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlAnalysis.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy("canon").agg(
+          count(lit(1)).as("n_fetches"),
+          countDistinct(col("url")).as("n_raw_forms"),
+          min(col("doc_id")).as("keeper"))
+        .orderBy("canon")
+    }),
+
     // Fused content-gate summary: all three opt-in content gates (secrets /
     // PII / blocked URLs) evaluated as flag columns in ONE projection over
     // ONE scan of the text, then collapsed by conditional aggregation to a
@@ -1223,6 +1249,39 @@ object QueriesPipeline {
        |FROM k ORDER BY doc_id""".stripMargin
   }
 
+  private val urlCanonicalOracle = {
+    import graft.ops.UrlAnalysis
+    s"""WITH c AS (SELECT doc_id, CASE doc_id % 6
+       |    WHEN 0 THEN 'HTTPS://WWW.Example.org:443/p/' || CAST(doc_id % 25 AS VARCHAR) || '/'
+       |    WHEN 1 THEN 'https://example.org/p/' || CAST(doc_id % 25 AS VARCHAR) || '?utm_source=x&b=2&a=1'
+       |    WHEN 2 THEN 'https://example.org/p/' || CAST(doc_id % 25 AS VARCHAR) || '#frag'
+       |    WHEN 3 THEN 'http://example.org:80/p/' || CAST(doc_id % 25 AS VARCHAR)
+       |    WHEN 4 THEN 'https://example.org/p/' || CAST(doc_id % 25 AS VARCHAR) || '?b=2&fbclid=zz&a=1'
+       |    ELSE 'https://example.org/p/' || CAST(doc_id % 25 AS VARCHAR) END AS url
+       |  FROM documents),
+       | s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nofrag FROM c),
+       | s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base,
+       |   regexp_extract(nofrag, '\\?(.*)$$', 1) AS qs FROM s1),
+       | s3 AS (SELECT *, regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) AS head FROM s2),
+       | s4 AS (SELECT *, substr(base, length(head) + 1) AS pth,
+       |   regexp_replace(lower(head), '^(https?://)www\\.', '\\1') AS h1 FROM s3),
+       | s5 AS (SELECT *,
+       |   CASE WHEN starts_with(h1, 'http://') THEN regexp_replace(h1, ':80$$', '')
+       |        WHEN starts_with(h1, 'https://') THEN regexp_replace(h1, ':443$$', '')
+       |        ELSE h1 END AS h2,
+       |   regexp_replace(pth, '/$$', '') AS p2,
+       |   list_sort(list_filter(string_split(qs, '&'),
+       |     p -> NOT regexp_matches(p, '${UrlAnalysis.TrackingParamRe}') AND p != '')) AS ps
+       |   FROM s4),
+       | s6 AS (SELECT doc_id, url, h2 || p2 ||
+       |   CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon
+       |   FROM s5)
+       |SELECT canon, CAST(count(*) AS BIGINT) AS n_fetches,
+       |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       |  min(doc_id) AS keeper
+       |FROM s6 GROUP BY canon ORDER BY canon""".stripMargin
+  }
+
   private val piiRedactOracle = {
     import graft.ops.PiiScan
     val countCols = PiiScan.Detectors.map { case (k, re, _) =>
@@ -1379,6 +1438,7 @@ object QueriesPipeline {
     "q_secret_scan" -> secretScanOracle,
     "q_pii_redact" -> piiRedactOracle,
     "q_url_filter" -> urlFilterOracle,
+    "q_url_canonical" -> urlCanonicalOracle,
     "q_stratified_sample" -> stratifiedOracle,
     "q_contamination" -> contaminationOracle,
     "q_seq_packing" -> packingOracle,

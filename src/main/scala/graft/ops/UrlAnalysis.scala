@@ -58,4 +58,47 @@ object UrlAnalysis {
     df.select(col(idCol), explode(domainsOf(col(textCol))).as("domain"))
       .join(blocklist, "domain")
       .select(idCol).distinct()
+
+  /** Tracking query parameters dropped by canonicalization (anchored key
+    * match; `=`-or-end so a bare `fbclid` flag drops too). Java regex ==
+    * RE2, shared verbatim with the SQL oracle.
+    */
+  val TrackingParamRe: String = "^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)"
+
+  /** Canonical form of a URL — the normalization pass a crawl dedup runs
+    * before hashing, so the same page fetched as
+    * `HTTPS://WWW.Example.org:443/p/1/?utm_source=x&b=2&a=1#frag` and
+    * `https://example.org/p/1?a=1&b=2` dedups to one key:
+    *
+    *   1. fragment dropped,
+    *   2. scheme + authority lowercased (path case PRESERVED — paths are
+    *      case-sensitive; hosts are not, RFC 3986 §6.2.2.1),
+    *   3. leading `www.` stripped, default ports (`:80` http, `:443` https)
+    *      stripped (RFC 3986 §6.2.3),
+    *   4. one trailing slash stripped,
+    *   5. tracking params ([[TrackingParamRe]]) dropped, survivors SORTED
+    *      (param order never distinguishes pages server-side in practice —
+    *      the standard crawl-dedup normalization).
+    *
+    * Pure per-row Column chain (regexp + higher-order array ops): zero
+    * shuffle, null-safe (null URL → null canonical). Dedup by the result is
+    * one hash groupBy — the same scale shape as [[Dedup.dropExactDups]].
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val base = substring_index(noFrag, "?", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1) // "" when no query
+    val head = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    val path = base.substr(length(head) + 1, length(base))
+    val hostLc = regexp_replace(lower(head), "^(https?://)www\\.", "$1")
+    val hostNp = when(hostLc.startsWith("http://"), regexp_replace(hostLc, ":80$", ""))
+      .when(hostLc.startsWith("https://"), regexp_replace(hostLc, ":443$", ""))
+      .otherwise(hostLc)
+    val pathNs = regexp_replace(path, "/$", "")
+    val params = array_sort(filter(split(query, "&"),
+      p => !p.rlike(TrackingParamRe) && p =!= ""))
+    concat(hostNp, pathNs,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
 }

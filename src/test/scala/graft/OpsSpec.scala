@@ -609,6 +609,40 @@ class OpsSpec extends SparkSpec {
     assert(joined === Set(3L, 4L))
   }
 
+  test("url canonicalization: hand cases, idempotence, case/port/param rules") {
+    import spark.implicits._
+    val cases = Seq(
+      // every rule at once
+      "HTTPS://WWW.Example.org:443/p/1/?utm_source=x&b=2&a=1#frag" ->
+        "https://example.org/p/1?a=1&b=2",
+      // param order never matters; bare tracking flag drops
+      "https://example.org/p/1?b=2&fbclid&a=1" -> "https://example.org/p/1?a=1&b=2",
+      // path case preserved, host case folded
+      "http://EXAMPLE.org/CaseSensitive/Path" -> "http://example.org/CaseSensitive/Path",
+      // non-default port survives; default port for the OTHER scheme survives
+      "https://example.org:8443/x" -> "https://example.org:8443/x",
+      "https://example.org:80/x" -> "https://example.org:80/x",
+      "http://example.org:443/x" -> "http://example.org:443/x",
+      // host-only URLs, with and without the slash, converge
+      "https://example.org/" -> "https://example.org",
+      "https://example.org" -> "https://example.org",
+      // all params tracking → no '?' at all
+      "https://example.org/p?utm_source=a&utm_medium=b" -> "https://example.org/p",
+      // 'ref' is tracking; 'referrer' is NOT (anchored key match)
+      "https://example.org/p?ref=x&referrer=y" -> "https://example.org/p?referrer=y")
+    val got = cases.map(_._1).toDF("url")
+      .select(UrlAnalysis.canonicalizeUrl(col("url"))).as[String].collect()
+    got.zip(cases).foreach { case (g, (in, exp)) => assert(g === exp, s"input=$in") }
+    // idempotence: canonicalizing a canonical form is the identity
+    val twice = cases.map(_._2).toDF("url")
+      .select(UrlAnalysis.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(twice.toSeq === cases.map(_._2))
+    // null-safe
+    val nul = Seq(Option.empty[String]).toDF("url")
+      .select(UrlAnalysis.canonicalizeUrl(col("url"))).collect()
+    assert(nul.head.isNullAt(0))
+  }
+
   test("content gates compile as rule-plane predicates (NoPii / NoBlockedUrls)") {
     import graft.core.{NoBlockedUrls, NoPii, RowRule}
     val df = Seq(
