@@ -175,6 +175,31 @@ class PlanSpec extends SparkSpec {
     assert(!p2.contains("Exchange"), s"secret scan shuffles:\n$p2")
   }
 
+  test("winnowing and url canonicalization are shuffle-free pruned projections") {
+    // fingerprinting itself must be per-row: the only exchanges in the
+    // clone-pair plan belong to the (fp) index aggregations/joins, never to
+    // the text column
+    val fp = df.select(col("path"),
+      graft.ops.Dedup.winnowFingerprints(col("content")).as("fps"))
+    val p1 = plan(fp)
+    assert(!p1.contains("Exchange"), s"fingerprinting shuffles:\n$p1")
+    val rs1 = p1.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(rs1.contains("path") && rs1.contains("content") && !rs1.contains("lang"),
+      s"fingerprinting reads more than (path, content): $rs1")
+    val canon = df.select(col("path"),
+      graft.ops.UrlAnalysis.canonicalizeUrl(col("path")).as("c"))
+    val p2 = plan(canon)
+    assert(!p2.contains("Exchange"), s"canonicalization shuffles:\n$p2")
+    // the clone-pair join must key on the fingerprint, never rejoin text:
+    // every ReadSchema in the pair plan is (id, text)-projected at the scan
+    // and no sort-merge/broadcast key mentions the text column
+    val pairs = graft.ops.Dedup.winnowClonePairs(df, "path", "content")
+    val p3 = plan(pairs)
+    val joinLines = p3.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).mkString
+    assert(!joinLines.contains("content"), s"a pair join keys on text:\n$joinLines")
+  }
+
   test("incremental dedup: thin candidate pass is pruned to the key, wide pass never shuffles") {
     import graft.ops.IncrementalDedup
     val blessed = df.select(col("content_sha256").as("key"))
