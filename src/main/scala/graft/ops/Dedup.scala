@@ -280,6 +280,19 @@ object Dedup {
       .select("id_a", "id_b", "shared", "overlap")
   }
 
+  /** Bloom filter over a blessed corpus's winnowed fingerprints — the index
+    * the stateless streaming clone gate
+    * ([[graft.streaming.StreamValidate.cloneGateStream]]) ships as a plan
+    * literal. Size `expectedItems` for the fingerprint count (~2/(w+1) of
+    * the corpus's k-grams), not the doc count.
+    */
+  def fingerprintBloom(blessed: DataFrame, textCol: String,
+                       expectedItems: Long, fpp: Double = 0.01,
+                       k: Int = WinnowK, w: Int = WinnowW): Array[Byte] =
+    IncrementalDedup.buildBloom(
+      blessed.select(explode(winnowFingerprints(col(textCol), k, w)).as("fp")),
+      "fp", expectedItems, fpp)
+
   /** MinHash parameters: numHashes affine permutations (a_j h + b_j) mod P.
     * Deterministic constants shared with the SQL mirror.
     */

@@ -84,6 +84,39 @@ object StreamValidate {
     definiteNew.unionByName(confirmedNew)
   }
 
+  /** Stateless streaming CLONE GATE — the streaming face of
+    * [[graft.ops.Dedup.winnowClonePairs]] against a blessed corpus: each
+    * arriving document winnow-fingerprints inside the executor (per-row, no
+    * state), counts how many of its fingerprints the blessed
+    * fingerprint-index bloom ([[graft.ops.Dedup.fingerprintBloom]]) knows,
+    * and flags the row when that known fraction reaches `minOverlap` —
+    * "this incoming file is (mostly) something we already ship".
+    *
+    * The bloom ships as a literal inside one projection (the same
+    * trust model as [[incrementalNewRowsStream]]): zero joins, zero state
+    * store, plain append mode. Error is ONE-SIDED: a bloom false positive
+    * can only RAISE the measured overlap, so the gate over-flags by
+    * ≤ fpp·|fps| in expectation and never misses a true clone — the
+    * winnowing (w+k-1)-token guarantee survives the sketch. Flagged rows
+    * route to review or to the exact batch pair op. The fingerprint array
+    * is bound once per row (no HOF re-evaluation) and dropped before
+    * return; docs too short to fingerprint report overlap 0.
+    */
+  def cloneGateStream(stream: DataFrame, textCol: String, bloom: Array[Byte],
+                      minOverlap: Double = 0.5,
+                      k: Int = graft.ops.Dedup.WinnowK,
+                      w: Int = graft.ops.Dedup.WinnowW): DataFrame =
+    stream
+      .withColumn("__fps", graft.ops.Dedup.winnowFingerprints(col(textCol), k, w))
+      .withColumn("n_fp", size(col("__fps")).cast("long"))
+      .withColumn("shared", size(filter(col("__fps"), f =>
+        graft.ops.IncrementalDedup.mightContain(bloom, f))).cast("long"))
+      .drop("__fps")
+      .withColumn("overlap",
+        when(col("n_fp") > 0, round(col("shared").cast("double") / col("n_fp"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("is_clone", col("overlap") >= minOverlap)
+
   /** Sentinel standing in for the null category so the baseline join keys
     * on it (SQL joins never match null = null; the batch histogram keys on
     * Option and matches None = None).

@@ -111,6 +111,41 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming clone gate: winnow fingerprints vs blessed bloom, clones flagged statelessly") {
+    import graft.ops.Dedup
+    implicit val sq = spark.sqlContext
+    val body = (1 to 30).map(i => s"token$i").mkString(" ")
+    val blessed = Seq((1L, s"shipped module alpha $body"),
+      (2L, s"shipped module beta $body end")).toDF("doc_id", "text")
+    val bloom = Dedup.fingerprintBloom(blessed, "text", expectedItems = 1000L)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamValidate.cloneGateStream(mem.toDF().toDF("doc_id", "text"), "text", bloom)
+      .writeStream.format("memory").queryName("clonegate").outputMode("append").start()
+    val incoming = Seq(
+      (10L, s"shipped module alpha $body"),                  // exact clone
+      (11L, s"prefix changed here but then $body trailing"), // shares the body run
+      (12L, (1 to 40).map(i => s"fresh$i").mkString(" ")),   // all-new
+      (13L, "too short"))                                    // < k words → no fps
+    mem.addData(incoming: _*)
+    q.processAllAvailable()
+    val got = spark.table("clonegate")
+      .select("doc_id", "n_fp", "shared", "overlap", "is_clone")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // streaming == batch recompute with the SAME bloom (exact equality —
+    // both faces share the literal, so fpp noise cancels)
+    val batch = StreamValidate.cloneGateStream(incoming.toDF("doc_id", "text"), "text", bloom)
+      .select("doc_id", "n_fp", "shared", "overlap", "is_clone")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(got === batch)
+    assert(got(10L)._4, s"exact clone not flagged: ${got(10L)}")
+    assert(got(11L)._4, s"shared-body doc not flagged: ${got(11L)}")
+    assert(!got(12L)._4 && got(12L)._3 < 0.5, s"fresh doc flagged: ${got(12L)}")
+    assert(got(13L) === ((0L, 0L, 0.0, false)), s"short doc: ${got(13L)}")
+    q.stop()
+  }
+
   test("streaming perplexity gate: map-literal vocab scores rows statelessly, equals batch") {
     import graft.ops.TextAnalysis
     implicit val sq = spark.sqlContext
