@@ -192,6 +192,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowing == JVM winnower and url canonicalization is idempotent on random inputs") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, UrlAnalysis}
+    import graft.ops.TextAnalysis.P
+    val k = Dedup.WinnowK; val w = Dedup.WinnowW
+    // random token streams incl. degenerate shapes: empty, 1 word, k-1
+    // words, exactly w+k-1 (one window), heavy repetition (tie-break soak)
+    val tokGen = Gen.frequency(
+      (6, Gen.oneOf("aa", "bb", "cc", "dd", "x1", "y2")), // collisions likely
+      (3, Gen.alphaNumStr.map(_.take(6))),
+      (1, Gen.const("語")))
+    val textGen: Gen[String] = Gen.frequency(
+      (8, Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))),
+      (1, Gen.const("")),
+      (1, Gen.const(null: String)))
+    def polyH(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
+    // JVM mirror — note words("") = [""] on the Spark side too (split of an
+    // empty trim yields one empty token, polyHash("") = 0), so the mirror
+    // keeps empty tokens rather than filtering them
+    def winnowJvm(t: String): Set[Long] = {
+      val wh = Option(t).map(_.trim.split("\\s+", -1).toSeq).getOrElse(Nil).map(polyH)
+      val kg = if (wh.length < k) Seq.empty[Long]
+      else wh.sliding(k).map(_.foldLeft(0L)((a, h) => (a * Dedup.ShingleBase + h) % P)).toSeq
+      if (kg.isEmpty) Set.empty[Long]
+      else if (kg.length < w) Set(kg.min)
+      else (0 to kg.length - w).map(j => kg.slice(j, j + w).min).toSet
+    }
+    val rows = (0 until 400).map(i => (i.toLong, sample(textGen, 101L + i)))
+    val got = rows.toDF("id", "t")
+      .select(col("id"), Dedup.winnowFingerprints(col("t"), k, w).as("fps"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) Set.empty[Long] else r.getSeq[Long](1).toSet)).toMap
+    rows.foreach { case (id, t) =>
+      assert(got(id) === winnowJvm(t), s"winnow mismatch @id=$id text=${Option(t)}")
+    }
+    // canonicalization: idempotent on arbitrary URL-ish strings (fixpoint
+    // after ONE application), case-folded head, no tracking params survive
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("example.org", "Sub.Example.ORG", "a.b")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/P/x", "/p/x/", "/p%20q")
+      q <- Gen.oneOf("", "?a=1", "?utm_source=t&a=1", "?b=2&a=1&gclid=g", "?ref")
+      frag <- Gen.oneOf("", "#f", "#a/b?c=1")
+    } yield s"$scheme://$www$host$port$path$q$frag"
+    val urls = (0 until 300).map(i => sample(urlGen, 31L + i))
+    val once = urls.toDF("u").select(UrlAnalysis.canonicalizeUrl(col("u"))).as[String].collect()
+    val twice = once.toSeq.toDF("u").select(UrlAnalysis.canonicalizeUrl(col("u"))).as[String].collect()
+    once.zip(twice).zip(urls).foreach { case ((c1, c2), raw) =>
+      assert(c1 === c2, s"not idempotent: $raw -> $c1 -> $c2")
+      assert(!c1.contains("#") && !c1.contains("utm_") && !c1.contains("gclid"),
+        s"tracking/fragment survived: $raw -> $c1")
+      val head = c1.takeWhile(_ != '/')
+      assert(head === head.toLowerCase, s"scheme not folded: $c1")
+    }
+  }
+
   test("salted duplicate detection == naive groupBy (10 random skewed tables)") {
     val keyGen = Gen.frequency((8, Gen.const("hot")), (3, Gen.oneOf("a", "b", "c")),
       (2, Gen.alphaNumStr.map(_.take(4))))
