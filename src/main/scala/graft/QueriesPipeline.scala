@@ -1264,12 +1264,12 @@ object QueriesPipeline {
        |   regexp_extract(nofrag, '\\?(.*)$$', 1) AS qs FROM s1),
        | s3 AS (SELECT *, regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) AS head FROM s2),
        | s4 AS (SELECT *, substr(base, length(head) + 1) AS pth,
-       |   regexp_replace(lower(head), '^(https?://)www\\.', '\\1') AS h1 FROM s3),
+       |   regexp_replace(lower(head), '^(https?://)(www\\.)+', '\\1') AS h1 FROM s3),
        | s5 AS (SELECT *,
        |   CASE WHEN starts_with(h1, 'http://') THEN regexp_replace(h1, ':80$$', '')
        |        WHEN starts_with(h1, 'https://') THEN regexp_replace(h1, ':443$$', '')
        |        ELSE h1 END AS h2,
-       |   regexp_replace(pth, '/$$', '') AS p2,
+       |   regexp_replace(pth, '/+$$', '') AS p2,
        |   list_sort(list_filter(string_split(qs, '&'),
        |     p -> NOT regexp_matches(p, '${UrlAnalysis.TrackingParamRe}') AND p != '')) AS ps
        |   FROM s4),

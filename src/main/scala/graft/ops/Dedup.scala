@@ -93,26 +93,38 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJ: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val shAll = df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("sh"))
+    val index = df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("key"))
       .distinct()
-    val rare = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("sh")
-    // consumed three times (sizes + both self-join sides); the identical
-    // exchanges are deduplicated by Catalyst ReuseExchange, no persist needed
-    val sh = shAll.join(rare, Seq("sh"), "left_semi")
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    indexPairs(index, maxDf)
       .withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")), 6))
+        round(col("shared").cast("double") /
+          (col("sz_a") + col("sz_b") - col("shared")), 6))
       .where(col("jaccard") >= minJ)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Shared inverted-index pair scaffold for the set-similarity ops: a
+    * DISTINCT (id, key) index → document-frequency cutoff (the scale guard
+    * documented at [[jaccardPairs]]: a key in d docs emits d² join rows) →
+    * per-doc rare-key sizes → `a.id < b.id` self-join on the key →
+    * `(id_a, id_b, shared, sz_a, sz_b)`. Both [[jaccardPairs]] and
+    * [[winnowClonePairs]] build on it; only the score formula differs.
+    * The rare index is consumed three times (sizes + both self-join sides);
+    * the identical exchanges are deduplicated by Catalyst ReuseExchange, no
+    * persist needed.
+    */
+  private def indexPairs(index: DataFrame, maxDf: Int): DataFrame = {
+    val rare = index.groupBy("key").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("key")
+    val keyed = index.join(rare, Seq("key"), "left_semi")
+    val sizes = keyed.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = keyed.as("a").join(keyed.as("b"),
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
   }
 
   /** Substring-level duplicate-SPAN statistics — the window-dedup shape of
@@ -242,38 +254,25 @@ object Dedup {
           .otherwise(array().cast("array<bigint>")))
     }
 
-  /** MOSS-style clone pairs from winnowed fingerprints: explode the (already
-    * distinct) fingerprint set, document-frequency cutoff (the same
-    * stop-shingle guard as [[jaccardPairs]] — a fingerprint shared by d docs
-    * emits d² join rows), self-join on the fingerprint, then score each pair
-    * by the OVERLAP COEFFICIENT |∩| / min(|A|,|B|) — the clone-detection
-    * convention (a small file pasted whole into a big one scores 1.0 where
-    * Jaccard dilutes it). Sizes count rare fingerprints only, mirroring the
-    * cutoff on both sides of the ratio.
+  /** MOSS-style clone pairs from winnowed fingerprints — the
+    * [[indexPairs]] scaffold over the (already distinct) fingerprint sets,
+    * scored by the OVERLAP COEFFICIENT |∩| / min(|A|,|B|) — the
+    * clone-detection convention (a small file pasted whole into a big one
+    * scores 1.0 where Jaccard dilutes it). Sizes count rare fingerprints
+    * only, mirroring the df cutoff on both sides of the ratio.
     *
     * Scale shape: fingerprinting is per-row (zero shuffle on text); the
     * inverted index the join shuffles is ~2/(w+1) of the full shingle
     * volume — the winnowing paper's point is precisely that the index a
     * clone detector materializes is (w+1)/2× smaller at a guaranteed
-    * detection floor. The three consumers of the rare-fingerprint set
-    * (sizes + both self-join sides) share one exchange via ReuseExchange.
+    * detection floor.
     */
   def winnowClonePairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = WinnowK, w: Int = WinnowW,
                        minOverlap: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val fpAll = df.select(col(idCol).as("id"),
-      explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
-    val rare = fpAll.groupBy("fp").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("fp")
-    val fps = fpAll.join(rare, Seq("fp"), "left_semi")
-    val sizes = fps.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = fps.as("a").join(fps.as("b"),
-        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    val index = df.select(col(idCol).as("id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("key"))
+    indexPairs(index, maxDf)
       .withColumn("overlap", round(col("shared").cast("double") /
         least(col("sz_a"), col("sz_b")), 6))
       .where(col("overlap") >= minOverlap)

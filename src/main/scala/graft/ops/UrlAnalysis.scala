@@ -73,9 +73,11 @@ object UrlAnalysis {
     *   1. fragment dropped,
     *   2. scheme + authority lowercased (path case PRESERVED — paths are
     *      case-sensitive; hosts are not, RFC 3986 §6.2.2.1),
-    *   3. leading `www.` stripped, default ports (`:80` http, `:443` https)
-    *      stripped (RFC 3986 §6.2.3),
-    *   4. one trailing slash stripped,
+    *   3. leading `www.` run stripped (every repetition — a single-strip
+    *      would break idempotence on `www.www.` hosts), default ports
+    *      (`:80` http, `:443` https) stripped (RFC 3986 §6.2.3),
+    *   4. the trailing slash RUN stripped (all of it, same idempotence
+    *      argument for `/p//`),
     *   5. tracking params ([[TrackingParamRe]]) dropped, survivors SORTED
     *      (param order never distinguishes pages server-side in practice —
     *      the standard crawl-dedup normalization).
@@ -90,11 +92,11 @@ object UrlAnalysis {
     val query = regexp_extract(noFrag, "\\?(.*)$", 1) // "" when no query
     val head = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
     val path = base.substr(length(head) + 1, length(base))
-    val hostLc = regexp_replace(lower(head), "^(https?://)www\\.", "$1")
+    val hostLc = regexp_replace(lower(head), "^(https?://)(www\\.)+", "$1")
     val hostNp = when(hostLc.startsWith("http://"), regexp_replace(hostLc, ":80$", ""))
       .when(hostLc.startsWith("https://"), regexp_replace(hostLc, ":443$", ""))
       .otherwise(hostLc)
-    val pathNs = regexp_replace(path, "/$", "")
+    val pathNs = regexp_replace(path, "/+$", "")
     val params = array_sort(filter(split(query, "&"),
       p => !p.rlike(TrackingParamRe) && p =!= ""))
     concat(hostNp, pathNs,

@@ -92,12 +92,21 @@ object StreamValidate {
     * and flags the row when that known fraction reaches `minOverlap` —
     * "this incoming file is (mostly) something we already ship".
     *
+    * Semantics note: the score is CONTAINMENT OF THE INCOMING DOC
+    * (shared / n_fp_incoming), not the batch op's |∩|/min(|A|,|B|) — the
+    * min-denominator needs the matched blessed doc's size, which a
+    * joinless gate cannot know. Consequence: a small blessed file embedded
+    * in a much larger new document scores ≈ |blessed|/|incoming| and slips
+    * under `minOverlap`; the exact batch pair op is the face that catches
+    * that class (and the `shared` column is exposed so callers can ALSO
+    * gate on an absolute count when embedding matters).
+    *
     * The bloom ships as a literal inside one projection (the same
     * trust model as [[incrementalNewRowsStream]]): zero joins, zero state
-    * store, plain append mode. Error is ONE-SIDED: a bloom false positive
-    * can only RAISE the measured overlap, so the gate over-flags by
-    * ≤ fpp·|fps| in expectation and never misses a true clone — the
-    * winnowing (w+k-1)-token guarantee survives the sketch. Flagged rows
+    * store, plain append mode. The SKETCH error is one-sided: a bloom
+    * false positive can only RAISE the measured overlap, so relative to
+    * the same containment score computed exactly the gate over-flags by
+    * ≤ fpp·|fps| in expectation and never under-reports. Flagged rows
     * route to review or to the exact batch pair op. The fingerprint array
     * is bound once per row (no HOF re-evaluation) and dropped before
     * return; docs too short to fingerprint report overlap 0.

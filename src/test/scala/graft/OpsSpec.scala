@@ -57,7 +57,10 @@ class OpsSpec extends SparkSpec {
     val k = Dedup.WinnowK; val w = Dedup.WinnowW
     def polyH(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
     def kgrams(text: String): Seq[Long] = {
-      val wh = text.trim.split("\\s+").toSeq.map(polyH)
+      // Spark-faithful tokenization: trim() strips SPACES only (not \t/\n
+      // like String.trim), split keeps trailing empty tokens, null → none
+      val wh = Option(text).map(_.replaceAll("^ +| +$", "").split("\\s+", -1).toSeq)
+        .getOrElse(Nil).map(polyH)
       if (wh.length < k) Seq.empty
       else wh.sliding(k).map(_.foldLeft(0L)((a, h) => (a * Dedup.ShingleBase + h) % P)).toSeq
     }
@@ -626,6 +629,10 @@ class OpsSpec extends SparkSpec {
       // host-only URLs, with and without the slash, converge
       "https://example.org/" -> "https://example.org",
       "https://example.org" -> "https://example.org",
+      // the whole trailing-slash RUN and the whole www. RUN strip (a
+      // single-strip would break the idempotence property on these)
+      "https://example.org/p//" -> "https://example.org/p",
+      "https://www.www.example.org/x" -> "https://example.org/x",
       // all params tracking → no '?' at all
       "https://example.org/p?utm_source=a&utm_medium=b" -> "https://example.org/p",
       // 'ref' is tracking; 'referrer' is NOT (anchored key match)

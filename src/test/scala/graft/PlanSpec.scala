@@ -198,6 +198,9 @@ class PlanSpec extends SparkSpec {
     val joinLines = p3.linesIterator.filter(l =>
       l.contains("HashJoin") || l.contains("SortMergeJoin")).mkString
     assert(!joinLines.contains("content"), s"a pair join keys on text:\n$joinLines")
+    val rs3 = p3.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!rs3.contains("lang") && !rs3.contains("repo") && !rs3.contains("commit"),
+      s"pair-plan scans read more than (id, text): $rs3")
   }
 
   test("incremental dedup: thin candidate pass is pruned to the key, wide pass never shuffles") {

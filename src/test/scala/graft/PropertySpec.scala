@@ -206,13 +206,16 @@ class PropertySpec extends SparkSpec {
     val textGen: Gen[String] = Gen.frequency(
       (8, Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))),
       (1, Gen.const("")),
+      (1, Gen.const("\taa bb cc dd ee")), // tab edge: Spark trim keeps it
+      (1, Gen.const("aa bb cc dd ee\n")), // newline edge: trailing "" token
       (1, Gen.const(null: String)))
     def polyH(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
-    // JVM mirror — note words("") = [""] on the Spark side too (split of an
-    // empty trim yields one empty token, polyHash("") = 0), so the mirror
-    // keeps empty tokens rather than filtering them
+    // JVM mirror — Spark-faithful: trim() strips SPACES only (not \t/\n
+    // like String.trim), words("") = [""] (split of an empty trim yields
+    // one empty token, polyHash("") = 0), trailing empty tokens kept
     def winnowJvm(t: String): Set[Long] = {
-      val wh = Option(t).map(_.trim.split("\\s+", -1).toSeq).getOrElse(Nil).map(polyH)
+      val wh = Option(t).map(_.replaceAll("^ +| +$", "").split("\\s+", -1).toSeq)
+        .getOrElse(Nil).map(polyH)
       val kg = if (wh.length < k) Seq.empty[Long]
       else wh.sliding(k).map(_.foldLeft(0L)((a, h) => (a * Dedup.ShingleBase + h) % P)).toSeq
       if (kg.isEmpty) Set.empty[Long]
@@ -231,10 +234,10 @@ class PropertySpec extends SparkSpec {
     // after ONE application), case-folded head, no tracking params survive
     val urlGen: Gen[String] = for {
       scheme <- Gen.oneOf("http", "HTTPS", "https")
-      www <- Gen.oneOf("", "www.", "WWW.")
+      www <- Gen.oneOf("", "www.", "WWW.", "www.www.")
       host <- Gen.oneOf("example.org", "Sub.Example.ORG", "a.b")
       port <- Gen.oneOf("", ":80", ":443", ":8080")
-      path <- Gen.oneOf("", "/", "/P/x", "/p/x/", "/p%20q")
+      path <- Gen.oneOf("", "/", "/P/x", "/p/x/", "/p/x//", "/p%20q")
       q <- Gen.oneOf("", "?a=1", "?utm_source=t&a=1", "?b=2&a=1&gclid=g", "?ref")
       frag <- Gen.oneOf("", "#f", "#a/b?c=1")
     } yield s"$scheme://$www$host$port$path$q$frag"
