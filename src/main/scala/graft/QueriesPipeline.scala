@@ -156,6 +156,32 @@ object QueriesPipeline {
       Dedup.winnowClonePairs(nearDupCorpus(s, dir), "id", "text")
         .orderBy("id_a", "id_b")),
 
+    // cross-source clone rollup: winnow clone pairs lifted to the (source,
+    // source) level — "which repos copy from which" (the code-provenance
+    // audit a license-compliance pass runs). Clones plant under a shadow
+    // 'srcclone' source so cross-source pairs exist deterministically; pair
+    // order normalizes via least/greatest so the matrix is upper-triangular.
+    // Same scale shape as the pair op plus two thin id-equi-joins and one
+    // partial-aggregated groupBy on the (source, source) key.
+    "q_clone_rollup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val corpus = d.select(col("doc_id").as("id"), col("text"), col("source"))
+        .unionByName(d.where(col("doc_id") < 20)
+          .select((col("doc_id") + 100000L).as("id"),
+            concat(lit("zzz "), col("text")).as("text"),
+            lit("srcclone").as("source")))
+      val src = corpus.select(col("id"), col("source"))
+      Dedup.winnowClonePairs(corpus, "id", "text")
+        .join(src.select(col("id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("overlap"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(max(col("overlap")), 6).as("max_overlap"))
+        .orderBy("source_a", "source_b")
+    }),
+
     // dedup: candidate pairs → transitive clusters with a canonical keeper
     // (min id per connected component); oracle recomputes components with a
     // recursive CTE over the identical pair list
@@ -841,12 +867,16 @@ object QueriesPipeline {
     * ShingleBase) — per-window selection is list_min over the k-gram slice
     * (the rightmost-min tie-break never changes the selected VALUE).
     */
-  private val winnowClonesOracle = {
+  /** Winnow chain over a preceding `corpus(id, text, …)` CTE, ending in
+    * `wpairs(id_a, id_b, shared, overlap)` at minOverlap 0.5 — shared by
+    * the pair oracle and the cross-source rollup oracle. Only (id, text)
+    * are consumed; extra corpus columns pass through untouched.
+    */
+  private def winnowPairCtes: String = {
     val B = Dedup.ShingleBase
     val k = Dedup.WinnowK; val w = Dedup.WinnowW
     val fold = (2 to k).foldLeft("whl[i+1]")((acc, kk) => s"($acc * $B + whl[i+$kk]) % $P")
-    s"""WITH $corpusCte,
-       | w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
+    s"""w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
        | whc AS (SELECT id, list_transform(ws, tok -> ${sqlHash("tok", "ci")}) AS whl FROM w),
        | kgl AS (SELECT id, CASE WHEN len(whl) >= $k
        |   THEN list_transform(generate_series(0, len(whl) - $k), i -> $fold)
@@ -862,13 +892,31 @@ object QueriesPipeline {
        | sz AS (SELECT id, count(*) AS n FROM fpr GROUP BY id),
        | inter AS (SELECT a.id AS id_a, b.id AS id_b,
        |     CAST(count(*) AS BIGINT) AS shared
-       |   FROM fpr a JOIN fpr b ON a.f = b.f AND a.id < b.id GROUP BY 1, 2)
-       |SELECT id_a, id_b, shared,
-       |  round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
-       |FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
-       |WHERE round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |   FROM fpr a JOIN fpr b ON a.f = b.f AND a.id < b.id GROUP BY 1, 2),
+       | wpairs AS (SELECT id_a, id_b, shared,
+       |     round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
+       |   FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+       |   WHERE round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.5)""".stripMargin
   }
+
+  private val winnowClonesOracle =
+    s"""WITH $corpusCte,
+       | $winnowPairCtes
+       |SELECT id_a, id_b, shared, overlap FROM wpairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val cloneRollupOracle =
+    s"""WITH corpus AS (SELECT doc_id AS id, text, source FROM documents
+       |   UNION ALL SELECT doc_id + 100000, 'zzz ' || text, 'srcclone'
+       |   FROM documents WHERE doc_id < 20),
+       | $winnowPairCtes,
+       | lab AS (SELECT least(sa.source, sb.source) AS source_a,
+       |     greatest(sa.source, sb.source) AS source_b, overlap
+       |   FROM wpairs JOIN corpus sa ON sa.id = id_a
+       |     JOIN corpus sb ON sb.id = id_b)
+       |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(max(overlap), 6) AS max_overlap
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val minhashSigOracle =
     s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 30),
@@ -1451,6 +1499,7 @@ object QueriesPipeline {
     "q_training_pipeline" -> trainingPipelineOracle,
     "q_dup_spans" -> dupSpansOracle,
     "q_winnow_clones" -> winnowClonesOracle,
+    "q_clone_rollup" -> cloneRollupOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
