@@ -270,8 +270,13 @@ object Dedup {
   def winnowClonePairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = WinnowK, w: Int = WinnowW,
                        minOverlap: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val index = df.select(col(idCol).as("id"),
-      explode(winnowFingerprints(col(textCol), k, w)).as("key"))
+    // barrier, unlike jaccardPairs: that index ends in distinct(), whose
+    // exchange ReuseExchange dedups across the scaffold's consumers; this
+    // one is map-only (fingerprint sets are distinct per doc already), so
+    // without a barrier the corpus would re-fingerprint once per consumer
+    // (measured 3× on the probe). The barrier rows are thin (id, int64).
+    val index = barrier(df.select(col(idCol).as("id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("key")))
     indexPairs(index, maxDf)
       .withColumn("overlap", round(col("shared").cast("double") /
         least(col("sz_a"), col("sz_b")), 6))

@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.ops.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: where q_winnow_clones spends its time — the per-row
+  * fingerprinting (interpreted higher-order lambdas) vs the pair joins.
+  * Usage: WinnowProbe <cores> <sfDir>
+  */
+object WinnowProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val sfDir = args(1)
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val corpus = d.select(col("doc_id").as("id"), col("text"))
+      .unionByName(d.where(col("doc_id") < 20)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(lit("zzz "), col("text")).as("text")))
+      .localCheckpoint()
+    def t(name: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[winnow $cores] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2fs ($r)")
+    }
+    for (r <- 1 to 3) {
+      println(s"[winnow $cores] --- round $r ---")
+      t("baseline-length") { corpus.select(sum(length(col("text")))).collect()(0).getLong(0) }
+      t("word-hashes") { corpus.select(explode(Dedup.wordHashes(col("text"))).as("h"))
+        .select(sum(col("h"))).collect()(0).getLong(0) }
+      t("kgram-hashes") { corpus.select(explode(Dedup.shingleHashes(col("text"), Dedup.WinnowK)).as("h"))
+        .select(sum(col("h"))).collect()(0).getLong(0) }
+      t("fingerprints") { corpus.select(explode(
+          Dedup.winnowFingerprints(col("text"))).as("f"))
+        .select(sum(col("f"))).collect()(0).getLong(0) }
+      t("full-pairs") { Dedup.winnowClonePairs(corpus, "id", "text").count() }
+    }
+    spark.stop()
+  }
+}
