@@ -156,6 +156,26 @@ object QueriesPipeline {
       Dedup.winnowClonePairs(nearDupCorpus(s, dir), "id", "text")
         .orderBy("id_a", "id_b")),
 
+    // clone GATE, exact batch face: containment of each incoming doc's
+    // winnowed fingerprints in the blessed corpus's fingerprint set — the
+    // join-based score the streaming bloom gate approximates. Blessed =
+    // even docs; incoming = clones of blessed (near-1 containment) ∪ odd
+    // docs (near-0); flag at 0.5. Oracle replays both fingerprint chains
+    // and the set membership.
+    "q_clone_gate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val blessed = d.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("id"), col("text"))
+      val incoming = d.where(col("doc_id") < 20 && col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 100000L).as("id"),
+          concat(lit("zzz "), col("text")).as("text"))
+        .unionByName(d.where(col("doc_id") % 2 === 1)
+          .select(col("doc_id").as("id"), col("text")))
+      Dedup.winnowContainment(incoming, blessed, "id", "text")
+        .withColumn("is_clone", when(col("overlap") >= 0.5, 1L).otherwise(0L))
+        .orderBy("id")
+    }),
+
     // cross-source clone rollup: winnow clone pairs lifted to the (source,
     // source) level — "which repos copy from which" (the code-provenance
     // audit a license-compliance pass runs). Clones plant under a shadow
@@ -867,25 +887,34 @@ object QueriesPipeline {
     * ShingleBase) — per-window selection is list_min over the k-gram slice
     * (the rightmost-min tie-break never changes the selected VALUE).
     */
+  /** k-gram → winnowed-fingerprint CTE chain over `$src(id, text, …)`,
+    * ending in `$out(id, fps)`. Intermediate CTE names (and the hash
+    * lambda's char variable) are prefixed with `$out` so two chains can
+    * coexist in one query (blessed + incoming in the gate oracle).
+    */
+  private def winnowFpCtes(src: String, out: String): String = {
+    val B = Dedup.ShingleBase
+    val k = Dedup.WinnowK; val w = Dedup.WinnowW
+    val fold = (2 to k).foldLeft("whl[i+1]")((acc, kk) => s"($acc * $B + whl[i+$kk]) % $P")
+    s"""${out}_w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM $src),
+       | ${out}_h AS (SELECT id, list_transform(ws, tok -> ${sqlHash("tok", s"c_$out")}) AS whl FROM ${out}_w),
+       | ${out}_k AS (SELECT id, CASE WHEN len(whl) >= $k
+       |   THEN list_transform(generate_series(0, len(whl) - $k), i -> $fold)
+       |   ELSE CAST([] AS BIGINT[]) END AS kg FROM ${out}_h),
+       | $out AS (SELECT id, CASE
+       |   WHEN len(kg) >= $w THEN list_distinct(list_transform(
+       |     generate_series(0, len(kg) - $w), j -> list_min(kg[j+1:j+$w])))
+       |   WHEN len(kg) > 0 THEN [list_min(kg)]
+       |   ELSE CAST([] AS BIGINT[]) END AS fps FROM ${out}_k)""".stripMargin
+  }
+
   /** Winnow chain over a preceding `corpus(id, text, …)` CTE, ending in
     * `wpairs(id_a, id_b, shared, overlap)` at minOverlap 0.5 — shared by
     * the pair oracle and the cross-source rollup oracle. Only (id, text)
     * are consumed; extra corpus columns pass through untouched.
     */
-  private def winnowPairCtes: String = {
-    val B = Dedup.ShingleBase
-    val k = Dedup.WinnowK; val w = Dedup.WinnowW
-    val fold = (2 to k).foldLeft("whl[i+1]")((acc, kk) => s"($acc * $B + whl[i+$kk]) % $P")
-    s"""w AS (SELECT id, string_split_regex(trim(text), '\\s+') AS ws FROM corpus),
-       | whc AS (SELECT id, list_transform(ws, tok -> ${sqlHash("tok", "ci")}) AS whl FROM w),
-       | kgl AS (SELECT id, CASE WHEN len(whl) >= $k
-       |   THEN list_transform(generate_series(0, len(whl) - $k), i -> $fold)
-       |   ELSE CAST([] AS BIGINT[]) END AS kg FROM whc),
-       | fpl AS (SELECT id, CASE
-       |   WHEN len(kg) >= $w THEN list_distinct(list_transform(
-       |     generate_series(0, len(kg) - $w), j -> list_min(kg[j+1:j+$w])))
-       |   WHEN len(kg) > 0 THEN [list_min(kg)]
-       |   ELSE CAST([] AS BIGINT[]) END AS fps FROM kgl),
+  private def winnowPairCtes: String =
+    s"""${winnowFpCtes("corpus", "fpl")},
        | fp AS (SELECT id, unnest(fps) AS f FROM fpl),
        | rare AS (SELECT f FROM fp GROUP BY f HAVING count(*) <= 1000),
        | fpr AS (SELECT id, f FROM fp WHERE f IN (SELECT f FROM rare)),
@@ -897,13 +926,34 @@ object QueriesPipeline {
        |     round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS overlap
        |   FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
        |   WHERE round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) >= 0.5)""".stripMargin
-  }
 
   private val winnowClonesOracle =
     s"""WITH $corpusCte,
        | $winnowPairCtes
        |SELECT id_a, id_b, shared, overlap FROM wpairs
        |ORDER BY id_a, id_b""".stripMargin
+
+  private val cloneGateOracle =
+    s"""WITH blessed AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0),
+       | incoming AS (SELECT doc_id + 100000 AS id, 'zzz ' || text AS text
+       |     FROM documents WHERE doc_id < 20 AND doc_id % 2 = 0
+       |   UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+       | ${winnowFpCtes("blessed", "bfp")},
+       | ${winnowFpCtes("incoming", "ifp")},
+       | bset AS (SELECT DISTINCT unnest(fps) AS f FROM bfp),
+       | ie AS (SELECT id, unnest(fps) AS f FROM ifp),
+       | sc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp,
+       |     CAST(sum(CASE WHEN f IN (SELECT f FROM bset) THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS shared
+       |   FROM ie GROUP BY id)
+       |SELECT i.id, coalesce(sc.n_fp, 0) AS n_fp, coalesce(sc.shared, 0) AS shared,
+       |  CASE WHEN coalesce(sc.n_fp, 0) > 0
+       |    THEN round(CAST(sc.shared AS DOUBLE) / sc.n_fp, 6) ELSE 0.0 END AS overlap,
+       |  CAST(CASE WHEN coalesce(sc.n_fp, 0) > 0
+       |    AND round(CAST(sc.shared AS DOUBLE) / sc.n_fp, 6) >= 0.5
+       |    THEN 1 ELSE 0 END AS BIGINT) AS is_clone
+       |FROM (SELECT DISTINCT id FROM incoming) i LEFT JOIN sc ON sc.id = i.id
+       |ORDER BY i.id""".stripMargin
 
   private val cloneRollupOracle =
     s"""WITH corpus AS (SELECT doc_id AS id, text, source FROM documents
@@ -1500,6 +1550,7 @@ object QueriesPipeline {
     "q_dup_spans" -> dupSpansOracle,
     "q_winnow_clones" -> winnowClonesOracle,
     "q_clone_rollup" -> cloneRollupOracle,
+    "q_clone_gate" -> cloneGateOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,

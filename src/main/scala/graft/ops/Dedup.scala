@@ -297,6 +297,36 @@ object Dedup {
       blessed.select(explode(winnowFingerprints(col(textCol), k, w)).as("fp")),
       "fp", expectedItems, fpp)
 
+  /** Exact containment of each incoming doc's winnowed fingerprints in a
+    * BLESSED corpus's fingerprint set — the join-based face of the
+    * streaming clone gate ([[graft.streaming.StreamValidate
+    * .cloneGateStream]] approximates exactly this score with a bloom):
+    * (id, n_fp, shared, overlap = shared/n_fp). Docs too short to
+    * fingerprint report (0, 0, 0.0); thresholding is the caller's.
+    *
+    * Scale shape: both sides fingerprint per-row (no text shuffle); the
+    * join ships the two thin fingerprint indexes (~2/(w+1) of k-gram
+    * volume each), broadcast when the blessed set fits.
+    */
+  def winnowContainment(incoming: DataFrame, blessed: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    val inc = incoming.select(col(idCol).as("id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("key"))
+    val bset = blessed
+      .select(explode(winnowFingerprints(col(textCol), k, w)).as("key")).distinct()
+    val hits = inc.join(bset.withColumn("__hit", lit(1)), Seq("key"), "left_outer")
+      .groupBy("id").agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("__hit"), lit(0))).as("shared"))
+    incoming.select(col(idCol).as("id")).distinct()
+      .join(hits, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("shared"), lit(0L)).cast("long").as("shared"))
+      .withColumn("overlap", when(col("n_fp") > 0,
+        round(col("shared").cast("double") / col("n_fp"), 6)).otherwise(lit(0.0)))
+  }
+
   /** MinHash parameters: numHashes affine permutations (a_j h + b_j) mod P.
     * Deterministic constants shared with the SQL mirror.
     */

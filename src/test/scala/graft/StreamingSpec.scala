@@ -143,6 +143,17 @@ class StreamingSpec extends SparkSpec {
     assert(got(11L)._4, s"shared-body doc not flagged: ${got(11L)}")
     assert(!got(12L)._4 && got(12L)._3 < 0.5, s"fresh doc flagged: ${got(12L)}")
     assert(got(13L) === ((0L, 0L, 0.0, false)), s"short doc: ${got(13L)}")
+    // the gate's bloom score vs the EXACT join-based containment: shared
+    // can only be OVER-counted by the sketch (one-sided error), and n_fp
+    // is sketch-independent
+    val exact = Dedup.winnowContainment(incoming.toDF("doc_id", "text"), blessed,
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    exact.foreach { case (id, (nfp, sharedExact)) =>
+      assert(got(id)._1 === nfp, s"n_fp disagrees @id=$id")
+      assert(got(id)._2 >= sharedExact,
+        s"bloom under-counted shared @id=$id: ${got(id)._2} < $sharedExact")
+    }
     q.stop()
   }
 
