@@ -201,6 +201,11 @@ class PlanSpec extends SparkSpec {
     val rs3 = p3.linesIterator.filter(_.contains("ReadSchema")).mkString
     assert(!rs3.contains("lang") && !rs3.contains("repo") && !rs3.contains("commit"),
       s"pair-plan scans read more than (id, text): $rs3")
+    // the containment gate: the blessed fingerprint set joins BROADCAST
+    // (it is the small side by contract) — the incoming corpus never
+    // shuffles on the fingerprint key
+    val p4 = plan(graft.ops.Dedup.winnowContainment(df, df.limit(100), "path", "content"))
+    assert(p4.contains("BroadcastHashJoin"), s"blessed set not broadcast:\n$p4")
   }
 
   test("incremental dedup: thin candidate pass is pruned to the key, wide pass never shuffles") {
