@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass winnowed document fingerprints (the MOSS selection,
+  * [[graft.ops.Dedup.winnowFingerprints]]'s semantics) as a codegen'd
+  * Catalyst kernel.
+  *
+  * The relational formulation — `split` → per-word `transform` polyhash →
+  * k-gram fold → windowed `array_min(slice(...))` → `array_distinct` —
+  * evaluates every lambda interpreted (outside whole-stage codegen, the
+  * repo's measured HOF cost) and materializes three intermediate arrays per
+  * row. This kernel produces the identical fingerprint array in one byte
+  * sweep plus two small long-array passes, inside whole-stage codegen
+  * (same pattern as [[LineStats]]/[[GateSignals]]: `doGenCode` emits a
+  * static call, the interpreted path shares the kernel). OpsSpec asserts
+  * kernel == HOF on the fixture corpus and PropertySpec on random unicode.
+  *
+  * Tokenization reproduces `split(trim(text), "\\s+")` exactly: trim
+  * strips SPACES (0x20) only; separators are maximal runs of ASCII
+  * whitespace `[ \t\n\x0B\f\r]` (Java regex `\s` without
+  * UNICODE_CHARACTER_CLASS); a leading run yields an empty first token, a
+  * trailing run an empty last token, and the empty string is one empty
+  * token — all hashing to 0 like `polyHash("")`. Word hashes fold
+  * CODEPOINTS (UTF-8 decoded — `ascii(substr(c, i, 1))` semantics), k-gram
+  * hashes fold word hashes base-[[WinnowFingerprints.B]], and the
+  * fingerprint set keeps the per-window minima in first-occurrence order
+  * (`array_distinct` semantics). Null text propagates null (the caller
+  * coalesces to the HOF face's empty array).
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"WinnowFingerprints requires a string column, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    WinnowFingerprints.fingerprints(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowFingerprints.fingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+object WinnowFingerprints {
+  /** Mirrors graft.ops.TextAnalysis.P / Dedup.ShingleBase — OpsSpec asserts
+    * the pairs stay equal (the kernel must hash bit-identically to the
+    * SQL-replayable HOF face).
+    */
+  val P = 1000000007L
+  val B = 1000003L
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** polyHash of the UTF-8 codepoints in s[from, until). */
+  private def wordHash(s: UTF8String, from: Int, until: Int): Long = {
+    var i = from
+    var h = 0L
+    while (i < until) {
+      val b = s.getByte(i)
+      var cp = 0
+      if ((b & 0x80) == 0) { cp = b; i += 1 }
+      else if ((b & 0xE0) == 0xC0) {
+        cp = ((b & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
+      } else if ((b & 0xF0) == 0xE0) {
+        cp = ((b & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); i += 3
+      } else {
+        cp = ((b & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      }
+      h = (h * 31 + cp) % P
+    }
+    h
+  }
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    // ---- trim spaces only, then tokenize on ASCII-whitespace runs -------
+    var lo = 0
+    var hi = s.numBytes
+    while (lo < hi && s.getByte(lo) == ' ') lo += 1
+    while (hi > lo && s.getByte(hi - 1) == ' ') hi -= 1
+    var wh = new Array[Long](16)
+    var nw = 0
+    def emit(h: Long): Unit = {
+      if (nw == wh.length) wh = java.util.Arrays.copyOf(wh, nw * 2)
+      wh(nw) = h; nw += 1
+    }
+    var i = lo
+    var start = lo
+    while (i < hi) {
+      if (isWs(s.getByte(i))) {
+        emit(wordHash(s, start, i))
+        while (i < hi && isWs(s.getByte(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    emit(wordHash(s, start, hi)) // final part; "" for empty/trailing-run input
+    // ---- k-gram hashes ---------------------------------------------------
+    val m = nw - k + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val kg = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var h = 0L
+      var t = 0
+      while (t < k) { h = (h * B + wh(j + t)) % P; t += 1 }
+      kg(j) = h
+      j += 1
+    }
+    // ---- per-window minima, deduped in first-occurrence order -----------
+    if (m < w) {
+      var mn = kg(0); var x = 1
+      while (x < m) { if (kg(x) < mn) mn = kg(x); x += 1 }
+      return new GenericArrayData(Array(mn))
+    }
+    val nWin = m - w + 1
+    val out = new Array[Long](nWin)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var nOut = 0
+    j = 0
+    while (j < nWin) {
+      var mn = kg(j); var t = 1
+      while (t < w) { if (kg(j + t) < mn) mn = kg(j + t); t += 1 }
+      if (seen.add(mn)) { out(nOut) = mn; nOut += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+  }
+
+  /** The fingerprints as a Column (array<long>; null on null text — callers
+    * wanting the HOF face's empty-array-on-null coalesce it).
+    */
+  def fingerprintsCol(text: Column, k: Int, w: Int): Column =
+    GraftExpressionBridge.column(
+      WinnowFingerprints(GraftExpressionBridge.expression(text), k, w))
+}

@@ -245,7 +245,20 @@ object Dedup {
     * (one window covering the whole doc); docs shorter than k words have no
     * k-grams and fingerprint empty. O(tokens × w) per row, no shuffle.
     */
-  def winnowFingerprints(text: Column, k: Int = WinnowK, w: Int = WinnowW): Column =
+  def winnowFingerprints(text: Column, k: Int = WinnowK, w: Int = WinnowW): Column = {
+    // the codegen'd kernel (one byte sweep, whole-stage codegen) — the HOF
+    // face below is the SQL-replayable reference; OpsSpec asserts equality
+    // per row and that the constant pairs (P, base) agree
+    coalesce(graft.functions.WinnowFingerprints.fingerprintsCol(text, k, w),
+      array().cast("array<bigint>")) // HOF parity: null text → empty set
+  }
+
+  /** The higher-order-function formulation of [[winnowFingerprints]] — the
+    * reference the DuckDB oracles replay verbatim and the kernel is proved
+    * against. Interpreted (outside codegen); kept for specs and audits.
+    */
+  private[graft] def winnowFingerprintsHof(text: Column, k: Int = WinnowK,
+                                           w: Int = WinnowW): Column =
     ColUtil.letBound(shingleHashes(text, k)) { kg =>
       when(size(kg) >= w,
         array_distinct(transform(sequence(lit(0), size(kg) - w), j =>

@@ -33,7 +33,10 @@ object WinnowProbe {
         .select(sum(col("h"))).collect()(0).getLong(0) }
       t("kgram-hashes") { corpus.select(explode(Dedup.shingleHashes(col("text"), Dedup.WinnowK)).as("h"))
         .select(sum(col("h"))).collect()(0).getLong(0) }
-      t("fingerprints") { corpus.select(explode(
+      t("fingerprints-hof") { corpus.select(explode(
+          Dedup.winnowFingerprintsHof(col("text"))).as("f"))
+        .select(sum(col("f"))).collect()(0).getLong(0) }
+      t("fingerprints-kernel") { corpus.select(explode(
           Dedup.winnowFingerprints(col("text"))).as("f"))
         .select(sum(col("f"))).collect()(0).getLong(0) }
       t("full-pairs") { Dedup.winnowClonePairs(corpus, "id", "text").count() }

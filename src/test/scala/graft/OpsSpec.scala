@@ -100,6 +100,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winnow kernel == HOF face on fixtures and adversarial shapes; constants agree") {
+    // the kernel must hash bit-identically to the SQL-replayable HOF chain
+    assert(graft.functions.WinnowFingerprints.P === TextAnalysis.P)
+    assert(graft.functions.WinnowFingerprints.B === Dedup.ShingleBase)
+    val adversarial = Seq(
+      null.asInstanceOf[String], "", " ", "   ", "one", "one two three",
+      "\tleading tab a b c d e f", "trailing newline a b c d e f\n",
+      "a  b   c\t\td \n\n e f g h", "日本語 テキスト の 単語 分割 検査 です ね",
+      "x " * 50, ((1 to 40).map(i => s"t$i").mkString(" ")))
+    val corpus = docs.select(col("text"))
+      .unionByName(adversarial.toDF("text"))
+    val rows = corpus
+      .select(Dedup.winnowFingerprints(col("text")).as("kernel"),
+        Dedup.winnowFingerprintsHof(col("text")).as("hof"))
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val a = if (r.isNullAt(0)) null else r.getSeq[Long](0)
+      val b = if (r.isNullAt(1)) null else r.getSeq[Long](1)
+      assert(a === b, s"kernel != HOF at row $i")
+    }
+  }
+
   test("ngram jaccard: prefixed near-dup pairs score high, random pairs filtered") {
     val corpus = docs.where(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
       .unionByName(docs.where(col("doc_id") < 5)
