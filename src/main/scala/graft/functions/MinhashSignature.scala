@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass MinHash signature (text → array<long>(numHashes)) as a
+  * codegen'd Catalyst kernel — the semantics of
+  * [[graft.ops.Dedup.minHashSignature]]: word n-shingles over the
+  * [[TokenKernel]] tokenization, `numHashes` affine permutations
+  * `((j+1)·A mod P)·h + (j+1)·Bc mod P (mod P)` minimized over the
+  * shingles, sentinel P for docs too short to shingle.
+  *
+  * The HOF formulation ([[graft.ops.Dedup.signatureOfHashes]]) evaluates
+  * interpreted — numHashes × shingles lambda invocations per row plus two
+  * materialized arrays — and is heavy enough that the pair op needed
+  * persist barriers against projection collapse. The kernel does the
+  * identical arithmetic in one fused loop per row. The HOF face stays as
+  * the SQL-replayable reference; OpsSpec asserts bit-equality and that the
+  * constants match [[graft.ops.Dedup.MinHashA]]/[[graft.ops.Dedup.MinHashB]].
+  *
+  * Null text propagates null (the caller coalesces to the HOF face's
+  * all-sentinel signature).
+  */
+case class MinhashSignature(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(n >= 1 && numHashes >= 1, s"bad params n=$n numHashes=$numHashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"MinhashSignature requires a string column, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    MinhashSignature.signature(v.asInstanceOf[UTF8String], n, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinhashSignature.signature($c, $n, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+object MinhashSignature {
+  import TokenKernel.{B, P}
+
+  /** Mirrors graft.ops.Dedup.MinHashA / MinHashB — OpsSpec asserts the
+    * pairs stay equal.
+    */
+  val A = 1103515245L
+  val Bc = 12345L
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def signature(s: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val (wh, nw) = TokenKernel.wordHashes(s)
+    val sig = new Array[Long](numHashes)
+    val m = nw - n + 1
+    if (m <= 0) {
+      java.util.Arrays.fill(sig, P)
+      return new GenericArrayData(sig)
+    }
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      as(j) = (j + 1).toLong * A % P
+      bs(j) = (j + 1).toLong * Bc % P
+      sig(j) = Long.MaxValue
+      j += 1
+    }
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var t = 0
+      while (t < n) { h = (h * B + wh(i + t)) % P; t += 1 }
+      j = 0
+      while (j < numHashes) {
+        val v = (as(j) * h + bs(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** The signature as a Column (array<long>(numHashes); null on null text —
+    * callers wanting the HOF face's all-sentinel row coalesce it).
+    */
+  def signatureCol(text: Column, n: Int, numHashes: Int): Column =
+    GraftExpressionBridge.column(
+      MinhashSignature(GraftExpressionBridge.expression(text), n, numHashes))
+}

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass SimHash (text → long) as a codegen'd Catalyst kernel — the
+  * semantics of [[graft.ops.TextAnalysis.simHashBits]] over
+  * [[graft.ops.TextAnalysis.tokenHashes]]: per bit b, the affine parity
+  * `(h·(2b+3) + (b+1)·12345) mod P mod 2` of each token hash votes ±1;
+  * bit b sets iff the vote sum is strictly positive. Tokenization and the
+  * token polyhash are [[TokenKernel]]'s (bit-identical to the HOF face,
+  * which stays as the SQL-replayable reference — OpsSpec asserts equality).
+  *
+  * The HOF face evaluates bits × tokens interpreted lambda calls per row;
+  * the kernel is one tokens × bits scalar loop inside whole-stage codegen.
+  * Null text propagates null (the caller coalesces to the HOF face's 0).
+  */
+case class SimHashKernel(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"SimHashKernel requires a string column, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    SimHashKernel.simhash(v.asInstanceOf[UTF8String], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.simhash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashKernel =
+    copy(child = newChild)
+}
+
+object SimHashKernel {
+  import TokenKernel.P
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def simhash(s: UTF8String, bits: Int): Long = {
+    val (wh, nw) = TokenKernel.wordHashes(s)
+    val votes = new Array[Long](bits)
+    var i = 0
+    while (i < nw) {
+      val h = wh(i)
+      var b = 0
+      while (b < bits) {
+        val parity = (h * (2L * b + 3L) + (b + 1L) * 12345L) % P % 2L
+        votes(b) += parity * 2L - 1L
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  /** The simhash as a Column (long; null on null text — callers wanting the
+    * HOF face's 0-on-null coalesce it).
+    */
+  def simhashCol(text: Column, bits: Int): Column =
+    GraftExpressionBridge.column(
+      SimHashKernel(GraftExpressionBridge.expression(text), bits))
+}

@@ -55,10 +55,15 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
-object WinnowFingerprints {
+/** Shared byte-level tokenizer + hash kernel: reproduces
+  * `split(trim(text), "\\s+")` → per-word codepoint polyhash exactly (see
+  * [[WinnowFingerprints]]'s scaladoc for the tokenization contract). Both
+  * the winnowing and the MinHash signature kernels build on it.
+  */
+private[functions] object TokenKernel {
   /** Mirrors graft.ops.TextAnalysis.P / Dedup.ShingleBase — OpsSpec asserts
-    * the pairs stay equal (the kernel must hash bit-identically to the
-    * SQL-replayable HOF face).
+    * the pairs stay equal (the kernels must hash bit-identically to the
+    * SQL-replayable HOF faces).
     */
   val P = 1000000007L
   val B = 1000003L
@@ -88,9 +93,11 @@ object WinnowFingerprints {
     h
   }
 
-  /** The kernel — called from codegen'd Java and from nullSafeEval. */
-  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
-    // ---- trim spaces only, then tokenize on ASCII-whitespace runs -------
+  /** Word hashes of the whole string (trim-spaces + \s+-split semantics,
+    * leading/trailing/empty tokens included). Returns (buffer, count) —
+    * the buffer may be oversized.
+    */
+  def wordHashes(s: UTF8String): (Array[Long], Int) = {
     var lo = 0
     var hi = s.numBytes
     while (lo < hi && s.getByte(lo) == ' ') lo += 1
@@ -111,6 +118,18 @@ object WinnowFingerprints {
       } else i += 1
     }
     emit(wordHash(s, start, hi)) // final part; "" for empty/trailing-run input
+    (wh, nw)
+  }
+}
+
+object WinnowFingerprints {
+  /** See [[TokenKernel.P]]/[[TokenKernel.B]] — re-exported for the specs. */
+  val P = TokenKernel.P
+  val B = TokenKernel.B
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def fingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val (wh, nw) = TokenKernel.wordHashes(s)
     // ---- k-gram hashes ---------------------------------------------------
     val m = nw - k + 1
     if (m <= 0) return new GenericArrayData(Array.emptyLongArray)

@@ -355,16 +355,24 @@ object Dedup {
   def bj(j: Int): Long = ((j + 1).toLong * MinHashB) % P
 
   /** MinHash signature column: array of NumHashes minima over the shingle
-    * hashes (empty-shingle docs get P as the "infinite" sentinel).
+    * hashes (empty-shingle docs get P as the "infinite" sentinel). The
+    * codegen'd kernel ([[graft.functions.MinhashSignature]]) — one fused
+    * loop per row; the HOF face ([[signatureOfHashes]]) is the
+    * SQL-replayable reference, OpsSpec asserts equality.
     */
   def minHashSignature(text: Column, n: Int = 3): Column =
-    signatureOfHashes(shingleHashes(text, n))
+    coalesce(
+      graft.functions.MinhashSignature.signatureCol(text, n, NumHashes),
+      typedLit(Seq.fill(NumHashes)(P))) // HOF parity: null text → sentinels
 
-  /** Signature from a PRE-MATERIALIZED shingle-hash array. Callers that use
-    * the signature more than once (banding, pair scoring) must materialize
-    * the hash array first — otherwise projection collapse inlines the
-    * O(words × chars) hashing expression into every consumer and codegen
-    * size explodes multiplicatively.
+  /** The higher-order-function signature from a PRE-MATERIALIZED
+    * shingle-hash array — the reference face the DuckDB oracle replays and
+    * the kernel is proved against. Callers that use THIS face more than
+    * once (banding, pair scoring) must materialize the hash array first —
+    * otherwise projection collapse inlines the O(words × chars) hashing
+    * expression into every consumer and codegen size explodes
+    * multiplicatively (the kernel has no such hazard: it is one scalar
+    * call).
     */
   def signatureOfHashes(shs: Column): Column =
     ColUtil.letBound(shs)(bound =>
@@ -384,16 +392,15 @@ object Dedup {
   def minHashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minEst: Double = 0.5): DataFrame = {
     val bands = NumHashes / BandRows
-    // Materialize the shingle-hash stage, then the signature stage. Each
-    // persist is a projection-collapse barrier: without them Catalyst
-    // inlines the interpreted hashing lambdas into every one of the 16
-    // permutations / 4 band rows / 2 join sides (measured 600+ s for 5k
-    // docs; ~2 s with the barriers).
-    val withShs = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("shs"))
-      .persist()
-    val withSig = withShs
-      .select(col("id"), signatureOfHashes(col("shs")).as("sig"))
+    // Materialize the signature stage: the persist is a projection-collapse
+    // barrier so the banding/join consumers share one signature computation
+    // (with the old HOF signature the collapse inlined the interpreted
+    // hashing lambdas into every band row / join side — measured 600+ s for
+    // 5k docs vs ~2 s with barriers; the kernel shrinks the hazard to one
+    // scalar call per consumer, but the join's two sides would still hash
+    // the corpus twice without the barrier).
+    val withSig = df
+      .select(col(idCol).as("id"), minHashSignature(col(textCol), n).as("sig"))
       .persist()
     val banded = withSig.select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -416,17 +423,21 @@ object Dedup {
     // long-lived session; localCheckpoint also cuts the lineage so callers
     // can't accidentally recompute the interpreted hashing stages.
     val result = barrier(scored)
-    withShs.unpersist()
     withSig.unpersist()
     result
   }
 
-  /** SimHash per document (SimHashBits wide by default). */
+  /** SimHash per document (SimHashBits wide by default) — the codegen'd
+    * kernel ([[graft.functions.SimHashKernel]]); the HOF face
+    * ([[TextAnalysis.simHashBits]]) is the SQL-replayable reference,
+    * OpsSpec asserts equality. Coalesce restores the HOF face's 0 on null.
+    */
   val SimHashBits = 48
   def simHash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = SimHashBits): DataFrame =
     df.select(col(idCol).as("id"),
-      TextAnalysis.simHashBits(TextAnalysis.tokenHashes(col(textCol)), bits).as("simhash"))
+      coalesce(graft.functions.SimHashKernel.simhashCol(col(textCol), bits),
+        lit(0L)).as("simhash"))
 
   /** SimHash near-duplicate pairs with Hamming distance ≤ maxHamming, found
     * by banding the 48-bit signature into 4 × 12-bit keys and equi-joining

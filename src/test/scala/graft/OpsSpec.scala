@@ -122,6 +122,42 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash kernel == HOF signature on fixtures and adversarial shapes; constants agree") {
+    assert(graft.functions.MinhashSignature.A === Dedup.MinHashA)
+    assert(graft.functions.MinhashSignature.Bc === Dedup.MinHashB)
+    val adversarial = Seq(
+      null.asInstanceOf[String], "", " ", "one two", "one two three",
+      "\tleading tab a b c", "trailing newline a b c\n",
+      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割")
+    val corpus = docs.select(col("text")).unionByName(adversarial.toDF("text"))
+    val rows = corpus
+      .select(Dedup.minHashSignature(col("text")).as("kernel"),
+        ColUtil.letBound(Dedup.shingleHashes(col("text"), 3))(
+          Dedup.signatureOfHashes).as("hof"))
+      .collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"kernel != HOF at row $i")
+    }
+  }
+
+  test("simhash kernel == HOF face on fixtures and adversarial shapes (48 and 20 bits)") {
+    val adversarial = Seq(
+      null.asInstanceOf[String], "", " ", "one", "one two three",
+      "\tleading tab a b c", "trailing newline a b c\n",
+      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割")
+    val corpus = docs.select(col("text")).unionByName(adversarial.toDF("text"))
+    Seq(48, 20).foreach { bits =>
+      val rows = corpus.select(
+          coalesce(graft.functions.SimHashKernel.simhashCol(col("text"), bits),
+            lit(0L)).as("kernel"),
+          TextAnalysis.simHashBits(TextAnalysis.tokenHashes(col("text")), bits).as("hof"))
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(0) === r.getLong(1), s"kernel != HOF at row $i, bits=$bits")
+      }
+    }
+  }
+
   test("ngram jaccard: prefixed near-dup pairs score high, random pairs filtered") {
     val corpus = docs.where(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
       .unionByName(docs.where(col("doc_id") < 5)
