@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-shingle hashes (text → array<long>) as a codegen'd Catalyst
+  * kernel — the semantics of [[graft.ops.Dedup.shingleHashes]]: the
+  * [[TokenKernel]] tokenization + codepoint polyhash per word, then the
+  * base-[[TokenKernel.B]] fold of n consecutive word hashes; empty when the
+  * doc has fewer than n tokens. The HOF face stays as the SQL-replayable
+  * reference (OpsSpec asserts bit-equality). Null text propagates null
+  * (the caller coalesces to the HOF face's empty array).
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ShingleHashes requires a string column, got ${child.dataType}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    ShingleHashes.shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHashes.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  import TokenKernel.{B, P}
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val (wh, nw) = TokenKernel.wordHashes(s)
+    val m = nw - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var t = 0
+      while (t < n) { h = (h * B + wh(i + t)) % P; t += 1 }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The shingle hashes as a Column (array<long>; null on null text —
+    * callers wanting the HOF face's empty-array-on-null coalesce it).
+    */
+  def shinglesCol(text: Column, n: Int): Column =
+    GraftExpressionBridge.column(
+      ShingleHashes(GraftExpressionBridge.expression(text), n))
+}

@@ -75,7 +75,17 @@ object Dedup {
           (acc * ShingleBase + element_at(wh, i + k + 1)) % P)))
       .otherwise(array().cast("array<bigint>"))
 
+  /** The codegen'd kernel face ([[graft.functions.ShingleHashes]]); the
+    * HOF chain below is the SQL-replayable reference (OpsSpec equality).
+    */
   def shingleHashes(text: Column, n: Int = 3): Column =
+    coalesce(graft.functions.ShingleHashes.shinglesCol(text, n),
+      array().cast("array<bigint>")) // HOF parity: null text → empty
+
+  /** The higher-order-function formulation of [[shingleHashes]] — kept as
+    * the oracle reference and for specs.
+    */
+  private[graft] def shingleHashesHof(text: Column, n: Int = 3): Column =
     ColUtil.letBound(wordHashes(text))(wh => shingleHashesFromWords(wh, n))
 
   /** Pairwise n-gram Jaccard ≥ minJ via a shingle inverted index:
@@ -259,7 +269,7 @@ object Dedup {
     */
   private[graft] def winnowFingerprintsHof(text: Column, k: Int = WinnowK,
                                            w: Int = WinnowW): Column =
-    ColUtil.letBound(shingleHashes(text, k)) { kg =>
+    ColUtil.letBound(shingleHashesHof(text, k)) { kg =>
       when(size(kg) >= w,
         array_distinct(transform(sequence(lit(0), size(kg) - w), j =>
           array_min(slice(kg, j + 1, lit(w))))))

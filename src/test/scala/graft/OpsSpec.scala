@@ -140,6 +140,23 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("shingle kernel == HOF face on fixtures and adversarial shapes (n=3 and n=8)") {
+    val adversarial = Seq(
+      null.asInstanceOf[String], "", " ", "one two", "one two three",
+      "\tleading tab a b c", "trailing newline a b c\n",
+      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割")
+    val corpus = docs.select(col("text")).unionByName(adversarial.toDF("text"))
+    Seq(3, 8).foreach { n =>
+      val rows = corpus.select(
+          Dedup.shingleHashes(col("text"), n).as("kernel"),
+          Dedup.shingleHashesHof(col("text"), n).as("hof"))
+        .collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"kernel != HOF at row $i, n=$n")
+      }
+    }
+  }
+
   test("simhash kernel == HOF face on fixtures and adversarial shapes (48 and 20 bits)") {
     val adversarial = Seq(
       null.asInstanceOf[String], "", " ", "one", "one two three",
