@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass MinHash signature (text → array<long>(numHashes)) as a
@@ -27,17 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * all-sentinel signature).
   */
 case class MinhashSignature(child: Expression, n: Int, numHashes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
   require(n >= 1 && numHashes >= 1, s"bad params n=$n numHashes=$numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"MinhashSignature requires a string column, got ${child.dataType}")
-  }
   override def nullSafeEval(v: Any): Any =
     MinhashSignature.signature(v.asInstanceOf[UTF8String], n, numHashes)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,7 +55,7 @@ object MinhashSignature {
     val m = nw - n + 1
     if (m <= 0) {
       java.util.Arrays.fill(sig, P)
-      return new GenericArrayData(sig)
+      return UnsafeArrayData.fromPrimitiveArray(sig)
     }
     val as = new Array[Long](numHashes)
     val bs = new Array[Long](numHashes)
@@ -87,7 +79,7 @@ object MinhashSignature {
       }
       i += 1
     }
-    new GenericArrayData(sig)
+    UnsafeArrayData.fromPrimitiveArray(sig)
   }
 
   /** The signature as a Column (array<long>(numHashes); null on null text —

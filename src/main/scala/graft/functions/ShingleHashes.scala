@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Word n-shingle hashes (text → array<long>) as a codegen'd Catalyst
@@ -16,17 +16,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference (OpsSpec asserts bit-equality). Null text propagates null
   * (the caller coalesces to the HOF face's empty array).
   */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
   require(n >= 1, s"n must be >= 1, got $n")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"ShingleHashes requires a string column, got ${child.dataType}")
-  }
   override def nullSafeEval(v: Any): Any =
     ShingleHashes.shingles(v.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -42,7 +35,7 @@ object ShingleHashes {
   def shingles(s: UTF8String, n: Int): ArrayData = {
     val (wh, nw) = TokenKernel.wordHashes(s)
     val m = nw - n + 1
-    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val out = new Array[Long](m)
     var i = 0
     while (i < m) {
@@ -52,7 +45,7 @@ object ShingleHashes {
       out(i) = h
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   /** The shingle hashes as a Column (array<long>; null on null text —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass SimHash (text → long) as a codegen'd Catalyst kernel — the
@@ -19,17 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the kernel is one tokens × bits scalar loop inside whole-stage codegen.
   * Null text propagates null (the caller coalesces to the HOF face's 0).
   */
-case class SimHashKernel(child: Expression, bits: Int) extends UnaryExpression {
+case class SimHashKernel(child: Expression, bits: Int)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
   require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
   override def dataType: DataType = LongType
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"SimHashKernel requires a string column, got ${child.dataType}")
-  }
   override def nullSafeEval(v: Any): Any =
     SimHashKernel.simhash(v.asInstanceOf[UTF8String], bits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

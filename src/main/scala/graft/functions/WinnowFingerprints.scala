@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftExpressionBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass winnowed document fingerprints (the MOSS selection,
@@ -35,17 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * coalesces to the HOF face's empty array).
   */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
   require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (child.dataType == StringType)
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"WinnowFingerprints requires a string column, got ${child.dataType}")
-  }
   override def nullSafeEval(v: Any): Any =
     WinnowFingerprints.fingerprints(v.asInstanceOf[UTF8String], k, w)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -71,7 +63,15 @@ private[functions] object TokenKernel {
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
-  /** polyHash of the UTF-8 codepoints in s[from, until). */
+  /** polyHash of the UTF-8 codepoints in s[from, until).
+    *
+    * Malformed input is handled DETERMINISTICALLY and in-bounds: a stray
+    * continuation byte, an invalid lead (>= 0xF8), or a multi-byte
+    * sequence truncated by `until` consumes ONE byte and contributes its
+    * unsigned value as the codepoint. Bit-equality with the HOF face is
+    * guaranteed for valid UTF-8 (parquet's contract); on malformed bytes
+    * the kernel is merely stable — never an out-of-bounds read.
+    */
   private def wordHash(s: UTF8String, from: Int, until: Int): Long = {
     var i = from
     var h = 0L
@@ -79,14 +79,16 @@ private[functions] object TokenKernel {
       val b = s.getByte(i)
       var cp = 0
       if ((b & 0x80) == 0) { cp = b; i += 1 }
-      else if ((b & 0xE0) == 0xC0) {
+      else if ((b & 0xE0) == 0xC0 && i + 1 < until) {
         cp = ((b & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
-      } else if ((b & 0xF0) == 0xE0) {
+      } else if ((b & 0xF0) == 0xE0 && i + 2 < until) {
         cp = ((b & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
           (s.getByte(i + 2) & 0x3F); i += 3
-      } else {
+      } else if ((b & 0xF8) == 0xF0 && i + 3 < until) {
         cp = ((b & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
           ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      } else { // malformed: stable single-byte fallback, never out-of-bounds
+        cp = b & 0xFF; i += 1
       }
       h = (h * 31 + cp) % P
     }
@@ -132,7 +134,7 @@ object WinnowFingerprints {
     val (wh, nw) = TokenKernel.wordHashes(s)
     // ---- k-gram hashes ---------------------------------------------------
     val m = nw - k + 1
-    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val kg = new Array[Long](m)
     var j = 0
     while (j < m) {
@@ -146,7 +148,7 @@ object WinnowFingerprints {
     if (m < w) {
       var mn = kg(0); var x = 1
       while (x < m) { if (kg(x) < mn) mn = kg(x); x += 1 }
-      return new GenericArrayData(Array(mn))
+      return UnsafeArrayData.fromPrimitiveArray(Array(mn))
     }
     val nWin = m - w + 1
     val out = new Array[Long](nWin)
@@ -159,7 +161,7 @@ object WinnowFingerprints {
       if (seen.add(mn)) { out(nOut) = mn; nOut += 1 }
       j += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, nOut))
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, nOut))
   }
 
   /** The fingerprints as a Column (array<long>; null on null text — callers

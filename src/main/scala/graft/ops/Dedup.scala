@@ -123,7 +123,7 @@ object Dedup {
     * the identical exchanges are deduplicated by Catalyst ReuseExchange, no
     * persist needed.
     */
-  private def indexPairs(index: DataFrame, maxDf: Int): DataFrame = {
+  private[graft] def indexPairs(index: DataFrame, maxDf: Int): DataFrame = {
     val rare = index.groupBy("key").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select("key")
     val keyed = index.join(rare, Seq("key"), "left_semi")
@@ -293,18 +293,24 @@ object Dedup {
   def winnowClonePairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = WinnowK, w: Int = WinnowW,
                        minOverlap: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    // barrier, unlike jaccardPairs: that index ends in distinct(), whose
-    // exchange ReuseExchange dedups across the scaffold's consumers; this
-    // one is map-only (fingerprint sets are distinct per doc already), so
-    // without a barrier the corpus would re-fingerprint once per consumer
-    // (measured 3× on the probe). The barrier rows are thin (id, int64).
-    val index = barrier(df.select(col(idCol).as("id"),
-      explode(winnowFingerprints(col(textCol), k, w)).as("key")))
-    indexPairs(index, maxDf)
+    // persist the index, unlike jaccardPairs: that index ends in
+    // distinct(), whose exchange ReuseExchange dedups across the
+    // scaffold's consumers; this one is map-only (fingerprint sets are
+    // distinct per doc already), so without the cache the corpus would
+    // re-fingerprint once per consumer (measured 3× on WinnowProbe). Same
+    // lifecycle as minHashPairs: eagerly barrier the (small) pair result,
+    // then RELEASE the big thin index instead of pinning it for the
+    // session.
+    val index = df.select(col(idCol).as("id"),
+      explode(winnowFingerprints(col(textCol), k, w)).as("key")).persist()
+    val scored = indexPairs(index, maxDf)
       .withColumn("overlap", round(col("shared").cast("double") /
         least(col("sz_a"), col("sz_b")), 6))
       .where(col("overlap") >= minOverlap)
       .select("id_a", "id_b", "shared", "overlap")
+    val result = barrier(scored)
+    index.unpersist()
+    result
   }
 
   /** Bloom filter over a blessed corpus's winnowed fingerprints — the index

@@ -23,12 +23,18 @@ object MinhashProbe {
     }
     t("word-hashes") { corpus.select(Dedup.wordHashes(col("text")).as("wh"))
       .agg(sum(size(col("wh")))).collect()(0) }
-    t("shingle-hashes") { corpus.select(Dedup.shingleHashes(col("text")).as("shs"))
+    t("shingle-hashes-hof") { corpus.select(Dedup.shingleHashesHof(col("text")).as("shs"))
       .agg(sum(size(col("shs")))).collect()(0) }
-    val withShs = corpus.select(col("id"), Dedup.shingleHashes(col("text")).as("shs")).persist()
-    t("materialize-shs") { withShs.count() }
+    t("shingle-hashes-kernel") { corpus.select(Dedup.shingleHashes(col("text")).as("shs"))
+      .agg(sum(size(col("shs")))).collect()(0) }
+    // the HOF signature chain, staged as production ran it pre-kernel
+    val withShs = corpus.select(col("id"), Dedup.shingleHashesHof(col("text")).as("shs")).persist()
+    t("materialize-shs-hof") { withShs.count() }
     val withSig = withShs.select(col("id"), Dedup.signatureOfHashes(col("shs")).as("sig")).persist()
-    t("materialize-sig") { withSig.count() }
+    t("materialize-sig-hof") { withSig.count() }
+    t("signature-kernel") { corpus.select(col("id"),
+        Dedup.minHashSignature(col("text")).as("sig"))
+      .agg(sum(size(col("sig")))).collect()(0) }
     t("full-pairs") { Dedup.minHashPairs(corpus, "id", "text", minEst = 0.5).count() }
     t("jaccard-pairs") { Dedup.jaccardPairs(corpus, "id", "text", minJ = 0.5).count() }
     spark.stop()

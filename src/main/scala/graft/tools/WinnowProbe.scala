@@ -31,7 +31,11 @@ object WinnowProbe {
       t("baseline-length") { corpus.select(sum(length(col("text")))).collect()(0).getLong(0) }
       t("word-hashes") { corpus.select(explode(Dedup.wordHashes(col("text"))).as("h"))
         .select(sum(col("h"))).collect()(0).getLong(0) }
-      t("kgram-hashes") { corpus.select(explode(Dedup.shingleHashes(col("text"), Dedup.WinnowK)).as("h"))
+      t("kgram-hashes-hof") { corpus.select(explode(
+          Dedup.shingleHashesHof(col("text"), Dedup.WinnowK)).as("h"))
+        .select(sum(col("h"))).collect()(0).getLong(0) }
+      t("kgram-hashes-kernel") { corpus.select(explode(
+          Dedup.shingleHashes(col("text"), Dedup.WinnowK)).as("h"))
         .select(sum(col("h"))).collect()(0).getLong(0) }
       t("fingerprints-hof") { corpus.select(explode(
           Dedup.winnowFingerprintsHof(col("text"))).as("f"))

@@ -16,3 +16,16 @@ object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** String-input declaration for graft's kernels: `AbstractDataType` is
+  * `private[sql]` in Spark 4, so the `ImplicitCastInputTypes.inputTypes`
+  * override (which grants the same implicit atomic→string coercion the
+  * HOF faces get from split/trim's type coercion) must be named inside
+  * this package. Mix into any single-string-argument kernel expression.
+  */
+trait GraftStringInput
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}

@@ -55,7 +55,10 @@ class OpsSpec extends SparkSpec {
   test("winnowing: Spark set == position-aware JVM winnower; guarantee and density hold") {
     import graft.ops.TextAnalysis.P
     val k = Dedup.WinnowK; val w = Dedup.WinnowW
-    def polyH(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
+    // fold CODEPOINTS (not UTF-16 units): both production faces hash astral
+    // chars as single codepoints (ascii(substr) / the kernel's UTF-8 decode)
+    def polyH(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, cp) => (a * 31 + cp) % P)
     def kgrams(text: String): Seq[Long] = {
       // Spark-faithful tokenization: trim() strips SPACES only (not \t/\n
       // like String.trim), split keeps trailing empty tokens, null → none
@@ -108,6 +111,7 @@ class OpsSpec extends SparkSpec {
       null.asInstanceOf[String], "", " ", "   ", "one", "one two three",
       "\tleading tab a b c d e f", "trailing newline a b c d e f\n",
       "a  b   c\t\td \n\n e f g h", "日本語 テキスト の 単語 分割 検査 です ね",
+      "astral \ud83d\ude80 plane \ud83c\udf89 chars \ud835\udd18 ok go now yes",
       "x " * 50, ((1 to 40).map(i => s"t$i").mkString(" ")))
     val corpus = docs.select(col("text"))
       .unionByName(adversarial.toDF("text"))
@@ -128,7 +132,8 @@ class OpsSpec extends SparkSpec {
     val adversarial = Seq(
       null.asInstanceOf[String], "", " ", "one two", "one two three",
       "\tleading tab a b c", "trailing newline a b c\n",
-      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割")
+      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割",
+      "astral \ud83d\ude80 plane \ud83c\udf89 chars \ud835\udd18 ok")
     val corpus = docs.select(col("text")).unionByName(adversarial.toDF("text"))
     val rows = corpus
       .select(Dedup.minHashSignature(col("text")).as("kernel"),
@@ -144,7 +149,8 @@ class OpsSpec extends SparkSpec {
     val adversarial = Seq(
       null.asInstanceOf[String], "", " ", "one two", "one two three",
       "\tleading tab a b c", "trailing newline a b c\n",
-      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割")
+      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割",
+      "astral \ud83d\ude80 plane \ud83c\udf89 chars \ud835\udd18 ok")
     val corpus = docs.select(col("text")).unionByName(adversarial.toDF("text"))
     Seq(3, 8).foreach { n =>
       val rows = corpus.select(
@@ -161,7 +167,8 @@ class OpsSpec extends SparkSpec {
     val adversarial = Seq(
       null.asInstanceOf[String], "", " ", "one", "one two three",
       "\tleading tab a b c", "trailing newline a b c\n",
-      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割")
+      "a  b   c\t\td \n\n e", "日本語 テキスト の 単語 分割",
+      "astral \ud83d\ude80 plane \ud83c\udf89 chars \ud835\udd18 ok")
     val corpus = docs.select(col("text")).unionByName(adversarial.toDF("text"))
     Seq(48, 20).foreach { bits =>
       val rows = corpus.select(

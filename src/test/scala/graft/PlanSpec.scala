@@ -191,10 +191,11 @@ class PlanSpec extends SparkSpec {
     val p2 = plan(canon)
     assert(!p2.contains("Exchange"), s"canonicalization shuffles:\n$p2")
     // the clone-pair join must key on the fingerprint, never rejoin text:
-    // every ReadSchema in the pair plan is (id, text)-projected at the scan
-    // and no sort-merge/broadcast key mentions the text column
-    val pairs = graft.ops.Dedup.winnowClonePairs(df, "path", "content")
-    val p3 = plan(pairs)
+    // inspect the UN-barriered scaffold (winnowClonePairs itself returns an
+    // eagerly-materialized barrier, whose plan is an opaque LogicalRDD)
+    val index = df.select(col("path").as("id"),
+      explode(graft.ops.Dedup.winnowFingerprints(col("content"))).as("key"))
+    val p3 = plan(graft.ops.Dedup.indexPairs(index, maxDf = 1000))
     val joinLines = p3.linesIterator.filter(l =>
       l.contains("HashJoin") || l.contains("SortMergeJoin")).mkString
     assert(!joinLines.contains("content"), s"a pair join keys on text:\n$joinLines")

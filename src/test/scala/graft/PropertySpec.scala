@@ -202,14 +202,16 @@ class PropertySpec extends SparkSpec {
     val tokGen = Gen.frequency(
       (6, Gen.oneOf("aa", "bb", "cc", "dd", "x1", "y2")), // collisions likely
       (3, Gen.alphaNumStr.map(_.take(6))),
-      (1, Gen.const("語")))
+      (1, Gen.oneOf("語", "\ud83d\ude80", "a\ud83c\udf89b")))
     val textGen: Gen[String] = Gen.frequency(
       (8, Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))),
       (1, Gen.const("")),
       (1, Gen.const("\taa bb cc dd ee")), // tab edge: Spark trim keeps it
       (1, Gen.const("aa bb cc dd ee\n")), // newline edge: trailing "" token
       (1, Gen.const(null: String)))
-    def polyH(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % P)
+    // codepoint fold (astral-safe): matches ascii(substr)/the kernel decode
+    def polyH(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, cp) => (a * 31 + cp) % P)
     // JVM mirror — Spark-faithful: trim() strips SPACES only (not \t/\n
     // like String.trim), words("") = [""] (split of an empty trim yields
     // one empty token, polyHash("") = 0), trailing empty tokens kept
