@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{LineStats, MinhashSignature, ShingleHashes, SimHashKernel, WinnowFingerprints}
+import graft.ops.Dedup
+
+/** SparkSessionExtensions registration for graft's codegen'd kernels —
+  * the canonical plug-in point, so a pure-SQL user (or a JDBC/Thrift
+  * session) can call the kernels without touching the Scala API:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * SELECT graft_minhash(content), graft_simhash(content) FROM files;
+  * }}}
+  *
+  * Registered functions (all null-propagating, argument 1 is the text):
+  *   - `graft_shingles(text[, n])`        → array<bigint> word-shingle hashes
+  *   - `graft_minhash(text[, n, k])`      → array<bigint> MinHash signature
+  *   - `graft_simhash(text[, bits])`      → bigint SimHash
+  *   - `graft_winnow(text[, k, w])`       → array<bigint> winnowed fingerprints
+  *   - `graft_line_stats(text)`           → array<bigint> [lines, maxLine, alnum]
+  *
+  * Optional arguments must be integer LITERALS (they parameterize codegen).
+  * The Scala faces in [[graft.ops.Dedup]] remain the primary API; this
+  * registration adds no semantics — OpsSpec asserts SQL == Scala.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, name: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def fn(name: String, usage: String, arity: Range,
+                 builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) =
+    (FunctionIdentifier(name), info(name, usage),
+      new FunctionBuilder {
+        override def apply(args: Seq[Expression]): Expression = {
+          require(arity.contains(args.length),
+            s"$name takes ${arity.min}..${arity.max} arguments, got ${args.length}")
+          builder(args)
+        }
+      })
+
+  /** The registrations, shared by the extensions plug-in and [[register]]. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    fn("graft_shingles", "word n-shingle hashes", 1 to 2, args =>
+      ShingleHashes(args.head,
+        if (args.length > 1) intLit(args(1), "graft_shingles", 1) else 3)),
+    fn("graft_minhash", "MinHash signature", 1 to 3, args =>
+      MinhashSignature(args.head,
+        if (args.length > 1) intLit(args(1), "graft_minhash", 1) else 3,
+        if (args.length > 2) intLit(args(2), "graft_minhash", 2) else Dedup.NumHashes)),
+    fn("graft_simhash", "SimHash signature", 1 to 2, args =>
+      SimHashKernel(args.head,
+        if (args.length > 1) intLit(args(1), "graft_simhash", 1) else Dedup.SimHashBits)),
+    fn("graft_winnow", "winnowed fingerprints", 1 to 3, args =>
+      WinnowFingerprints(args.head,
+        if (args.length > 1) intLit(args(1), "graft_winnow", 1) else Dedup.WinnowK,
+        if (args.length > 2) intLit(args(2), "graft_winnow", 2) else Dedup.WinnowW)),
+    fn("graft_line_stats", "[lines, maxLine, alnum]", 1 to 1, args =>
+      LineStats(args.head)))
+
+  /** Register into an EXISTING session (tests, notebooks) — same builders
+    * the `spark.sql.extensions` path injects at session build.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (id, inf, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, b)
+    }
+}

@@ -163,6 +163,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("SQL function registration: graft_* kernels callable from spark.sql, == Scala faces") {
+    GraftExtensions.register(spark)
+    docs.limit(50).createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_shingles(text) AS sh, graft_minhash(text) AS mh,
+        |       graft_simhash(text) AS sim, graft_winnow(text) AS wf,
+        |       graft_line_stats(text) AS ls
+        |FROM ext_docs""".stripMargin).collect()
+    val viaScala = docs.limit(50).select(
+        graft.functions.ShingleHashes.shinglesCol(col("text"), 3).as("sh"),
+        graft.functions.MinhashSignature.signatureCol(col("text"), 3, Dedup.NumHashes).as("mh"),
+        graft.functions.SimHashKernel.simhashCol(col("text"), Dedup.SimHashBits).as("sim"),
+        graft.functions.WinnowFingerprints.fingerprintsCol(
+          col("text"), Dedup.WinnowK, Dedup.WinnowW).as("wf"),
+        graft.functions.LineStats.statsCol(col("text")).as("ls"))
+      .collect()
+    viaSql.zip(viaScala).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"SQL != Scala at row $i")
+    }
+    // explicit-arity variants parse and parameterize
+    val r = spark.sql(
+      "SELECT size(graft_winnow(text, 4, 4)) = size(graft_winnow(text)) AS eq FROM ext_docs")
+      .collect()
+    assert(r.forall(_.getBoolean(0)))
+    // non-literal parameter arguments are rejected with a clear error
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_simhash(text, CAST(length(text) AS INT)) FROM ext_docs").collect())
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("simhash kernel == HOF face on fixtures and adversarial shapes (48 and 20 bits)") {
     val adversarial = Seq(
       null.asInstanceOf[String], "", " ", "one", "one two three",
