@@ -176,6 +176,17 @@ object QueriesPipeline {
         .orderBy("id")
     }),
 
+    // clone clusters: winnow pairs → transitive components with a canonical
+    // keeper — the same large-star/small-star machinery as q_dedup_clusters
+    // over the MOSS pair graph, so "this file, its fork, and the fork's
+    // fork" collapse to one cluster id. Oracle recomputes reachability with
+    // a recursive CTE over the identical pair list.
+    "q_clone_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.winnowClonePairs(nearDupCorpus(s, dir), "id", "text"),
+        "id_a", "id_b")
+        .orderBy("id")),
+
     // cross-source clone rollup: winnow clone pairs lifted to the (source,
     // source) level — "which repos copy from which" (the code-provenance
     // audit a license-compliance pass runs). Clones plant under a shadow
@@ -933,6 +944,19 @@ object QueriesPipeline {
        |SELECT id_a, id_b, shared, overlap FROM wpairs
        |ORDER BY id_a, id_b""".stripMargin
 
+  private val cloneClustersOracle =
+    s"""WITH RECURSIVE $corpusCte,
+       | $winnowPairCtes,
+       | edges AS (SELECT id_a AS s, id_b AS d FROM wpairs
+       |           UNION SELECT id_b, id_a FROM wpairs),
+       | reach(v, l) AS (
+       |   SELECT DISTINCT s, s FROM edges
+       |   UNION
+       |   SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
+       | clusters AS (SELECT v AS id, CAST(min(l) AS BIGINT) AS cluster
+       |              FROM reach GROUP BY v)
+       |SELECT id, cluster FROM clusters ORDER BY id""".stripMargin
+
   private val cloneGateOracle =
     s"""WITH blessed AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0),
        | incoming AS (SELECT doc_id + 100000 AS id, 'zzz ' || text AS text
@@ -1551,6 +1575,7 @@ object QueriesPipeline {
     "q_winnow_clones" -> winnowClonesOracle,
     "q_clone_rollup" -> cloneRollupOracle,
     "q_clone_gate" -> cloneGateOracle,
+    "q_clone_clusters" -> cloneClustersOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
