@@ -130,6 +130,7 @@ object Checkpoint {
         slice.groupBy(col(engine.PartCol).as("part"))
           .agg(fingerprintAggs(dataCols).head, fingerprintAggs(dataCols).tail: _*)
           .withColumn("fpCols", lit(dataCols.mkString(",")))
+          .withColumn("schemaStr", lit(schemaStr(engine, df)))
           .select(col("*") +: lineage: _*)
           .write.mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
           .partitionBy("snapshotId", "ruleSetHash", "part").parquet(s"$dir/fingerprints")
@@ -200,6 +201,18 @@ object Checkpoint {
                      cols: Seq[String]): Seq[String] =
     if (cols.nonEmpty) cols else df.columns.toSeq.filterNot(_ == engine.PartCol)
 
+  /** Canonical input-schema string, recorded as inheritance lineage next to
+    * fpCols. Fingerprints only witness the FP columns' values — a schema
+    * change elsewhere (column added, dropped, retyped, or re-nulled) would
+    * otherwise let every "unchanged" part inherit results computed against
+    * a different table shape without any plane noticing (inherited parts
+    * never re-run conformsToSchema). The partitioner column is excluded so
+    * pre-partitioned inputs compare equal to raw ones.
+    */
+  private def schemaStr(engine: ValidationEngine, df: DataFrame): String =
+    df.schema.filterNot(_.name == engine.PartCol)
+      .map(f => s"${f.name}:${f.dataType.sql}:${f.nullable}").mkString(";")
+
   private def fingerprintAggs(dataCols: Seq[String]): Seq[Column] = Seq(
     count(lit(1)).as("nRows"),
     // coalesce each column to a sentinel FIRST: Spark's hash functions skip
@@ -220,11 +233,13 @@ object Checkpoint {
     engine.partitioned(df).groupBy(col(engine.PartCol).as("part"))
       .agg(fingerprintAggs(dataCols).head, fingerprintAggs(dataCols).tail: _*)
       .withColumn("fpCols", lit(dataCols.mkString(",")))
+      .withColumn("schemaStr", lit(schemaStr(engine, df)))
   }
 
   final case class IncrementalReport(inheritedParts: Int, run: RunReport,
                                      detectSec: Double = 0.0, copySec: Double = 0.0,
-                                     residualSec: Double = 0.0)
+                                     residualSec: Double = 0.0,
+                                     schemaDrift: Boolean = false)
 
   /** Incremental validation of `snapshotId` against a previously validated
     * `priorSnapshotId` in the same checkpoint dir: parts whose content
@@ -255,11 +270,24 @@ object Checkpoint {
     require(exists(spark, fpPath),
       s"no fingerprints recorded under $dir — run the prior snapshot with fingerprints=true")
     val wantCols = fpCols(engine, df, fingerprintCols).mkString(",")
-    // mergeSchema + coalesce: fingerprints written before the fpCols column
-    // existed read back null — treated as "unknown set", never matched
-    val priorFp = spark.read.option("mergeSchema", "true").parquet(fpPath)
+    val wantSchema = schemaStr(engine, df)
+    // mergeSchema + coalesce: fingerprints written before the fpCols /
+    // schemaStr columns existed read back null — treated as "unknown",
+    // never matched (conservative: full revalidation)
+    val priorFpAll = spark.read.option("mergeSchema", "true").parquet(fpPath)
       .where(col("snapshotId") === priorSnapshotId && col("ruleSetHash") === hash)
+    val priorSchema: Option[String] =
+      if (!priorFpAll.columns.contains("schemaStr")) None
+      else priorFpAll.select("schemaStr").where(col("schemaStr").isNotNull)
+        .limit(1).collect().headOption.map(_.getString(0))
+    // a schema change invalidates inheritance WHOLESALE: inherited parts
+    // never re-run conformsToSchema, and results computed against a
+    // different table shape must not carry forward (see [[schemaStr]])
+    val drift = priorSchema.exists(_ != wantSchema)
+    val priorFp = priorFpAll
       .where(coalesce(col("fpCols"), lit("\u0000unknown")) === wantCols)
+      .where(if (!priorFpAll.columns.contains("schemaStr")) lit(false)
+        else coalesce(col("schemaStr"), lit("\u0000unknown")) === wantSchema)
       .select(col("part"), col("nRows").as("pRows"), col("hashSum").as("pHash"))
     val priorDone = completedParts(spark, dir, priorSnapshotId, hash)
     val alreadyDone = completedParts(spark, dir, snapshotId, hash)
@@ -402,7 +430,8 @@ object Checkpoint {
         failAfterBatches = None, statsColumns = statsColumns, fingerprints = true,
         fingerprintCols = fingerprintCols)
     }
-    IncrementalReport(inherit.size, rep, detectSec, copySec, residualSec)
+    IncrementalReport(inherit.size, rep, detectSec, copySec, residualSec,
+      schemaDrift = drift)
   }
 
   /** Whole-table stats merged from the per-part sketches a resumable run

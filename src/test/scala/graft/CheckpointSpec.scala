@@ -220,6 +220,38 @@ class CheckpointSpec extends SparkSpec {
     assert(runOnce(distributed = true) === runOnce(distributed = false))
   }
 
+  test("schema lineage: a schema change between snapshots blocks inheritance wholesale") {
+    val dir = Files.createTempDirectory("graft_schema_drift").toString
+    val eng = new ValidationEngine(suite, EngineConfig(numParts = 8))
+    // snapshot A: original shape, fingerprints restricted to the key columns
+    // (so the planted schema change below cannot hide inside the fp hash)
+    val fpC = Seq("repo", "path", "commit")
+    Checkpoint.runResumable(spark, eng, df, dir, "sA", batches = 2,
+      fingerprints = true, fingerprintCols = fpC)
+    // snapshot B: identical DATA on the fp columns, but the table gained a
+    // column — fingerprints alone would inherit everything; the schema
+    // lineage must refuse wholesale
+    val dfB = df.withColumn("stars", lit(7))
+    val inc = Checkpoint.runIncremental(spark, eng, dfB, dir, "sB", "sA",
+      batches = 2, fingerprintCols = fpC)
+    assert(inc.schemaDrift, "schema drift not reported")
+    assert(inc.inheritedParts === 0, "inherited despite a schema change")
+    // and the re-validated results equal a from-scratch run of B
+    val dirFull = Files.createTempDirectory("graft_schema_full").toString
+    Checkpoint.runResumable(spark, eng, dfB, dirFull, "sB", batches = 2)
+    def verd(d: String) = Checkpoint.verdicts(spark, d, "sB", eng.suiteHash)
+      .select("part", "rule", "evaluated", "violations").collect()
+      .map(_.toString).sorted.toSeq
+    assert(verd(dir) === verd(dirFull))
+    // control: SAME schema → drift false, everything inherits
+    val dir2 = Files.createTempDirectory("graft_schema_same").toString
+    Checkpoint.runResumable(spark, eng, df, dir2, "sA", batches = 2,
+      fingerprints = true, fingerprintCols = fpC)
+    val inc2 = Checkpoint.runIncremental(spark, eng, df, dir2, "sB", "sA",
+      batches = 2, fingerprintCols = fpC)
+    assert(!inc2.schemaDrift && inc2.inheritedParts > 0)
+  }
+
   test("stats-column lineage: a different prior statsColumns set blocks inheritance") {
     val dir = Files.createTempDirectory("graft_statslin").toString
     val eng = new ValidationEngine(suite, EngineConfig(numParts = 16))
