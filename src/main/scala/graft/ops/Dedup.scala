@@ -333,6 +333,12 @@ object Dedup {
     * (id, n_fp, shared, overlap = shared/n_fp). Docs too short to
     * fingerprint report (0, 0, 0.0); thresholding is the caller's.
     *
+    * `idCol` is treated as a KEY: if incoming carries duplicate ids, their
+    * fingerprint sets union (the index is distinct per (id, key)) and the
+    * score is the union's containment — deterministic, but a near-clone
+    * row can hide behind a fresh row sharing its id, so dedupe ids first
+    * when they may collide.
+    *
     * Scale shape: both sides fingerprint per-row (no text shuffle); the
     * join ships the two thin fingerprint indexes (~2/(w+1) of k-gram
     * volume each), broadcast when the blessed set fits.
@@ -341,7 +347,7 @@ object Dedup {
                         idCol: String, textCol: String,
                         k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
     val inc = incoming.select(col(idCol).as("id"),
-      explode(winnowFingerprints(col(textCol), k, w)).as("key"))
+      explode(winnowFingerprints(col(textCol), k, w)).as("key")).distinct()
     val bset = blessed
       .select(explode(winnowFingerprints(col(textCol), k, w)).as("key")).distinct()
     val hits = inc.join(bset.withColumn("__hit", lit(1)), Seq("key"), "left_outer")

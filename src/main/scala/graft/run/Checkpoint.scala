@@ -211,7 +211,8 @@ object Checkpoint {
     */
   private def schemaStr(engine: ValidationEngine, df: DataFrame): String =
     df.schema.filterNot(_.name == engine.PartCol)
-      .map(f => s"${f.name}:${f.dataType.sql}:${f.nullable}").mkString(";")
+      .map(f => s"${f.name}:${f.dataType.sql}:${f.nullable}")
+      .sorted.mkString(";") // name-sorted: a pure column REORDER is not drift
 
   private def fingerprintAggs(dataCols: Seq[String]): Seq[Column] = Seq(
     count(lit(1)).as("nRows"),
@@ -276,19 +277,32 @@ object Checkpoint {
     // never matched (conservative: full revalidation)
     val priorFpAll = spark.read.option("mergeSchema", "true").parquet(fpPath)
       .where(col("snapshotId") === priorSnapshotId && col("ruleSetHash") === hash)
-    val priorSchema: Option[String] =
-      if (!priorFpAll.columns.contains("schemaStr")) None
+    val hasSchemaCol = priorFpAll.columns.contains("schemaStr")
+    // DISTINCT prior schemas (bounded: write sites stamp one value per
+    // batch, so cardinality <= batches; a mixed set happens when a prior
+    // run was killed and resumed across an upstream shape change)
+    val priorSchemas: Seq[String] =
+      if (!hasSchemaCol) Nil
       else priorFpAll.select("schemaStr").where(col("schemaStr").isNotNull)
-        .limit(1).collect().headOption.map(_.getString(0))
-    // a schema change invalidates inheritance WHOLESALE: inherited parts
-    // never re-run conformsToSchema, and results computed against a
-    // different table shape must not carry forward (see [[schemaStr]])
-    val drift = priorSchema.exists(_ != wantSchema)
+        .distinct().limit(100).collect().map(_.getString(0)).toSeq
+    // a schema change invalidates inheritance for every part written under
+    // the differing shape: inherited parts never re-run conformsToSchema,
+    // and results computed against a different table shape must not carry
+    // forward (see [[schemaStr]]). With a mixed prior (kill+resume across
+    // the change), matching-schema parts still inherit; drift reports that
+    // ANY prior part was written under a different shape.
+    val drift = priorSchemas.exists(_ != wantSchema)
     val priorFp = priorFpAll
       .where(coalesce(col("fpCols"), lit("\u0000unknown")) === wantCols)
-      .where(if (!priorFpAll.columns.contains("schemaStr")) lit(false)
+      .where(if (!hasSchemaCol) lit(false)
         else coalesce(col("schemaStr"), lit("\u0000unknown")) === wantSchema)
       .select(col("part"), col("nRows").as("pRows"), col("hashSum").as("pHash"))
+    // driver-decidable no-inheritance cases skip the change-detection scan
+    // entirely (a whole wasted input pass otherwise): pre-lineage prior
+    // (no schemaStr column → nothing can match) or a uniformly-drifted
+    // prior (every row fails the schema filter)
+    val nothingInherits = !hasSchemaCol ||
+      (priorSchemas.nonEmpty && priorSchemas.forall(_ != wantSchema))
     val priorDone = completedParts(spark, dir, priorSnapshotId, hash)
     val alreadyDone = completedParts(spark, dir, snapshotId, hash)
     def timed[T](f: => T): (T, Double) = {
@@ -299,7 +313,8 @@ object Checkpoint {
     val curFp = partFingerprints(engine, df, fingerprintCols)
     // tiny collect: ≤ numParts rows by construction
     val (unchanged, detectSec) = timed {
-      curFp.join(priorFp, Seq("part"))
+      if (nothingInherits) Set.empty[Int]
+      else curFp.join(priorFp, Seq("part"))
         .where(col("nRows") === col("pRows") && col("hashSum") === col("pHash"))
         .select("part").collect().map(_.getInt(0)).toSet
     }

@@ -182,11 +182,21 @@ class OpsSpec extends SparkSpec {
     viaSql.zip(viaScala).zipWithIndex.foreach { case ((a, b), i) =>
       assert(a === b, s"SQL != Scala at row $i")
     }
-    // explicit-arity variants parse and parameterize
-    val r = spark.sql(
-      "SELECT size(graft_winnow(text, 4, 4)) = size(graft_winnow(text)) AS eq FROM ext_docs")
+    // explicit-arity variants parameterize with NON-default values (a
+    // default-equal comparison would pass even if the args were dropped)
+    val arity = spark.sql(
+      """SELECT graft_winnow(text, 2, 3) AS wf, graft_minhash(text, 2, 8) AS mh,
+        |       graft_simhash(text, 20) AS sim, graft_shingles(text, 5) AS sh
+        |FROM ext_docs""".stripMargin).collect()
+    val arityScala = docs.limit(50).select(
+        graft.functions.WinnowFingerprints.fingerprintsCol(col("text"), 2, 3).as("wf"),
+        graft.functions.MinhashSignature.signatureCol(col("text"), 2, 8).as("mh"),
+        graft.functions.SimHashKernel.simhashCol(col("text"), 20).as("sim"),
+        graft.functions.ShingleHashes.shinglesCol(col("text"), 5).as("sh"))
       .collect()
-    assert(r.forall(_.getBoolean(0)))
+    arity.zip(arityScala).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"explicit-arity SQL != Scala at row $i")
+    }
     // non-literal parameter arguments are rejected with a clear error
     val e = intercept[Exception](
       spark.sql("SELECT graft_simhash(text, CAST(length(text) AS INT)) FROM ext_docs").collect())

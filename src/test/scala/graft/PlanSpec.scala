@@ -206,7 +206,9 @@ class PlanSpec extends SparkSpec {
     // (it is the small side by contract) — the incoming corpus never
     // shuffles on the fingerprint key
     val p4 = plan(graft.ops.Dedup.winnowContainment(df, df.limit(100), "path", "content"))
-    assert(p4.contains("BroadcastHashJoin"), s"blessed set not broadcast:\n$p4")
+    assert(p4.contains("BroadcastHashJoin"), s"no broadcast join in containment:\n$p4")
+    assert(!p4.contains("SortMergeJoin") && !p4.contains("ShuffledHashJoin"),
+      s"a containment join shuffles (incoming must never shuffle on the key):\n$p4")
   }
 
   test("incremental dedup: thin candidate pass is pruned to the key, wide pass never shuffles") {
