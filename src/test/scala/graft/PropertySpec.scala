@@ -255,6 +255,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow containment invariants: self = 1, bounds, monotone in the blessed set") {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.functions._
+    val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docGen = Gen.chooseNum(8, 30).flatMap(n => Gen.listOfN(n, tokGen).map(_.mkString(" ")))
+    val docs = (0 until 30).map(i => (i.toLong, sample(docGen, 77L + i))).toDF("id", "text")
+    val blessedSmall = docs.where(col("id") < 10)
+    val blessedBig = docs.where(col("id") < 20) // superset of small
+    def scores(blessed: org.apache.spark.sql.DataFrame) =
+      Dedup.winnowContainment(docs, blessed, "id", "text")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+    val small = scores(blessedSmall)
+    val big = scores(blessedBig)
+    small.foreach { case (id, (nfp, shared, ov)) =>
+      assert(shared <= nfp && ov >= 0.0 && ov <= 1.0, s"bounds @id=$id")
+      // self-containment: every doc IN the blessed set scores exactly 1
+      if (id < 10 && nfp > 0) assert(ov === 1.0, s"self-containment @id=$id: $ov")
+      // monotone: growing the blessed set can only raise the score
+      assert(big(id)._3 >= ov - 1e-9, s"not monotone @id=$id: ${big(id)._3} < $ov")
+      // n_fp is blessed-independent
+      assert(big(id)._1 === nfp, s"n_fp depends on blessed @id=$id")
+    }
+    (10L until 20L).foreach(id => if (big(id)._1 > 0)
+      assert(big(id)._3 === 1.0, s"self-containment in the larger set @id=$id"))
+  }
+
   test("salted duplicate detection == naive groupBy (10 random skewed tables)") {
     val keyGen = Gen.frequency((8, Gen.const("hot")), (3, Gen.oneOf("a", "b", "c")),
       (2, Gen.alphaNumStr.map(_.take(4))))
