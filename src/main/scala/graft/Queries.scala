@@ -263,6 +263,23 @@ object Queries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // §2.4 join: two-level dimension chain supplier → nation → region — the
+    // snowflake roll-up (both dims broadcast; the fact side never shuffles),
+    // covering the last two driver tables the surface didn't touch
+    "q_supplier_geo" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"))
+        .agg(countDistinct(col("n_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal").cast("decimal(18,4)")).cast("double"), 4)
+            .as("total_acctbal"))
+        .orderBy("region")
+    }),
+
     // §2.4 join: fact → dims with broadcast hints (star join, no fact shuffle)
     "q_join_broadcast" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -934,6 +951,15 @@ object Queries {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_supplier_geo" ->
+      """SELECT r_name AS region,
+        | CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+        | count(*) AS n_suppliers,
+        | round(CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4) AS total_acctbal
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_broadcast" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
