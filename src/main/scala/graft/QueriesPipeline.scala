@@ -345,6 +345,15 @@ object QueriesPipeline {
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")),
 
+    // training mix: deterministic train/val/test assignment (salted
+    // Knuth-hash regions, decorrelated from the sampling draws on the same
+    // ids, map-only) — reported as per-(lang, split) counts; the oracle
+    // replays the salted arithmetic and nested thresholds
+    "q_split_assign" -> ((s, dir) =>
+      TrainingMix.assignSplit(t(s, dir, "documents"), "doc_id")
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
     // training mix: domain reweighting by repetition (epochs per domain) —
     // en repeats 2.5× (2 + deterministic 50% third copy), zh keeps 30%,
     // everything else 1×; replica index distinguishes copies. Map-only
@@ -1289,6 +1298,13 @@ object QueriesPipeline {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  private val splitAssignOracle = {
+    import graft.ops.TrainingMix
+    s"""SELECT lang, ${TrainingMix.assignSplitSql("doc_id")} AS split,
+       | count(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** 5-gram shingle chain (same fold as Dedup.shingleHashesFromWords,
     * generalized to ContamN) → corpus/benchmark shingle sets → hit counts.
     */
@@ -1562,6 +1578,7 @@ object QueriesPipeline {
     "q_url_filter" -> urlFilterOracle,
     "q_url_canonical" -> urlCanonicalOracle,
     "q_stratified_sample" -> stratifiedOracle,
+    "q_split_assign" -> splitAssignOracle,
     "q_contamination" -> contaminationOracle,
     "q_seq_packing" -> packingOracle,
     "q_dedup_exact" -> dedupExactOracle,

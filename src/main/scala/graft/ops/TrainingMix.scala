@@ -44,6 +44,47 @@ object TrainingMix {
       s"(CASE $arms ELSE ${Similarity.sampleThreshold(defaultFraction)} END)"
   }
 
+  /** Deterministic train/val/test assignment: the id is pre-mixed with a
+    * SALT (`id·31 + salt`) before the portable Knuth-hash draw, so the
+    * split draw is decorrelated from [[stratifiedSample]] /
+    * [[domainRepetition]] draws on the same ids — whether a doc lands in
+    * val must not depend on whether the mix pass kept it. Splits are
+    * cumulative-fraction regions of the key space, in the given order;
+    * the remainder falls into the LAST named split. Pure function of
+    * (id, splits, salt): reproducible across engines and runs,
+    * repartition-stable, map-only (no shuffle, no RNG state).
+    */
+  val SplitSalt = 12289
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)] =
+                    Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                  salt: Int = SplitSalt): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.map(_._2).sum <= 1.0 + 1e-9, "split fractions must sum to <= 1")
+    val key = Similarity.sampleKey(col(idCol) * 31 + salt)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = splits.map(_._1).zip(cum).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, c), acc) =>
+        when(key < Similarity.sampleThreshold(c), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** The same assignment, DuckDB SQL (nested CASE over cumulative
+    * thresholds — one source of truth for the constants).
+    */
+  def assignSplitSql(idExpr: String,
+                     splits: Seq[(String, Double)] =
+                       Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                     salt: Int = SplitSalt): String = {
+    val keySql = Similarity.sampleKeySql(s"($idExpr * 31 + $salt)")
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val arms = splits.map(_._1).zip(cum).init.map { case (name, c) =>
+      s"WHEN $keySql < ${Similarity.sampleThreshold(c)} THEN '$name'"
+    }.mkString(" ")
+    s"(CASE $arms ELSE '${splits.last._1}' END)"
+  }
+
   /** Domain reweighting by repetition ("epochs per domain"): materialize a
     * training mix where each domain's documents repeat at a target rate —
     * rate 2.5 emits every doc twice plus a deterministic 50% of docs a

@@ -523,6 +523,36 @@ class OpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("split assignment: JVM replay exact, exhaustive, fractions hold, sample-decorrelated") {
+    import graft.ops.{Similarity, TrainingMix}
+    val n = 20000L
+    val ids = spark.range(n).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.06, "test" -> 0.04)
+    val got = TrainingMix.assignSplit(ids, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exact JVM replay of the salted arithmetic
+    val mod = Similarity.SampleMod; val k = Similarity.SampleKnuth
+    val range = Similarity.SampleRange
+    def key(id: Long): Long = ((id * 31 + TrainingMix.SplitSalt) % mod + mod) % mod * k % range
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    def expect(id: Long): String =
+      splits.map(_._1).zip(cum).init
+        .find { case (_, c) => key(id) < Similarity.sampleThreshold(c) }
+        .map(_._1).getOrElse(splits.last._1)
+    (0L until n).foreach(id => assert(got(id) === expect(id), s"@id=$id"))
+    // exhaustive + fractions within 2% absolute
+    val counts = got.values.groupBy(identity).view.mapValues(_.size.toDouble / n).toMap
+    assert(math.abs(counts.values.sum - 1.0) < 1e-9)
+    splits.foreach { case (name, f) =>
+      assert(math.abs(counts(name) - f) < 0.02, s"$name: ${counts(name)} vs $f") }
+    // decorrelated from the mix draw: among mix-SAMPLED ids the split
+    // fractions hold too (a correlated draw would skew val/test)
+    val sampled = (0L until n).filter(id =>
+      ((id % mod + mod) % mod * k % range) < Similarity.sampleThreshold(0.5))
+    val vs = sampled.count(id => got(id) == "val").toDouble / sampled.size
+    assert(math.abs(vs - 0.06) < 0.02, s"val fraction under sampling: $vs")
+  }
+
   test("contamination: planted benchmark docs are detected, clean docs are not flagged") {
     import graft.ops.TrainingMix
     val bench = docs.where(col("doc_id") % 97 === 0)
