@@ -187,6 +187,23 @@ object QueriesPipeline {
         "id_a", "id_b")
         .orderBy("id")),
 
+    // clone clusters → QUALITY-aware keeper (highest quality score wins,
+    // ties → lowest id): the "keep the best-written copy of the forked
+    // file" selection, composing the winnow pair graph with the same
+    // max_by keeper as q_dedup_keep_best
+    "q_clone_keep_best" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val labels = Dedup.connectedComponents(
+        Dedup.winnowClonePairs(corpus, "id", "text"), "id_a", "id_b")
+      labels.join(corpus, "id")
+        .withColumn("score", TextAnalysis.qualityScore(col("text")))
+        .groupBy("cluster").agg(
+          max_by(col("id"), struct(col("score"), (-col("id")).as("nid"))).as("keeper"),
+          count(lit(1)).as("n_members"),
+          max(col("score")).as("best_score"))
+        .orderBy("cluster")
+    }),
+
     // cross-source clone rollup: winnow clone pairs lifted to the (source,
     // source) level — "which repos copy from which" (the code-provenance
     // audit a license-compliance pass runs). Clones plant under a shadow
@@ -966,6 +983,27 @@ object QueriesPipeline {
        |              FROM reach GROUP BY v)
        |SELECT id, cluster FROM clusters ORDER BY id""".stripMargin
 
+  private val cloneKeepBestOracle =
+    s"""WITH RECURSIVE $corpusCte,
+       | $winnowPairCtes,
+       | edges AS (SELECT id_a AS s, id_b AS d FROM wpairs
+       |           UNION SELECT id_b, id_a FROM wpairs),
+       | reach(v, l) AS (
+       |   SELECT DISTINCT s, s FROM edges
+       |   UNION
+       |   SELECT e.d, r.l FROM reach r JOIN edges e ON e.s = r.v),
+       | clusters AS (SELECT v AS id, CAST(min(l) AS BIGINT) AS cluster
+       |              FROM reach GROUP BY v),
+       | scored AS (SELECT c.cluster, c.id, ${qualitySql("corpus.text")} AS score
+       |   FROM clusters c JOIN corpus ON corpus.id = c.id),
+       | ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster
+       |   ORDER BY score DESC, id ASC) AS rn FROM scored)
+       |SELECT g.cluster, r.keeper, g.n_members, g.best_score
+       |FROM (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+       |        max(score) AS best_score FROM scored GROUP BY cluster) g
+       | JOIN (SELECT cluster, id AS keeper FROM ranked WHERE rn = 1) r USING (cluster)
+       |ORDER BY g.cluster""".stripMargin
+
   private val cloneGateOracle =
     s"""WITH blessed AS (SELECT doc_id AS id, text FROM documents WHERE doc_id % 2 = 0),
        | incoming AS (SELECT doc_id + 100000 AS id, 'zzz ' || text AS text
@@ -1593,6 +1631,7 @@ object QueriesPipeline {
     "q_clone_rollup" -> cloneRollupOracle,
     "q_clone_gate" -> cloneGateOracle,
     "q_clone_clusters" -> cloneClustersOracle,
+    "q_clone_keep_best" -> cloneKeepBestOracle,
     "q_ngram_jaccard" -> jaccardOracle,
     "q_minhash_sig" -> minhashSigOracle,
     "q_minhash_pairs" -> minhashPairsOracle,
