@@ -181,8 +181,8 @@ object Queries {
     // §2.4 drift: chi-square of lang mix between snapshot halves
     "q_chi2_drift" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val r = Drift.chiSquare(d.where(col("doc_id") % 2 === 1),
-        d.where(col("doc_id") % 2 === 0), "lang")
+      val r = Drift.chiSquareSplit(d, col("doc_id") % 2 === 1,
+        col("doc_id") % 2 === 0, "lang")
       import s.implicits._
       Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         r.dof.toLong, r.newCategories)).toDF("chi2", "dof", "new_categories")
@@ -191,8 +191,8 @@ object Queries {
     // §2.4 drift: binned-CDF Kolmogorov–Smirnov over n_chars
     "q_ks_drift" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val r = Drift.ks(d.where(col("doc_id") % 2 === 1),
-        d.where(col("doc_id") % 2 === 0), "n_chars", bins = 20)
+      val r = Drift.ksSplit(d, col("doc_id") % 2 === 1,
+        col("doc_id") % 2 === 0, "n_chars", bins = 20)
       import s.implicits._
       Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         r.bins.toLong)).toDF("ks", "bins")
@@ -201,8 +201,8 @@ object Queries {
     // §2.4 drift: binned 1-Wasserstein distance over n_chars (column units)
     "q_w1_drift" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val r = Drift.wasserstein(d.where(col("doc_id") % 2 === 1),
-        d.where(col("doc_id") % 2 === 0), "n_chars", bins = 20)
+      val r = Drift.wassersteinSplit(d, col("doc_id") % 2 === 1,
+        col("doc_id") % 2 === 0, "n_chars", bins = 20)
       import s.implicits._
       Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         r.bins.toLong)).toDF("w1", "bins")
@@ -212,8 +212,8 @@ object Queries {
     // over full totals; one-sided categories excluded and counted)
     "q_psi_drift" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val r = Drift.psi(d.where(col("doc_id") % 2 === 1),
-        d.where(col("doc_id") % 2 === 0), "lang")
+      val r = Drift.psiSplit(d, col("doc_id") % 2 === 1,
+        col("doc_id") % 2 === 0, "lang")
       import s.implicits._
       Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         r.categories.toLong, r.excluded)).toDF("psi", "categories", "excluded")
@@ -222,8 +222,8 @@ object Queries {
     // §2.4 drift: Jensen–Shannon divergence (nats) of the lang mix
     "q_jsd_drift" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val r = Drift.jsd(d.where(col("doc_id") % 2 === 1),
-        d.where(col("doc_id") % 2 === 0), "lang")
+      val r = Drift.jsdSplit(d, col("doc_id") % 2 === 1,
+        col("doc_id") % 2 === 0, "lang")
       import s.implicits._
       Seq((BigDecimal(r.statistic).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
         r.categories.toLong)).toDF("jsd", "categories")

@@ -99,9 +99,19 @@ object QueriesPipeline {
               lit("@mail.example.org"))).otherwise(lit(""))).as("text"))
       val corpus = built.unionByName(
         built.where(col("doc_id") < 40).withColumn("doc_id", col("doc_id") + 300000L))
-      val scrubbed = corpus.withColumn("text", PiiScan.redact(col("text")))
-      val exact = Dedup.dropExactDups(scrubbed, "doc_id", "text")
-      val para = Dedup.dropDuplicateParagraphs(exact, "doc_id", "text", minLen = ParaMinLen)
+      // Stage barriers (Dedup.barrier: eager localCheckpoint, conf-routable
+      // to reliable checkpoints): without them the composed plan re-evaluates
+      // every upstream stage once per downstream consumer — dropExactDups
+      // reads its input twice (keeper agg + semi join), dropDuplicateParagraphs
+      // reads ITS input twice (paragraph explode + rebuild join), and `para`
+      // feeds both the contamination probe and the anti join — so the PII
+      // regex chain alone ran ~8× per bench pass. With the barriers each
+      // stage computes exactly once (guide §5: cache when reused and
+      // recomputation is expensive; results are byte-identical).
+      val scrubbed = Dedup.barrier(corpus.withColumn("text", PiiScan.redact(col("text"))))
+      val exact = Dedup.barrier(Dedup.dropExactDups(scrubbed, "doc_id", "text"))
+      val para = Dedup.barrier(
+        Dedup.dropDuplicateParagraphs(exact, "doc_id", "text", minLen = ParaMinLen))
       val contaminated = TrainingMix.contaminatedDocs(para, "doc_id", "text",
         docs.where(col("doc_id") % 97 === 0), "text", n = ContamN, minHits = ContamMinHits)
       val clean = para.join(contaminated.select(col("id").as("doc_id")),
@@ -289,8 +299,9 @@ object QueriesPipeline {
     // codes. The oracle replays train → encode → decode → cosine.
     "q_ann_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.sqTopK(emb, "vec_id", "embedding", queryVec(s, dir), k = 5,
-        Similarity.sqTrain(emb, "embedding"))
+      val q = queryVec(s, dir)
+      Similarity.sqTopK(emb, "vec_id", "embedding", q, k = 5,
+        Similarity.sqTrain(emb, "embedding", dim = q.size))
     }),
 
     // similarity: LSH-bucketed ANN (query scans only its own bucket)
@@ -314,8 +325,10 @@ object QueriesPipeline {
     // oracle replays coarse training, assignment, codec, and probe.
     "q_ann_ivf_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfSqTopK(emb, "vec_id", "embedding", queryVec(s, dir),
-        topK = 5, k = 8, nprobe = 3, Similarity.sqTrain(emb, "embedding"),
+      val q = queryVec(s, dir)
+      Similarity.ivfSqTopK(emb, "vec_id", "embedding", q,
+        topK = 5, k = 8, nprobe = 3,
+        Similarity.sqTrain(emb, "embedding", dim = q.size),
         trainFraction = IvfTrainFraction)
     }),
 

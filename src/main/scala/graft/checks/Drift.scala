@@ -135,6 +135,87 @@ object Drift {
     } finally { joined.unpersist(); () }
   }
 
+  import org.apache.spark.sql.Column
+
+  /** SPLIT faces of the drift checks, for the common "current and baseline
+    * are two predicate-slices of ONE table" shape (snapshot halves, a date
+    * filter on one partitioned table): the per-category (observed, baseline)
+    * counts come from ONE scan with conditional aggregation instead of two
+    * scans + a full_outer join — same integer counts, hence bit-identical
+    * statistics, at half the I/O and zero join (guide §2.4: remove shuffles
+    * outright). Rows matching neither predicate are excluded, like the
+    * two-DataFrame faces' filters.
+    */
+  private def categoryCountsSplit(df: DataFrame, curPred: Column, basePred: Column,
+                                  column: String,
+                                  maxCats: Int = DefaultMaxCategories): Array[(Long, Long)] = {
+    val rows = df.where(curPred || basePred)
+      .select(coalesce(col(column).cast("string"), lit("\u0000NULL")).as("v"),
+        when(curPred, 1L).otherwise(0L).as("__o"),
+        when(basePred, 1L).otherwise(0L).as("__b"))
+      .groupBy(col("v")).agg(sum("__o").as("o"), sum("__b").as("b"))
+      .limit(maxCats + 1)
+      .collect()
+    if (rows.length > maxCats) throw TooManyCategories(column, maxCats)
+    rows.map(r => (r.getLong(1), r.getLong(2)))
+  }
+
+  def chiSquareSplit(df: DataFrame, curPred: Column, basePred: Column, column: String,
+                     maxCats: Int = DefaultMaxCategories): ChiSquare = {
+    val joined = categoryCountsSplit(df, curPred, basePred, column, maxCats)
+    require(joined.map(_._2).sum > 0, s"empty baseline for chi-square on '$column' (0 rows)")
+    chiSquareOf(joined.toSeq)
+  }
+
+  def psiSplit(df: DataFrame, curPred: Column, basePred: Column, column: String,
+               maxCats: Int = DefaultMaxCategories): Psi =
+    psiOf(categoryCountsSplit(df, curPred, basePred, column, maxCats).toSeq,
+      s"PSI on '$column'")
+
+  def jsdSplit(df: DataFrame, curPred: Column, basePred: Column, column: String,
+               maxCats: Int = DefaultMaxCategories): Jsd =
+    jsdOf(categoryCountsSplit(df, curPred, basePred, column, maxCats).toSeq,
+      s"JSD on '$column'")
+
+  /** [[binnedJoint]] for the one-table split shape: ONE bounds scan and ONE
+    * conditionally-aggregated bin scan replace two of each plus the join —
+    * identical bin counts (the sides partition the filtered value set, so
+    * the combined min/max is the same), hence identical statistics.
+    */
+  private def binnedJointSplit(df: DataFrame, curPred: Column, basePred: Column,
+                               column: String, bins: Int,
+                               check: String): (Array[(Int, Double, Double)], Double) = {
+    val vals = df.where(curPred || basePred)
+      .select(col(column).try_cast("double").as("v"),
+        curPred.as("__cur"), basePred.as("__base"))
+      .where(col("v").isNotNull)
+    val mm = vals.agg(min("v").as("lo"), max("v").as("hi")).collect()(0)
+    require(!mm.isNullAt(0) && !mm.isNullAt(1),
+      s"no numeric values for $check on '$column' (both snapshots empty or all-null)")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val span = if (hi > lo) hi - lo else 1.0
+    val joined = vals
+      .select(least(floor((col("v") - lo) / (span / bins)), lit(bins - 1)).cast("int").as("bin"),
+        col("__cur"), col("__base"))
+      .groupBy("bin").agg(
+        sum(when(col("__cur"), 1L).otherwise(0L)).cast("double").as("c"),
+        sum(when(col("__base"), 1L).otherwise(0L)).cast("double").as("b"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (joined, span)
+  }
+
+  def ksSplit(df: DataFrame, curPred: Column, basePred: Column, column: String,
+              bins: Int = 50): Ks =
+    ksOf(binnedJointSplit(df, curPred, basePred, column, bins, "KS")._1, bins, column)
+
+  def wassersteinSplit(df: DataFrame, curPred: Column, basePred: Column, column: String,
+                       bins: Int = 50): Wasserstein = {
+    val (joined, span) = binnedJointSplit(df, curPred, basePred, column, bins, "W1")
+    wassersteinOf(joined, span, bins, column)
+  }
+
   /** Pearson chi-square over a categorical column. Expected counts are the
     * baseline frequencies rescaled to the current total. Categories absent
     * from the baseline have expected 0 (chi-square undefined) — they are
@@ -294,8 +375,11 @@ object Drift {
     * |cdf_cur - cdf_base| — exact for the binned distributions and an
     * arbitrarily good approximation of the continuous statistic as bins grow.
     */
-  def ks(current: DataFrame, baselineDf: DataFrame, column: String, bins: Int = 50): Ks = {
-    val (joined, _) = binnedJoint(current, baselineDf, column, bins, "KS")
+  def ks(current: DataFrame, baselineDf: DataFrame, column: String, bins: Int = 50): Ks =
+    ksOf(binnedJoint(current, baselineDf, column, bins, "KS")._1, bins, column)
+
+  /** The binned-CDF walk shared by the two-DataFrame and split KS faces. */
+  private def ksOf(joined: Array[(Int, Double, Double)], bins: Int, column: String): Ks = {
     val totC = joined.map(_._2).sum
     val totB = joined.map(_._3).sum
     require(totC > 0 && totB > 0,
@@ -321,12 +405,19 @@ object Drift {
   def wasserstein(current: DataFrame, baselineDf: DataFrame, column: String,
                   bins: Int = 50): Wasserstein = {
     val (joined, span) = binnedJoint(current, baselineDf, column, bins, "W1")
+    wassersteinOf(joined, span, bins, column)
+  }
+
+  /** The densified L1 CDF walk shared by the two-DataFrame and split W₁
+    * faces: bins empty on BOTH sides still contribute |cdf gap| · width
+    * to the sum (unlike KS's max, which a constant-cdf gap never moves).
+    */
+  private def wassersteinOf(joined: Array[(Int, Double, Double)], span: Double,
+                            bins: Int, column: String): Wasserstein = {
     val totC = joined.map(_._2).sum
     val totB = joined.map(_._3).sum
     require(totC > 0 && totB > 0,
       s"no numeric values for W1 on '$column' (current=$totC, baseline=$totB rows)")
-    // densify: bins empty on BOTH sides still contribute |cdf gap| · width
-    // to the L1 sum (unlike KS's max, which a constant-cdf gap never moves)
     val c = Array.fill(bins)(0.0); val b = Array.fill(bins)(0.0)
     joined.foreach { case (i, cv, bv) => c(i) = cv; b(i) = bv }
     var cc = 0.0; var cb = 0.0; var w = 0.0

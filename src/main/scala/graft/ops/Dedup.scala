@@ -103,14 +103,23 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, minJ: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    val index = df.select(col(idCol).as("id"), explode(shingleHashes(col(textCol), n)).as("key"))
-      .distinct()
-    indexPairs(index, maxDf)
+    // `idCol` is treated as a KEY (one row per id — every caller's corpus
+    // shape): per-row array_distinct then yields exactly the distinct
+    // (id, shingle) index the old `.distinct()` built, minus its full
+    // exchange. The persist is the same lifecycle as winnowClonePairs —
+    // the scaffold consumes the index three times and without the cache
+    // (or the removed exchange) the corpus would re-shingle per consumer.
+    val index = df.select(col(idCol).as("id"),
+      explode(array_distinct(shingleHashes(col(textCol), n))).as("key")).persist()
+    val scored = indexPairs(index, maxDf)
       .withColumn("jaccard",
         round(col("shared").cast("double") /
           (col("sz_a") + col("sz_b") - col("shared")), 6))
       .where(col("jaccard") >= minJ)
       .select("id_a", "id_b", "jaccard")
+    val result = barrier(scored)
+    index.unpersist()
+    result
   }
 
   /** Shared inverted-index pair scaffold for the set-similarity ops: a
@@ -551,12 +560,51 @@ object Dedup {
                           maxIter: Int = 25): DataFrame =
     connectedComponentsWithRounds(pairs, aCol, bCol, maxIter)._1
 
+  /** Spark conf key bounding the driver-side small-graph fast path of
+    * [[connectedComponents]]: edge sets at or below this size are solved
+    * with one driver union-find pass instead of O(log n) distributed
+    * large/small-star rounds. Each round costs several scheduled jobs plus
+    * a lineage-cutting checkpoint, so on a small pair graph (the common
+    * output of banded near-dup search after its own df/band bounds) the
+    * rounds are pure fixed overhead — guide §1.2: fix the distributed
+    * algorithm's constant factors before per-task work. 0 disables the
+    * fast path. The default (2M edges ≈ 32 MB of longs) is a bounded,
+    * dimension-sized collect — the same class as a broadcast build side,
+    * far under any driver limit; graphs past it take the distributed
+    * rounds unchanged.
+    */
+  val DriverCcMaxEdgesKey = "spark.graft.ccDriverMaxEdges"
+  private val DriverCcMaxEdgesDefault = 2000000L
+
+  /** Driver union-find over a collected edge list: labels every id with the
+    * min id of its component — bit-identical to the distributed fixpoint.
+    */
+  private def unionFindLabels(ids: Array[Long],
+                              edgeList: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long](ids.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    edgeList.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    // component label = min member id; roots carry the min because unions
+    // always attach the larger root under the smaller one
+    ids.toSeq.map(id => id -> find(id))
+  }
+
   /** [[connectedComponents]] plus the number of large+small-star rounds it
     * took — exposed so tests can assert the O(log n) bound.
     */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
     val allIds = barrier(pairs.select(col(aCol).as("id"))
       .unionByName(pairs.select(col(bCol).as("id")))
       .distinct())
@@ -564,6 +612,19 @@ object Dedup {
       .where(col("u") =!= col("v"))
       .distinct())
     var edgeCount = edges.count()
+    // small-graph fast path: both counts are cheap (the frames are already
+    // materialized by the barriers), the collects are bounded by the conf'd
+    // threshold, and the union-find result is the identical min-label map
+    val ccThreshold = spark.conf.getOption(DriverCcMaxEdgesKey)
+      .map(_.trim.toLong).getOrElse(DriverCcMaxEdgesDefault)
+    val longIds = edges.schema.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longIds && edgeCount <= ccThreshold && allIds.count() <= 2 * ccThreshold + 2) {
+      val ids = allIds.collect().map(_.getLong(0))
+      val edgeList = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      import spark.implicits._
+      return (unionFindLabels(ids, edgeList).toDF("id", "cluster"), 0)
+    }
     var converged = edgeCount == 0L
     var i = 0
     while (!converged && i < maxIter) {

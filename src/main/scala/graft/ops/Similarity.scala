@@ -55,15 +55,28 @@ object Similarity {
     * — ONE dim-sized aggregation, collected like a query vector.
     */
   def sqTrain(df: DataFrame, vecCol: String,
-              trainFraction: Double = 1.0, idCol: String = ""): Seq[(Double, Double)] = {
+              trainFraction: Double = 1.0, idCol: String = "",
+              dim: Int = -1): Seq[(Double, Double)] = {
     require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction in (0, 1]")
     require(trainFraction >= 1.0 || idCol.nonEmpty,
       "sqTrain: idCol is required when trainFraction < 1 (the sample keys on it)")
     val base = if (trainFraction >= 1.0) df
       else df.where(sampleKey(col(idCol)) < lit(sampleThreshold(trainFraction)))
-    base.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
-      .groupBy("pos").agg(round(min("x"), 6).as("lo"), round(max("x"), 6).as("hi"))
-      .orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    if (dim > 0) {
+      // known dimensionality: ONE map-side-combined aggregation of 2·dim
+      // min/max columns — no row explosion, no shuffle of dim× the corpus,
+      // no sort. min/max are order-independent, so the bounds are exactly
+      // the posexplode path's.
+      val v = toDouble(col(vecCol))
+      val aggs = (0 until dim).flatMap(i => Seq(
+        round(min(element_at(v, i + 1)), 6).as(s"lo_$i"),
+        round(max(element_at(v, i + 1)), 6).as(s"hi_$i")))
+      val r = base.agg(aggs.head, aggs.tail: _*).head()
+      (0 until dim).map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+    } else
+      base.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+        .groupBy("pos").agg(round(min("x"), 6).as("lo"), round(max("x"), 6).as("hi"))
+        .orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
   }
 
   /** int8 codes: code_i = round(clip((x_i − lo_i)/(hi_i − lo_i), 0, 1)·255);
@@ -231,7 +244,7 @@ object Similarity {
     }
 
   private def ivfIndexWithCents(df: DataFrame, idCol: String, vecCol: String, k: Int,
-                                rounds: Int, trainFraction: Double)
+                                rounds: Int, trainFraction: Double, dim: Int = -1)
       : (DataFrame, DataFrame, Seq[(Int, Seq[Double])]) = {
     require(rounds >= 1, "ivfIndex needs at least one Lloyd round")
     require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction in (0, 1]")
@@ -249,13 +262,16 @@ object Similarity {
     // (skipped by array_max / sorted last by the oracle) instead of an ANSI
     // DIVIDE_BY_ZERO throw.
     def argmaxCluster(cents: Seq[(Int, Seq[Double])]): Column = {
+      // ONE centroid-matrix literal + one zip_with lambda instead of K
+      // unrolled cosine subtrees: the per-row arithmetic (and its fold
+      // order — dot is the same left fold, centroid norms still fold
+      // left-to-right on the driver) is unchanged, but the expression tree
+      // shrinks ~K×, which is what analysis/codegen time scales with
+      val mat = typedLit(cents.map(_._2))
+      val ncs = array(cents.map { case (_, cv) =>
+        lit(math.sqrt(cv.map(x => x * x).sum)) }: _*)
       val cosArr = ColUtil.letBound(norm(col("v")))(nv =>
-        array(cents.map { case (_, cv) =>
-          // centroid norm folds left-to-right on the driver — the same
-          // double the distributed fold (and the oracle's list_reduce) yields
-          val nc = math.sqrt(cv.map(x => x * x).sum)
-          try_divide(dot(col("v"), array(cv.map(lit): _*)), nv * lit(nc))
-        }: _*))
+        zip_with(mat, ncs, (cv, nc) => try_divide(dot(col("v"), cv), nv * nc)))
       val ids = array(cents.map(c => lit(c._1)): _*)
       element_at(ids, array_position(cosArr, array_max(cosArr)).cast("int"))
     }
@@ -264,12 +280,21 @@ object Similarity {
     var centroids: DataFrame = null
     var lastCents: Seq[(Int, Seq[Double])] = Nil
     (0 until rounds).foreach { _ =>
-      centroids = assignT
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
-        .groupBy("cluster")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+      centroids =
+        if (dim > 0)
+          // known dimensionality: ONE map-side-combined aggregation of dim
+          // per-dimension means replaces posexplode (dim× the training rows)
+          // + two chained groupBys + a per-group sort. Same per-dimension
+          // values through the shared round(·, 6) contract (summation order
+          // was already partition-dependent in the exploded form).
+          assignT.groupBy("cluster").agg(array((0 until dim).map(i =>
+            round(avg(element_at(col("v"), i + 1)), 6)): _*).as("centroid"))
+        else assignT
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos").agg(round(avg("x"), 6).as("m"))
+          .groupBy("cluster")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("centroid"))
       // K×dim doubles — a dimension-sized collect (same class as a query
       // vector)
       val cents: Seq[(Int, Seq[Double])] = centroids.collect()
@@ -304,7 +329,7 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, query: Seq[Double],
               topK: Int, k: Int, nprobe: Int, trainFraction: Double = 1.0): DataFrame = {
     val (assign, _, cents) =
-      ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1, trainFraction)
+      ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1, trainFraction, dim = query.size)
     val q = array(query.map(lit): _*)
     val probed = probeClusters(cents, query, nprobe)
     assign.where(col("cluster").isin(probed: _*))
@@ -323,7 +348,7 @@ object Similarity {
                 topK: Int, k: Int, nprobe: Int, bounds: Seq[(Double, Double)],
                 trainFraction: Double = 1.0): DataFrame = {
     val (assign, _, cents) =
-      ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1, trainFraction)
+      ivfIndexWithCents(df, idCol, vecCol, k, rounds = 1, trainFraction, dim = query.size)
     val indexed = assign.select(col("id"), col("cluster"),
       sqEncode(col("v"), bounds).as("codes"))
     val probed = probeClusters(cents, query, nprobe)
@@ -347,14 +372,22 @@ object Similarity {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, minCos: Double, dim: Int): DataFrame = {
+    // persist + barrier lifecycle as in Dedup.minHashPairs: the bucketed
+    // projection is map-only (no exchange for ReuseExchange to dedup), so
+    // without the cache both self-join sides would recompute the
+    // interpreted lshBucket fold (NumPlanes × dim per row) over the corpus
     val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
         toDouble(col(vecCol)).as("v"))
       .withColumn("bucket", lshBucket(col("v"), dim))
-    v.as("a").join(v.as("b"),
+      .persist()
+    val pairs = v.as("a").join(v.as("b"),
         col("a.blk") === col("b.blk") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(cosine(col("a.v"), col("b.v")), 5).as("cos"))
       .where(col("cos") >= minCos)
+    val result = Dedup.barrier(pairs)
+    v.unpersist()
+    result
   }
 }

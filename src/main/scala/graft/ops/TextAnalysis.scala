@@ -178,23 +178,27 @@ object TextAnalysis {
     val wc = df.where(col(textCol).isNotNull)
       .select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
-    wc.persist()
-    try {
-      val n = wc.agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
-      // the vocab is dimension-sized by contract (it broadcasts into
-      // crossEntropy), so materialize it and release the cached corpus-
-      // scale word counts before returning — a lazily-dependent return
-      // value would pin the cache for the session's lifetime
-      val kept = wc.where(col("c") >= minCount).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      val den = (n + kept.length + 1).toDouble // + the OOV bucket
-      val sp = df.sparkSession
-      import sp.implicits._
-      val withLogp = kept.toSeq.toDF("word", "c")
-        .select(col("word"),
-          log((col("c") + lit(1L)).cast("double") / lit(den)).as("logp"))
-      (withLogp, math.log(1.0 / den))
-    } finally { wc.unpersist(); () }
+    // ONE job: the total token count (over ALL words, rare included) and
+    // the kept vocabulary ride the same aggregation — collect_list skips
+    // the nulls `when` leaves on sub-minCount words. Replaces the previous
+    // persist + two actions (sum, then filtered collect) over the cached
+    // word counts; the vocab is dimension-sized by contract (it broadcasts
+    // into crossEntropy) so the single-row collect is the same driver load
+    // the old collect carried.
+    val row = wc.agg(
+      coalesce(sum("c"), lit(0L)).as("n"),
+      collect_list(when(col("c") >= minCount,
+        struct(col("word"), col("c")))).as("kept")).head()
+    val n = row.getLong(0)
+    val kept = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val den = (n + kept.length + 1).toDouble // + the OOV bucket
+    val sp = df.sparkSession
+    import sp.implicits._
+    val withLogp = kept.toSeq.toDF("word", "c")
+      .select(col("word"),
+        log((col("c") + lit(1L)).cast("double") / lit(den)).as("logp"))
+    (withLogp, math.log(1.0 / den))
   }
 
   /** Per-doc cross-entropy (nats/token) under the model: explode words,

@@ -141,10 +141,14 @@ object TrainingMix {
   def contaminatedDocs(corpus: DataFrame, idCol: String, textCol: String,
                        benchmark: DataFrame, benchTextCol: String,
                        n: Int = 13, minHits: Long = 2): DataFrame = {
+    // `idCol` is treated as a KEY (one corpus row per id): per-row
+    // array_distinct yields the same distinct (id, shingle) index as a
+    // post-explode `.distinct()`, minus its full corpus-index exchange
     val corpusSh = corpus.select(col(idCol).as("id"),
-        explode(Dedup.shingleHashes(col(textCol), n)).as("sh")).distinct()
+        explode(array_distinct(Dedup.shingleHashes(col(textCol), n))).as("sh"))
     val benchSh = benchmark.select(
-        explode(Dedup.shingleHashes(col(benchTextCol), n)).as("sh")).distinct()
+        explode(array_distinct(Dedup.shingleHashes(col(benchTextCol), n))).as("sh"))
+      .distinct()
     corpusSh.join(broadcast(benchSh), Seq("sh"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
       .where(col("n_hits") >= minHits)

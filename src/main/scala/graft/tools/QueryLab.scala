@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round workbench (guide §1): per-query timing with the SAME
+  * session config + action as graft.Bench (count, cold then warm), plus an
+  * optional noop-sink run (§1.4 — forces every column) and a formatted-plan
+  * dump for the plans/r06 evidence files.
+  *
+  * Usage: QueryLab [--explain DIR SUFFIX] [--noop] [--reps N] [q...|all]
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (bench parity).
+  */
+object QueryLab {
+  def main(args: Array[String]): Unit = {
+    var explainDir: Option[String] = None
+    var suffix = "now"
+    var noop = false
+    var reps = 1
+    val names = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--explain" => explainDir = Some(args(i + 1)); suffix = args(i + 2); i += 3
+        case "--noop" => noop = true; i += 1
+        case "--reps" => reps = args(i + 1).toInt; i += 2
+        case q => names += q; i += 1
+      }
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-querylab")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val all = SparkEntry.queries
+    val picked =
+      if (names.isEmpty || names.contains("all")) all.toSeq.sortBy(_._1)
+      else names.toSeq.map(n => n -> all(n))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    // one warm-up action so the first query doesn't absorb JVM/codegen start
+    try all("q1_agg")(spark, sfDir).count()
+    catch { case e: Throwable => System.err.println(s"[lab] warmup: ${e.getMessage}") }
+
+    picked.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(name)
+      explainDir.foreach { dir =>
+        val txt = fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val p = java.nio.file.Paths.get(dir, s"${name}_$suffix.txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
+      }
+      val cold = time { fn(spark, sfDir).count() }
+      val warms = (1 to reps).map(_ => time { fn(spark, sfDir).count() })
+      val noopS = if (noop) time {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } else -1.0
+      println(f"[lab] $name%-24s cold $cold%7.3f warm ${warms.min}%7.3f" +
+        (if (noop) f" noop $noopS%7.3f" else ""))
+      spark.sparkContext.setJobDescription(null)
+    }
+    spark.stop()
+  }
+}

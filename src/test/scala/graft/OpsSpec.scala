@@ -366,14 +366,36 @@ class OpsSpec extends SparkSpec {
     assert(got(21L) === 20L)
   }
 
+  test("connected components: driver fast path == distributed rounds on a random graph") {
+    // random-ish deterministic graph with chains, triangles, isolates and a
+    // self-loop participant; the driver union-find (default conf) and the
+    // large/small-star fixpoint (conf=0) must label identically
+    val pairs = spark.range(400).selectExpr(
+      "id AS id_a", "(id * 37 % 211) AS id_b")
+      .union(Seq((500L, 500L)).toDF("id_a", "id_b")) // self-loop: id labels itself
+    val fast = graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set(graft.ops.Dedup.DriverCcMaxEdgesKey, "0")
+    val dist =
+      try graft.ops.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset(graft.ops.Dedup.DriverCcMaxEdgesKey)
+    assert(fast === dist)
+    assert(fast(500L) === 500L)
+  }
+
   test("connected components: 10k-node path graph converges in O(log n) rounds") {
     // adversarial chain 0-1-2-…-9999: diameter 9999, the shape that made
     // min-label propagation take diameter rounds; large-star/small-star
     // must finish in ≤ 2·log₂(n) alternation rounds with the same clusters
     val n = 10000
     val pairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    // pin the conf so the DISTRIBUTED rounds are what this test measures —
+    // the driver fast path would solve 10k edges in 0 rounds
+    spark.conf.set(graft.ops.Dedup.DriverCcMaxEdgesKey, "0")
     val (labels, rounds) =
-      graft.ops.Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+      try graft.ops.Dedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+      finally spark.conf.unset(graft.ops.Dedup.DriverCcMaxEdgesKey)
     val maxRounds = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
     info(s"converged in $rounds large+small-star rounds (bound $maxRounds)")
     assert(rounds <= maxRounds, s"took $rounds rounds, bound $maxRounds")
