@@ -299,9 +299,8 @@ object QueriesPipeline {
     // codes. The oracle replays train → encode → decode → cosine.
     "q_ann_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = queryVec(s, dir)
-      Similarity.sqTopK(emb, "vec_id", "embedding", q, k = 5,
-        Similarity.sqTrain(emb, "embedding", dim = q.size))
+      Similarity.sqTopK(emb, "vec_id", "embedding", queryVec(s, dir), k = 5,
+        Similarity.sqTrain(emb, "embedding"))
     }),
 
     // similarity: LSH-bucketed ANN (query scans only its own bucket)
@@ -325,10 +324,8 @@ object QueriesPipeline {
     // oracle replays coarse training, assignment, codec, and probe.
     "q_ann_ivf_sq8" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val q = queryVec(s, dir)
-      Similarity.ivfSqTopK(emb, "vec_id", "embedding", q,
-        topK = 5, k = 8, nprobe = 3,
-        Similarity.sqTrain(emb, "embedding", dim = q.size),
+      Similarity.ivfSqTopK(emb, "vec_id", "embedding", queryVec(s, dir),
+        topK = 5, k = 8, nprobe = 3, Similarity.sqTrain(emb, "embedding"),
         trainFraction = IvfTrainFraction)
     }),
 

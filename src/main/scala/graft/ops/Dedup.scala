@@ -107,36 +107,50 @@ object Dedup {
     // shape): per-row array_distinct then yields exactly the distinct
     // (id, shingle) index the old `.distinct()` built, minus its full
     // exchange. The persist is the same lifecycle as winnowClonePairs —
-    // the scaffold consumes the index three times and without the cache
-    // (or the removed exchange) the corpus would re-shingle per consumer.
-    val index = df.select(col(idCol).as("id"),
-      explode(array_distinct(shingleHashes(col(textCol), n))).as("key")).persist()
-    val scored = indexPairs(index, maxDf)
+    // the scaffold consumes the sets several times and without the cache
+    // the corpus would re-shingle per consumer.
+    val sets = df.select(col(idCol).as("id"),
+      array_distinct(shingleHashes(col(textCol), n)).as("keys")).persist()
+    val scored = indexPairsFromSets(sets, maxDf)
       .withColumn("jaccard",
         round(col("shared").cast("double") /
           (col("sz_a") + col("sz_b") - col("shared")), 6))
       .where(col("jaccard") >= minJ)
       .select("id_a", "id_b", "jaccard")
     val result = barrier(scored)
-    index.unpersist()
+    sets.unpersist()
     result
   }
 
-  /** Shared inverted-index pair scaffold for the set-similarity ops: a
-    * DISTINCT (id, key) index → document-frequency cutoff (the scale guard
-    * documented at [[jaccardPairs]]: a key in d docs emits d² join rows) →
-    * per-doc rare-key sizes → `a.id < b.id` self-join on the key →
-    * `(id_a, id_b, shared, sz_a, sz_b)`. Both [[jaccardPairs]] and
-    * [[winnowClonePairs]] build on it; only the score formula differs.
-    * The rare index is consumed three times (sizes + both self-join sides);
-    * the identical exchanges are deduplicated by Catalyst ReuseExchange, no
-    * persist needed.
+  /** Shared inverted-index pair scaffold for the set-similarity ops, fed by
+    * per-row key SETS `(id, keys array<bigint>, distinct within the row; id
+    * is a key)`: document-frequency cutoff (the scale guard documented at
+    * [[jaccardPairs]]: a key in d docs emits d² join rows) → `a.id < b.id`
+    * self-join on the key → `(id_a, id_b, shared, sz_a, sz_b)`. Both
+    * [[jaccardPairs]] and [[winnowClonePairs]] build on it; only the score
+    * formula differs.
+    *
+    * r6 shape (guide §2.3/§2.4 — shuffle fewer bytes, remove shuffles):
+    * the cutoff is an ANTI join against the STOP-key set (keys with
+    * df > maxDf — bounded by indexRows/maxDf, ≪ the rare-key set the old
+    * semi join carried, broadcastable in practice), and per-doc rare sizes
+    * are `size(keys) − stop hits` — map-side from the cached sets plus a
+    * stop-hit count whose volume is proportional to stop-key OCCURRENCES,
+    * not the index. This removes the full index-by-id sizes shuffle and
+    * turns the index-by-key cutoff join map-only whenever the stop set
+    * broadcasts; the unavoidable token-sized exchanges that remain are the
+    * df count and the pair self-join.
     */
-  private[graft] def indexPairs(index: DataFrame, maxDf: Int): DataFrame = {
-    val rare = index.groupBy("key").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("key")
-    val keyed = index.join(rare, Seq("key"), "left_semi")
-    val sizes = keyed.groupBy("id").agg(count(lit(1)).as("sz"))
+  private[graft] def indexPairsFromSets(sets: DataFrame, maxDf: Int): DataFrame = {
+    val index = sets.select(col("id"), explode(col("keys")).as("key"))
+    val stop = index.groupBy("key").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select("key")
+    val keyed = index.join(stop, Seq("key"), "left_anti")
+    val stopHits = index.join(stop, Seq("key"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("nstop"))
+    val sizes = sets.select(col("id"), size(col("keys")).cast("long").as("n"))
+      .join(stopHits, Seq("id"), "left_outer")
+      .select(col("id"), (col("n") - coalesce(col("nstop"), lit(0L))).as("sz"))
     val inter = keyed.as("a").join(keyed.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -302,23 +316,21 @@ object Dedup {
   def winnowClonePairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = WinnowK, w: Int = WinnowW,
                        minOverlap: Double = 0.5, maxDf: Int = 1000): DataFrame = {
-    // persist the index, unlike jaccardPairs: that index ends in
-    // distinct(), whose exchange ReuseExchange dedups across the
-    // scaffold's consumers; this one is map-only (fingerprint sets are
-    // distinct per doc already), so without the cache the corpus would
-    // re-fingerprint once per consumer (measured 3× on WinnowProbe). Same
+    // persist the per-row fingerprint SETS (distinct per doc by
+    // construction): without the cache the corpus would re-fingerprint
+    // once per scaffold consumer (measured 3× on WinnowProbe). Same
     // lifecycle as minHashPairs: eagerly barrier the (small) pair result,
-    // then RELEASE the big thin index instead of pinning it for the
+    // then RELEASE the cached sets instead of pinning them for the
     // session.
-    val index = df.select(col(idCol).as("id"),
-      explode(winnowFingerprints(col(textCol), k, w)).as("key")).persist()
-    val scored = indexPairs(index, maxDf)
+    val sets = df.select(col(idCol).as("id"),
+      winnowFingerprints(col(textCol), k, w).as("keys")).persist()
+    val scored = indexPairsFromSets(sets, maxDf)
       .withColumn("overlap", round(col("shared").cast("double") /
         least(col("sz_a"), col("sz_b")), 6))
       .where(col("overlap") >= minOverlap)
       .select("id_a", "id_b", "shared", "overlap")
     val result = barrier(scored)
-    index.unpersist()
+    sets.unpersist()
     result
   }
 
@@ -526,15 +538,18 @@ object Dedup {
     val banded = sigs.select(col("id"), col("simhash"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // hamming is computed and filtered BEFORE the duplicate-band distinct:
+    // bit_count is per-row-cheap, every band copy of a pair carries the
+    // same hamming, and filtering first shrinks the distinct's shuffle to
+    // the surviving pairs (guide §2.3: shuffle fewer bytes)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long")
+          .as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
     val result = barrier(pairs)
     sigs.unpersist()
     result

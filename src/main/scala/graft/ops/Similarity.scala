@@ -55,28 +55,20 @@ object Similarity {
     * — ONE dim-sized aggregation, collected like a query vector.
     */
   def sqTrain(df: DataFrame, vecCol: String,
-              trainFraction: Double = 1.0, idCol: String = "",
-              dim: Int = -1): Seq[(Double, Double)] = {
+              trainFraction: Double = 1.0, idCol: String = ""): Seq[(Double, Double)] = {
     require(trainFraction > 0.0 && trainFraction <= 1.0, "trainFraction in (0, 1]")
     require(trainFraction >= 1.0 || idCol.nonEmpty,
       "sqTrain: idCol is required when trainFraction < 1 (the sample keys on it)")
     val base = if (trainFraction >= 1.0) df
       else df.where(sampleKey(col(idCol)) < lit(sampleThreshold(trainFraction)))
-    if (dim > 0) {
-      // known dimensionality: ONE map-side-combined aggregation of 2·dim
-      // min/max columns — no row explosion, no shuffle of dim× the corpus,
-      // no sort. min/max are order-independent, so the bounds are exactly
-      // the posexplode path's.
-      val v = toDouble(col(vecCol))
-      val aggs = (0 until dim).flatMap(i => Seq(
-        round(min(element_at(v, i + 1)), 6).as(s"lo_$i"),
-        round(max(element_at(v, i + 1)), 6).as(s"hi_$i")))
-      val r = base.agg(aggs.head, aggs.tail: _*).head()
-      (0 until dim).map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
-    } else
-      base.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
-        .groupBy("pos").agg(round(min("x"), 6).as("lo"), round(max("x"), 6).as("hi"))
-        .orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    // NOTE (r6 measurement): a dim-wide single aggregation (2·dim min/max
+    // columns, no posexplode) was tried and measured SLOWER warm than this
+    // form at bench scale — the optimizer/codegen cost of 2·dim expression
+    // trees exceeds the exploded rows' map-side-combined aggregation, and
+    // at scale both are one scan with ≤dim-row shuffles. Kept as-is.
+    base.select(posexplode(toDouble(col(vecCol))).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(min("x"), 6).as("lo"), round(max("x"), 6).as("hi"))
+      .orderBy("pos").collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
   }
 
   /** int8 codes: code_i = round(clip((x_i − lo_i)/(hi_i − lo_i), 0, 1)·255);

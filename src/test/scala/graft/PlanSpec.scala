@@ -193,9 +193,9 @@ class PlanSpec extends SparkSpec {
     // the clone-pair join must key on the fingerprint, never rejoin text:
     // inspect the UN-barriered scaffold (winnowClonePairs itself returns an
     // eagerly-materialized barrier, whose plan is an opaque LogicalRDD)
-    val index = df.select(col("path").as("id"),
-      explode(graft.ops.Dedup.winnowFingerprints(col("content"))).as("key"))
-    val p3 = plan(graft.ops.Dedup.indexPairs(index, maxDf = 1000))
+    val sets = df.select(col("path").as("id"),
+      graft.ops.Dedup.winnowFingerprints(col("content")).as("keys"))
+    val p3 = plan(graft.ops.Dedup.indexPairsFromSets(sets, maxDf = 1000))
     val joinLines = p3.linesIterator.filter(l =>
       l.contains("HashJoin") || l.contains("SortMergeJoin")).mkString
     assert(!joinLines.contains("content"), s"a pair join keys on text:\n$joinLines")
