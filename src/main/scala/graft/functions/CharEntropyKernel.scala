@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass run-length Σ cnt·ln(cnt) over the sorted codepoints of a string
+  * — the heavy half of [[graft.ops.TextAnalysis.charEntropy]]'s
+  * H = ln n − (Σ cnt·ln cnt)/n identity.
+  *
+  * The HOF face (`array_sort(chars(c))` + `aggregate` with a struct
+  * accumulator) is the SQL-replayable oracle but evaluates outside
+  * whole-stage codegen AND is quadratic per row: `chars` is
+  * `transform(sequence(1, length), i -> ascii(substr(c, i, 1)))`, and
+  * `substr(c, i, 1)` re-scans the string from the start for every i.
+  * This kernel decodes the UTF-8 codepoints in ONE linear pass (the
+  * [[TokenKernel]] decode contract — `ascii(substr(c, i, 1))` semantics,
+  * malformed bytes consume one byte deterministically), sorts the
+  * codepoint array, and folds the runs exactly like the HOF's
+  * ascending-order fold: per run of length r, `acc += r * Math.log(r)`,
+  * runs visited in ascending codepoint order — the identical sequence of
+  * double additions (Spark's `log` Column is `scala.math.log` =
+  * `Math.log`), so the result is bit-identical, not just close.
+  *
+  * Null text propagates null (UnaryExpression's default).
+  */
+case class CharEntropyRunLogSum(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    CharEntropyKernel.runLogSum(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropyKernel.runLogSum($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyRunLogSum =
+    copy(newChild)
+}
+
+object CharEntropyKernel {
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval.
+    *
+    * Codepoint decode mirrors [[TokenKernel]]'s (and therefore the
+    * `ascii(substr(c, i, 1))` HOF face's) semantics byte for byte; each
+    * decoded codepoint consumes ≥ 1 byte, so `numBytes` bounds the array.
+    */
+  def runLogSum(s: UTF8String): Double = {
+    val n = s.numBytes
+    val cps = new Array[Int](n)
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      var cp = 0
+      if ((b & 0x80) == 0) { cp = b; i += 1 }
+      else if ((b & 0xE0) == 0xC0 && i + 1 < n) {
+        cp = ((b & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); i += 2
+      } else if ((b & 0xF0) == 0xE0 && i + 2 < n) {
+        cp = ((b & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); i += 3
+      } else if ((b & 0xF8) == 0xF0 && i + 3 < n) {
+        cp = ((b & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); i += 4
+      } else { // malformed: stable single-byte fallback, never out-of-bounds
+        cp = b & 0xFF; i += 1
+      }
+      cps(cnt) = cp
+      cnt += 1
+    }
+    java.util.Arrays.sort(cps, 0, cnt)
+    var acc = 0.0
+    var j = 0
+    while (j < cnt) {
+      var k = j + 1
+      while (k < cnt && cps(k) == cps(j)) k += 1
+      val run = (k - j).toDouble
+      acc += run * Math.log(run)
+      j = k
+    }
+    acc
+  }
+
+  /** Σ cnt·ln(cnt) as a Column (double; null on null text). */
+  def runLogSumCol(text: Column): Column =
+    GraftExpressionBridge.column(
+      CharEntropyRunLogSum(GraftExpressionBridge.expression(text)))
+}

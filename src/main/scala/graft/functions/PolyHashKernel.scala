@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole-string polynomial rolling hash `(acc*31 + codepoint) mod 1e9+7`
+  * — the kernel face of [[graft.ops.TextAnalysis.polyHash]] (the document
+  * fingerprint).
+  *
+  * The HOF face (`aggregate(chars(c), 0L, (acc, x) -> (acc*31 + x) % P)`)
+  * is the SQL-replayable oracle but is quadratic per row (`chars` calls
+  * `substr(c, i, 1)` for every i, each an O(i) scan) and evaluates its
+  * lambda interpreted. The kernel is [[TokenKernel.wordHash]] applied to
+  * the whole byte range — one linear pass, pure long arithmetic, so
+  * equality with the HOF face is exact by construction (same decode, same
+  * fold, no floating point). Null text propagates null.
+  */
+case class PolyHashWhole(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    PolyHashKernel.hash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHashKernel.hash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashWhole =
+    copy(newChild)
+}
+
+object PolyHashKernel {
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def hash(s: UTF8String): Long = TokenKernel.wholeHash(s)
+
+  /** polyHash(text) as a Column (bigint; null on null text). */
+  def hashCol(text: Column): Column =
+    GraftExpressionBridge.column(PolyHashWhole(GraftExpressionBridge.expression(text)))
+}

@@ -122,6 +122,12 @@ private[functions] object TokenKernel {
     emit(wordHash(s, start, hi)) // final part; "" for empty/trailing-run input
     (wh, nw)
   }
+
+  /** polyHash of the WHOLE string (no trim, no split) — the
+    * [[PolyHashKernel]] face of `TextAnalysis.polyHash`.
+    */
+  private[functions] def wholeHash(s: UTF8String): Long =
+    wordHash(s, 0, s.numBytes)
 }
 
 object WinnowFingerprints {

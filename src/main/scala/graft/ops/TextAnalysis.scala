@@ -74,8 +74,13 @@ object TextAnalysis {
     round(least(nWords(c).cast("double") / 100.0, lit(1.0)) * 0.5 +
       try_divide(regexp_count(c, lit("[A-Za-z]")).cast("double"), length(c)) * 0.5, 6)
 
-  /** Document fingerprint: the rolling hash of the whole text. */
-  def fingerprint(c: Column): Column = polyHash(c)
+  /** Document fingerprint: the rolling hash of the whole text — kernel
+    * face ([[graft.functions.PolyHashKernel]]: one linear codepoint pass
+    * inside whole-stage codegen). [[polyHash]] is the SQL-replayable HOF
+    * face; OpsSpec asserts kernel == HOF on random unicode. Exact long
+    * arithmetic — the two faces are equal by construction.
+    */
+  def fingerprint(c: Column): Column = graft.functions.PolyHashKernel.hashCol(c)
 
   /** Shannon entropy (nats) of the character distribution — the classic
     * gibberish/binary detector of a text-quality pipeline. Uses the identity
@@ -84,7 +89,18 @@ object TextAnalysis {
     * adjacent after array_sort, one O(n log n) pass per row, zero shuffle.
     * Null for empty documents.
     */
-  def charEntropy(c: Column): Column = {
+  def charEntropy(c: Column): Column =
+    entropyFromRunLogSum(c, graft.functions.CharEntropyKernel.runLogSumCol(c))
+
+  /** The HOF face of [[charEntropy]] — the SQL-replayable oracle
+    * formulation the kernel must match bit for bit (OpsSpec asserts
+    * kernel == HOF on random unicode: the kernel folds the identical
+    * ascending-codepoint run sequence with the identical `Math.log`
+    * arithmetic, so the doubles are equal, not just close). Quadratic per
+    * row (`chars`'s substr(i, 1) re-scans per position) and interpreted —
+    * kept for oracle replay only.
+    */
+  def charEntropyHof(c: Column): Column = {
     val sorted = array_sort(chars(c))
     val runLogSum = aggregate(
       sorted,
@@ -99,6 +115,11 @@ object TextAnalysis {
       },
       a => a.getField("acc") + when(a.getField("run") > 0,
         a.getField("run") * log(a.getField("run"))).otherwise(lit(0.0)))
+    entropyFromRunLogSum(c, runLogSum)
+  }
+
+  /** Shared tail of both entropy faces: H = ln n − runLogSum/n, 6 dp. */
+  private def entropyFromRunLogSum(c: Column, runLogSum: Column): Column = {
     val n = length(c).cast("double")
     when(n > 0, round(log(n) - runLogSum / n, 6)).otherwise(lit(null).cast("double"))
   }

@@ -192,6 +192,56 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("CharEntropy and PolyHash kernels == HOF faces on random unicode text") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.TextAnalysis
+    // multibyte (2/3-byte) and supplementary (4-byte) codepoints included:
+    // the kernels must reproduce ascii(substr(c, i, 1)) semantics exactly
+    val textGen: Gen[String] = Gen.oneOf(
+      Gen.listOfN(60, Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\n', '\t', '.',
+        'ü', 'é', '語', '日', '@', '∑')))
+        .map(_.mkString),
+      Gen.oneOf("", "a", "aa", "abcabc", "日本語 text ü", "😀 emoji 😀😀",
+        " mixed", "x" * 500, " \t\n ", null))
+    val rows = (0 until 300).map(i => (i.toLong, sample(textGen, 53L + i))).toSeq
+    val df = rows.toDF("id", "t")
+    val got = df.select(col("id"),
+        TextAnalysis.charEntropy(col("t")).as("ek"),
+        TextAnalysis.charEntropyHof(col("t")).as("eh"),
+        TextAnalysis.fingerprint(col("t")).as("fk"),
+        TextAnalysis.polyHash(col("t")).as("fh"))
+      .collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.isNullAt(1) === r.isNullAt(2), s"entropy nullability @id=$id")
+      if (!r.isNullAt(1))
+        assert(r.getDouble(1) === r.getDouble(2), s"entropy @id=$id")
+      assert(r.isNullAt(3) === r.isNullAt(4), s"polyhash nullability @id=$id")
+      if (!r.isNullAt(3))
+        assert(r.getLong(3) === r.getLong(4), s"polyhash @id=$id")
+    }
+    // independent JVM recompute of the kernel fold (valid unicode only)
+    rows.filter(_._2 != null).foreach { case (id, t) =>
+      val counts = t.codePoints().toArray.groupBy(identity).values.map(_.length)
+      val exp = counts.map(c => c.toDouble * math.log(c.toDouble)).sum
+      val gotSum = graft.functions.CharEntropyKernel.runLogSum(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      assert(math.abs(gotSum - exp) < 1e-9, s"runLogSum @id=$id")
+    }
+    // both kernels run inside whole-stage codegen (no fallback)
+    val p = df.select(TextAnalysis.charEntropy(col("t")),
+        TextAnalysis.fingerprint(col("t")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.toLowerCase.contains("charentropyrunlogsum"), p)
+    assert(p.toLowerCase.contains("polyhashwhole"), p)
+    assert(!p.contains("Fallback"), p)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(df.select(TextAnalysis.charEntropy(col("t")),
+      TextAnalysis.fingerprint(col("t"))).collect().length === rows.length)
+    finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("winnowing == JVM winnower and url canonicalization is idempotent on random inputs") {
     import org.apache.spark.sql.functions._
     import graft.ops.{Dedup, UrlAnalysis}
