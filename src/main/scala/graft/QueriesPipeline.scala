@@ -446,9 +446,16 @@ object QueriesPipeline {
     // recomputes both via unnest + GROUP BY, proving the fold against the
     // canonical relational formulation
     "q_repetition" -> ((s, dir) =>
+      // ONE WordRunStats kernel pass yields maxrun, distinct AND the token
+      // count (ntokens == size(words) by the shared tokenization contract,
+      // PropertySpec-pinned) — the separate wsTokenCount regex split is
+      // gone; repeated kernel references collapse via codegen CSE
       t(s, dir, "documents").where(col("text").isNotNull)
-        .withColumn("st", TextAnalysis.wordRunStats(col("text")))
-        .withColumn("n", TextAnalysis.wsTokenCount(col("text")).cast("long"))
+        .withColumn("wrs", graft.functions.WordRunStatsKernel.rawCol(col("text")))
+        .withColumn("st", struct(
+          element_at(col("wrs"), graft.functions.WordRunStatsKernel.MaxRun).as("maxrun"),
+          element_at(col("wrs"), graft.functions.WordRunStatsKernel.Distinct).as("distinct")))
+        .withColumn("n", element_at(col("wrs"), graft.functions.WordRunStatsKernel.NTokens))
         .select(col("doc_id"), col("n").as("n_words"),
           round((col("n") - col("st.distinct")).cast("double") / col("n"), 6)
             .as("dup_word_frac"),

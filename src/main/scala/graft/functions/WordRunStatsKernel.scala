@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row word-occurrence statistics `[maxrun, distinct]` — the kernel
+  * face of [[graft.ops.TextAnalysis.wordRunStats]] (the Gopher-style
+  * repetitive-document gates): `maxrun` = the highest occurrence count of
+  * any single word, `distinct` = the distinct-word count.
+  *
+  * The HOF face (`array_sort(words(c))` + `aggregate` with a struct
+  * accumulator) compares adjacent word STRINGS interpreted, once per
+  * token. Both outputs are order-free functions of the per-word counts,
+  * so the kernel skips the sort entirely: one pass tokenizes with the
+  * [[TokenKernel]] contract (`split(trim(c), "\\s+")` semantics — trim
+  * strips spaces only, separators are ASCII `\s+` runs, leading/trailing
+  * runs yield empty tokens, the empty string is one empty token) and
+  * counts occurrences in a hash map keyed on the word's UTF-8 bytes
+  * (byte equality == string equality for the valid UTF-8 parquet
+  * guarantees). Pure integer arithmetic — equal to the HOF face by
+  * construction, not approximately. Null text propagates null.
+  */
+case class WordRunStats(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    WordRunStatsKernel.stats(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordRunStatsKernel.stats($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordRunStats =
+    copy(newChild)
+}
+
+object WordRunStatsKernel {
+  /** Result slot indexes (1-based for element_at). */
+  val MaxRun = 1
+  val Distinct = 2
+  val NTokens = 3
+
+  private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def stats(s: UTF8String): ArrayData = {
+    // trim: spaces only (Spark's trim()), then \s+ split with leading/
+    // trailing/empty tokens — the TokenKernel tokenization contract
+    val bytes = s.getBytes
+    var lo = 0
+    var hi = bytes.length
+    while (lo < hi && bytes(lo) == ' ') lo += 1
+    while (hi > lo && bytes(hi - 1) == ' ') hi -= 1
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var maxRun = 0L
+    var nTokens = 0L
+    def emit(from: Int, until: Int): Unit = {
+      val w = new String(bytes, from, until - from,
+        java.nio.charset.StandardCharsets.UTF_8)
+      var c = counts.get(w)
+      if (c == null) { c = Array(0L); counts.put(w, c) }
+      c(0) += 1
+      nTokens += 1
+      if (c(0) > maxRun) maxRun = c(0)
+    }
+    var i = lo
+    var start = lo
+    while (i < hi) {
+      if (isWs(bytes(i))) {
+        emit(start, i)
+        while (i < hi && isWs(bytes(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    emit(start, hi) // final part; "" for empty/trailing-run input
+    new GenericArrayData(Array(maxRun, counts.size.toLong, nTokens))
+  }
+
+  /** struct(maxrun, distinct) as a Column (null on null text) — the shape
+    * [[graft.ops.TextAnalysis.wordRunStats]]'s consumers read.
+    */
+  def statsCol(text: Column): Column = {
+    import org.apache.spark.sql.functions.{element_at, struct, when}
+    graft.ops.ColUtil.letBound(rawCol(text))(b =>
+      when(b.isNotNull, struct(
+        element_at(b, MaxRun).as("maxrun"),
+        element_at(b, Distinct).as("distinct"))))
+  }
+
+  /** The raw [maxrun, distinct, ntokens] array (null on null text) — for
+    * consumers that also need the token count from the same pass
+    * (`ntokens` == `size(split(trim(c), "\\s+"))` by the shared
+    * tokenization contract).
+    */
+  def rawCol(text: Column): Column =
+    GraftExpressionBridge.column(
+      WordRunStats(GraftExpressionBridge.expression(text)))
+}

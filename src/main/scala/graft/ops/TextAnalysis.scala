@@ -133,7 +133,15 @@ object TextAnalysis {
     * alternative (explode → groupBy(doc, word)) shuffles every token of the
     * corpus at 100 TB; this never leaves the row.
     */
-  def wordRunStats(c: Column): Column = {
+  def wordRunStats(c: Column): Column =
+    graft.functions.WordRunStatsKernel.statsCol(c)
+
+  /** The HOF face of [[wordRunStats]] — the SQL-replayable oracle
+    * formulation the kernel must match exactly (pure integer outputs, so
+    * equality is exact; PropertySpec asserts kernel == HOF on random
+    * unicode). Interpreted per token — kept for oracle replay only.
+    */
+  def wordRunStatsHof(c: Column): Column = {
     val sorted = array_sort(words(c))
     aggregate(
       sorted,

@@ -209,7 +209,9 @@ class PropertySpec extends SparkSpec {
         TextAnalysis.charEntropy(col("t")).as("ek"),
         TextAnalysis.charEntropyHof(col("t")).as("eh"),
         TextAnalysis.fingerprint(col("t")).as("fk"),
-        TextAnalysis.polyHash(col("t")).as("fh"))
+        TextAnalysis.polyHash(col("t")).as("fh"),
+        TextAnalysis.wordRunStats(col("t")).as("wk"),
+        TextAnalysis.wordRunStatsHof(col("t")).as("wh"))
       .collect()
     got.foreach { r =>
       val id = r.getLong(0)
@@ -219,6 +221,23 @@ class PropertySpec extends SparkSpec {
       assert(r.isNullAt(3) === r.isNullAt(4), s"polyhash nullability @id=$id")
       if (!r.isNullAt(3))
         assert(r.getLong(3) === r.getLong(4), s"polyhash @id=$id")
+      assert(r.isNullAt(5) === r.isNullAt(6), s"wordrun nullability @id=$id")
+      if (!r.isNullAt(5)) {
+        val (a, b) = (r.getStruct(5), r.getStruct(6))
+        assert(a.getLong(0) === b.getLong(0), s"wordrun maxrun @id=$id")
+        assert(a.getLong(1) === b.getLong(1), s"wordrun distinct @id=$id")
+      }
+    }
+    // the kernel's ntokens slot == size(words) (the wsTokenCount face)
+    val nt = df.select(col("id"),
+        element_at(graft.functions.WordRunStatsKernel.rawCol(col("t")),
+          graft.functions.WordRunStatsKernel.NTokens).as("k"),
+        TextAnalysis.wsTokenCount(col("t")).cast("long").as("h"))
+      .collect()
+    nt.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"ntokens nullability @id=${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getLong(1) === r.getLong(2), s"ntokens @id=${r.getLong(0)}")
     }
     // independent JVM recompute of the kernel fold (valid unicode only)
     rows.filter(_._2 != null).foreach { case (id, t) =>
@@ -236,6 +255,10 @@ class PropertySpec extends SparkSpec {
     assert(p.toLowerCase.contains("charentropyrunlogsum"), p)
     assert(p.toLowerCase.contains("polyhashwhole"), p)
     assert(!p.contains("Fallback"), p)
+    val pw = df.select(TextAnalysis.wordRunStats(col("t")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(pw.toLowerCase.contains("wordrunstats"), pw)
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try assert(df.select(TextAnalysis.charEntropy(col("t")),
       TextAnalysis.fingerprint(col("t"))).collect().length === rows.length)
