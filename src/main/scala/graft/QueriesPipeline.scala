@@ -331,11 +331,16 @@ object QueriesPipeline {
 
     // text analysis: language-ID heuristic with auditable marker scores
     "q_langid" -> ((s, dir) => {
-      val sc = TextAnalysis.langScores(col("text"))
-      t(s, dir, "documents").select(
-        (Seq(col("doc_id")) ++
-          sc.map { case (l, c) => c.cast("long").as(s"score_$l") } :+
-          TextAnalysis.langPredict(col("text")).as("pred")): _*)
+      // ONE LangSignals kernel pass (projected once, multi-referenced)
+      // replaces the ten regexp_count evaluations the regex face needed
+      // for the same five output columns
+      val sc = TextAnalysis.langScoresFromSignals(col("ls"))
+      t(s, dir, "documents")
+        .withColumn("ls", graft.functions.LangSignalsKernel.signalsCol(col("text")))
+        .select(
+          (Seq(col("doc_id")) ++
+            sc.map { case (l, c) => c.cast("long").as(s"score_$l") } :+
+            TextAnalysis.langPredictFromSignals(col("ls")).as("pred")): _*)
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass language-marker counters — the kernel face of
+  * [[graft.ops.TextAnalysis.langScores]]/`langPredict`: per language, the
+  * count of `regexp_count(text, "\b(w1|w2|…)\b")` matches, plus the CJK
+  * codepoint count (`[\x{4e00}-\x{9fff}]`), as `[en, es, de, fr, cjk]`.
+  *
+  * Equivalence with the regex face: Java's `\b` is UNICODE-AWARE even
+  * without UNICODE_CHARACTER_CLASS — `java.util.regex.Pattern`'s `Bound`
+  * node classifies a word character as `ch == '_' ||
+  * Character.isLetterOrDigit(ch)` (measured: `"\\bthe\\b"` does NOT match
+  * in `"éthe"`, é is a word char to `\b`) — so a match is an occurrence
+  * of one of the (pure-ASCII lowercase) alternative literals whose
+  * neighbor codepoints on both sides are NOT word characters. Since the
+  * literals are themselves word characters end to end, that is exactly:
+  * a maximal run of word codepoints that is pure ASCII and EQUALS one of
+  * the literals (a run containing any other character can never match —
+  * the literal would have a word-char neighbor inside the run). The
+  * kernel decodes codepoints once and classifies them with the same
+  * `Character.isLetterOrDigit` table the regex engine uses. The CJK
+  * counter checks `[0x4e00, 0x9fff]` membership on the same decoded
+  * codepoints (the whole range is 3-byte UTF-8; Han codepoints are
+  * letters, so CJK text forms word runs exactly as `\b` sees it).
+  *
+  * The query face evaluated TEN `regexp_count` passes per row (5 score
+  * columns + the same 5 inside the prediction); this kernel computes all
+  * of them in ONE byte scan, and the repeated kernel references collapse
+  * to a single evaluation (multi-referenced projected column + codegen
+  * CSE). PropertySpec asserts kernel == regexp_count on random unicode.
+  * Null text propagates null.
+  */
+case class LangSignals(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    LangSignalsKernel.signals(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangSignalsKernel.signals($c)")
+  override protected def withNewChildInternal(newChild: Expression): LangSignals =
+    copy(newChild)
+}
+
+object LangSignalsKernel {
+  /** Result slots (1-based for element_at): languages in
+    * [[graft.ops.TextAnalysis.LangMarkerWords]] order, then CJK.
+    */
+  val CjkSlot: Int = graft.ops.TextAnalysis.LangMarkerWords.size + 1
+
+  // marker words grouped as (language index, word bytes); single source of
+  // truth is TextAnalysis.LangMarkerWords — the regex face is DERIVED from
+  // the same list, so the two faces cannot drift
+  private val markers: Array[Array[Array[Byte]]] =
+    graft.ops.TextAnalysis.LangMarkerWords.map { case (_, ws) =>
+      ws.map(_.getBytes("US-ASCII")).toArray
+    }.toArray
+  private val nLangs = markers.length
+
+  /** Java regex `\b`'s word-character class (Pattern's `Bound` node
+    * without UNICODE_CHARACTER_CLASS): underscore or any Unicode
+    * letter/digit — the identical `Character` table the regex engine
+    * consults.
+    */
+  private def isWordCp(cp: Int): Boolean =
+    cp == '_' || Character.isLetterOrDigit(cp)
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def signals(s: UTF8String): ArrayData = {
+    val n = s.numBytes
+    val counts = new Array[Long](nLangs + 1)
+    var i = 0
+    var runStart = -1   // byte index of the current word-codepoint run
+    var runAscii = true // run contains only ASCII bytes so far
+    def endRun(until: Int): Unit = {
+      if (runStart >= 0) {
+        if (runAscii) {
+          val len = until - runStart
+          var l = 0
+          while (l < nLangs) {
+            val ws = markers(l)
+            var w = 0
+            var hit = false
+            while (!hit && w < ws.length) {
+              val wb = ws(w)
+              if (wb.length == len) {
+                var j = 0
+                while (j < len && wb(j) == s.getByte(runStart + j)) j += 1
+                hit = j == len
+              }
+              w += 1
+            }
+            if (hit) counts(l) += 1
+            l += 1
+          }
+        }
+        runStart = -1
+        runAscii = true
+      }
+    }
+    while (i < n) {
+      val b = s.getByte(i)
+      var cp = 0
+      var adv = 1
+      if ((b & 0x80) == 0) cp = b
+      else if ((b & 0xE0) == 0xC0 && i + 1 < n) {
+        cp = ((b & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); adv = 2
+      } else if ((b & 0xF0) == 0xE0 && i + 2 < n) {
+        cp = ((b & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); adv = 3
+      } else if ((b & 0xF8) == 0xF0 && i + 3 < n) {
+        cp = ((b & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F); adv = 4
+      } else cp = b & 0xFF // malformed: stable single-byte fallback
+      if (cp >= 0x4E00 && cp <= 0x9FFF) counts(nLangs) += 1
+      if (isWordCp(cp)) {
+        if (runStart < 0) runStart = i
+        if (adv > 1) runAscii = false
+      } else endRun(i)
+      i += adv
+    }
+    endRun(n)
+    new GenericArrayData(counts)
+  }
+
+  /** [en, es, de, fr, cjk] counts as a Column (null on null text). */
+  def signalsCol(text: Column): Column =
+    GraftExpressionBridge.column(LangSignals(GraftExpressionBridge.expression(text)))
+}

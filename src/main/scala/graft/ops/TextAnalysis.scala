@@ -40,23 +40,56 @@ object TextAnalysis {
     * pick the max (ties resolved by fixed priority order), CJK content wins
     * outright. The score columns are exposed so the decision is auditable.
     */
-  val LangMarkers: Seq[(String, String)] = Seq(
-    "en" -> "\\b(the|a|of|and|value|row)\\b",
-    "es" -> "\\b(el|la|los|las|de|que)\\b",
-    "de" -> "\\b(der|die|das|und|ist)\\b",
-    "fr" -> "\\b(le|les|et|est|une)\\b")
+  /** Marker WORD lists — the single source of truth: the regex face
+    * ([[LangMarkers]], used by the SQL oracle and the spec) and the
+    * counting kernel ([[graft.functions.LangSignalsKernel]]) are both
+    * derived from this list, so the two faces cannot drift.
+    */
+  val LangMarkerWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "value", "row"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+  val LangMarkers: Seq[(String, String)] =
+    LangMarkerWords.map { case (l, ws) => l -> s"\\b(${ws.mkString("|")})\\b" }
   val CjkPattern = "[\\x{4e00}-\\x{9fff}]" // \x{...} parses in both Java regex and RE2
 
-  def langScores(c: Column): Seq[(String, Column)] =
+  /** Marker-hit counts per language — kernel face (ONE byte pass for all
+    * languages + CJK instead of one regexp pass per language;
+    * PropertySpec asserts kernel == regexp_count). The elements of
+    * [[graft.functions.LangSignalsKernel.signalsCol]] in
+    * [[LangMarkerWords]] order.
+    */
+  def langScores(c: Column): Seq[(String, Column)] = {
+    val sig = graft.functions.LangSignalsKernel.signalsCol(c)
+    langScoresFromSignals(sig)
+  }
+
+  /** The regex face of [[langScores]] — kept for the spec (the SQL oracle
+    * replays the same regexes directly in DuckDB).
+    */
+  def langScoresRegex(c: Column): Seq[(String, Column)] =
     LangMarkers.map { case (l, re) => l -> regexp_count(c, lit(re)) }
 
-  def langPredict(c: Column): Column = {
-    val scores = langScores(c)
+  def langScoresFromSignals(sig: Column): Seq[(String, Column)] =
+    LangMarkerWords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(sig, i + 1)
+    }
+
+  def langPredict(c: Column): Column =
+    langPredictFromSignals(graft.functions.LangSignalsKernel.signalsCol(c))
+
+  /** Prediction from an already-projected signals array — lets a query
+    * evaluate the kernel ONCE for both the score columns and the pick.
+    */
+  def langPredictFromSignals(sig: Column): Column = {
+    val scores = langScoresFromSignals(sig)
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val pick = scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
       when(s === best && s > 0 && acc === "und", lit(l)).otherwise(acc)
     }
-    when(regexp_count(c, lit(CjkPattern)) > 0, lit("zh")).otherwise(pick)
+    when(element_at(sig, graft.functions.LangSignalsKernel.CjkSlot) > 0,
+      lit("zh")).otherwise(pick)
   }
 
   /** Quality signals: word count, punctuation ratio, alpha ratio, mean word

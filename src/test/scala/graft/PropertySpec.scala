@@ -239,6 +239,52 @@ class PropertySpec extends SparkSpec {
       if (!r.isNullAt(1))
         assert(r.getLong(1) === r.getLong(2), s"ntokens @id=${r.getLong(0)}")
     }
+    // LangSignals kernel == the regexp_count face (word-boundary + CJK
+    // semantics: underscore/digit adjacency kills \b, case-sensitive,
+    // multibyte neighbors are boundaries)
+    val langDf = (rows ++ Seq(
+      (1000L, "the quick fox and the value row"),
+      (1001L, "the_ a1 9the _and value_s rows"), // \b fails on word-char adjacency
+      (1002L, "The A OF AND"),                   // case-sensitive: no hits
+      (1003L, "le la de la et est une de"),
+      (1004L, "日本語 the 漢字 und 語la語"),      // CJK + multibyte boundaries
+      (1005L, "a a a a"), (1006L, "そら カタカナ"))) // kana is NOT in the CJK block
+      .toDF("id", "t")
+    val sigs = graft.functions.LangSignalsKernel.signalsCol(col("t"))
+    val regexCols = graft.ops.TextAnalysis.langScoresRegex(col("t"))
+    val lgot = langDf.select(
+        (Seq(col("id")) ++
+          graft.ops.TextAnalysis.langScoresFromSignals(sigs)
+            .map { case (l, c) => c.as(s"k_$l") } ++
+          regexCols.map { case (l, c) => c.cast("long").as(s"r_$l") } :+
+          element_at(sigs, graft.functions.LangSignalsKernel.CjkSlot).as("k_cjk") :+
+          regexp_count(col("t"), lit(graft.ops.TextAnalysis.CjkPattern))
+            .cast("long").as("r_cjk") :+
+          graft.ops.TextAnalysis.langPredict(col("t")).as("pred")): _*)
+      .collect()
+    lgot.foreach { r =>
+      val id = r.getLong(0)
+      (1 to 4).foreach { i =>
+        assert(r.isNullAt(i) === r.isNullAt(i + 4), s"lang nullability @id=$id col=$i")
+        if (!r.isNullAt(i))
+          assert(r.getLong(i) === r.getLong(i + 4), s"lang score $i @id=$id")
+      }
+      if (!r.isNullAt(9)) assert(r.getLong(9) === r.getLong(10), s"cjk @id=$id")
+    }
+    // prediction formula replayed on the regex scores == kernel prediction
+    val lgot2 = langDf.where(col("t").isNotNull).select(col("id"),
+        graft.ops.TextAnalysis.langPredict(col("t")).as("k"), {
+          val scores = regexCols
+          val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+          val pick = scores.foldLeft(lit("und")) { case (acc, (l, s)) =>
+            when(s === best && s > 0 && acc === "und", lit(l)).otherwise(acc)
+          }
+          when(regexp_count(col("t"), lit(graft.ops.TextAnalysis.CjkPattern)) > 0,
+            lit("zh")).otherwise(pick).as("r")
+        })
+      .collect()
+    lgot2.foreach(r => assert(r.getString(1) === r.getString(2),
+      s"langPredict @id=${r.getLong(0)}"))
     // independent JVM recompute of the kernel fold (valid unicode only)
     rows.filter(_._2 != null).foreach { case (id, t) =>
       val counts = t.codePoints().toArray.groupBy(identity).values.map(_.length)
