@@ -529,16 +529,22 @@ object Queries {
     // column chains over a mixed-boundary string (camel boundary from the
     // "api"+Brand concat, separators and acronym runs from p_type)
     "q_case_conv" -> ((s, dir) => {
-      import graft.ops.CaseConv
+      // ONE CaseConvAll kernel pass (normalization regexes run once,
+      // projected once and multi-referenced) replaces seven Column chains
+      // that each re-ran the shared 3-regex word normalization
+      import graft.functions.{CaseConvAllKernel => K}
       val raw = concat(lit("api"), col("p_brand"), lit(" "), col("p_type"))
-      t(s, dir, "part").select(col("p_partkey"), raw.as("raw"),
-        CaseConv.snakeCol(raw).as("snake"),
-        CaseConv.screamingSnakeCol(raw).as("screaming"),
-        CaseConv.kebabCol(raw).as("kebab"),
-        CaseConv.trainCol(raw).as("train"),
-        CaseConv.titleCol(raw).as("title"),
-        CaseConv.pascalCol(raw).as("pascal"),
-        CaseConv.camelCol(raw).as("camel"))
+      t(s, dir, "part")
+        .withColumn("raw", raw)
+        .withColumn("cc", K.allCol(col("raw")))
+        .select(col("p_partkey"), col("raw"),
+          element_at(col("cc"), K.Snake).as("snake"),
+          element_at(col("cc"), K.Screaming).as("screaming"),
+          element_at(col("cc"), K.Kebab).as("kebab"),
+          element_at(col("cc"), K.Train).as("train"),
+          element_at(col("cc"), K.Title).as("title"),
+          element_at(col("cc"), K.Pascal).as("pascal"),
+          element_at(col("cc"), K.Camel).as("camel"))
         .orderBy("p_partkey")
     }),
 

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All seven case conversions of [[graft.ops.CaseConv]] from ONE
+  * normalization pass — the kernel face of the `q_case_conv` projection.
+  *
+  * The Column faces each rebuild the shared word-normalized form (three
+  * `regexp_replace` passes + an interpreted `transform` per conversion),
+  * so the seven-column projection pays ~21 regex passes per row. This
+  * kernel runs the three regexes ONCE (the identical `java.util.regex`
+  * patterns and `$1 $2` replacements Spark's `regexp_replace` executes),
+  * splits once with Spark's `split(c, " ")` semantics (limit −1, empties
+  * kept), and recomposes the seven outputs with the SAME `UTF8String`
+  * case/substring operations the Column functions bottom out in
+  * (`toLowerCase`/`toUpperCase`/codepoint `substring`) — so every output
+  * byte is identical to the Column face by construction, unicode
+  * included. PropertySpec asserts kernel == Column face per conversion
+  * on random inputs. Null input propagates null.
+  *
+  * Slots (1-based for element_at): snake, SCREAMING_SNAKE, kebab,
+  * Train-Case, Title Case, Pascal, camel.
+  */
+case class CaseConvAll(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    CaseConvAllKernel.all(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CaseConvAllKernel.all($c)")
+  override protected def withNewChildInternal(newChild: Expression): CaseConvAll =
+    copy(newChild)
+}
+
+object CaseConvAllKernel {
+  /** Result slots (1-based for element_at). */
+  val Snake = 1
+  val Screaming = 2
+  val Kebab = 3
+  val Train = 4
+  val Title = 5
+  val Pascal = 6
+  val Camel = 7
+
+  // the same patterns CaseConv's Column face hands to regexp_replace —
+  // compiled once; replacement semantics are java.util.regex in both faces
+  private val acronymP = java.util.regex.Pattern.compile(graft.ops.CaseConv.AcronymSplit)
+  private val lowerUpperP = java.util.regex.Pattern.compile(graft.ops.CaseConv.LowerUpperSplit)
+  private val separatorP = java.util.regex.Pattern.compile(graft.ops.CaseConv.SeparatorRun)
+
+  private val empty = UTF8String.EMPTY_UTF8
+
+  /** upper(first codepoint) + lower(rest) — the Column `ucfirstLower`. */
+  private def ucl(w: UTF8String): UTF8String =
+    if (w.numBytes == 0) w
+    else UTF8String.concat(w.substring(0, 1).toUpperCase,
+      w.substring(1, w.numChars).toLowerCase)
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def all(s: UTF8String): ArrayData = {
+    var t = acronymP.matcher(s.toString).replaceAll("$1 $2")
+    t = lowerUpperP.matcher(t).replaceAll("$1 $2")
+    t = separatorP.matcher(t).replaceAll(" ")
+    // Spark trim(): spaces only
+    var lo = 0
+    var hi = t.length
+    while (lo < hi && t.charAt(lo) == ' ') lo += 1
+    while (hi > lo && t.charAt(hi - 1) == ' ') hi -= 1
+    // Spark split(c, " "): limit -1, empty tokens kept
+    val parts = t.substring(lo, hi).split(" ", -1)
+    val n = parts.length
+    val lows = new Array[UTF8String](n)
+    val ucls = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val w = UTF8String.fromString(parts(i))
+      lows(i) = w.toLowerCase
+      ucls(i) = ucl(w)
+      i += 1
+    }
+    val snake = UTF8String.concatWs(UTF8String.fromString("_"), lows: _*)
+    val kebab = UTF8String.concatWs(UTF8String.fromString("-"), lows: _*)
+    val train = UTF8String.concatWs(UTF8String.fromString("-"), ucls: _*)
+    val title = UTF8String.concatWs(UTF8String.fromString(" "), ucls: _*)
+    val pascal = UTF8String.concatWs(empty, ucls: _*)
+    // Column lcfirstCol: lower(first codepoint) + rest unchanged
+    val camel =
+      if (pascal.numBytes == 0) pascal
+      else UTF8String.concat(pascal.substring(0, 1).toLowerCase,
+        pascal.substring(1, pascal.numChars))
+    new GenericArrayData(Array[Any](
+      snake, snake.toUpperCase, kebab, train, title, pascal, camel))
+  }
+
+  /** The 7 conversions as a Column (array<string>; null on null input). */
+  def allCol(text: Column): Column =
+    GraftExpressionBridge.column(CaseConvAll(GraftExpressionBridge.expression(text)))
+}

@@ -285,6 +285,32 @@ class PropertySpec extends SparkSpec {
       .collect()
     lgot2.foreach(r => assert(r.getString(1) === r.getString(2),
       s"langPredict @id=${r.getLong(0)}"))
+    // CaseConvAll kernel == the Column-face conversions, byte for byte
+    locally {
+      import graft.ops.CaseConv
+      import graft.functions.{CaseConvAllKernel => CK}
+      val ccDf = (rows ++ Seq(
+        (2000L, "apiBrand#13 STANDARD POLISHED BRASS"),
+        (2001L, "HTTPServer helloWorld x9Ten __a--b"),
+        (2002L, " leading  and trailing "), (2003L, ""), (2004L, "éclairCafé"),
+        (2005L, "A"), (2006L, "_"), (2007L, "snake_case-kebab Mix"))).toDF("id", "t")
+      val faces = Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+        "snake" -> CaseConv.snakeCol, "screaming" -> CaseConv.screamingSnakeCol,
+        "kebab" -> CaseConv.kebabCol, "train" -> CaseConv.trainCol,
+        "title" -> CaseConv.titleCol, "pascal" -> CaseConv.pascalCol,
+        "camel" -> CaseConv.camelCol)
+      val kk = CK.allCol(col("t"))
+      val cgot = ccDf.select(
+          (Seq(col("id")) ++
+            faces.zipWithIndex.map { case ((n, f), i) =>
+              (element_at(kk, i + 1) <=> f(col("t"))).as(s"eq_$n")
+            }): _*)
+        .collect()
+      cgot.foreach { r =>
+        (1 to faces.length).foreach(i => assert(r.getBoolean(i),
+          s"case-conv ${faces(i - 1)._1} @id=${r.getLong(0)}"))
+      }
+    }
     // independent JVM recompute of the kernel fold (valid unicode only)
     rows.filter(_._2 != null).foreach { case (id, t) =>
       val counts = t.codePoints().toArray.groupBy(identity).values.map(_.length)
