@@ -368,8 +368,12 @@ object Queries {
         .otherwise(concat(lit("v1/"), res1, lit("/{id}/"), res2))
       t(s, dir, "part")
         .select(pk, method.as("method"), path.as("path"))
+        // kernel face: one codegen'd call replays the Column chain's
+        // endpoint/singularize/pluralize logic with precompiled regexes
+        // (NamingSpec asserts kernel == Column chain == driver mirror)
         .select(col("p_partkey"), col("method"), col("path"),
-          Naming.operationIdCol(col("method"), col("path")).as("operation_id"))
+          graft.functions.OperationIdKernel.opIdCol(col("method"), col("path"))
+            .as("operation_id"))
         .orderBy("p_partkey")
     }),
 

@@ -1,0 +1,130 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `Endpoint::new` + `get_operation_id` as ONE kernel call — the kernel
+  * face of [[graft.ops.Naming.operationIdCol]].
+  *
+  * The Column face is a large interpreted tree: two nested `transform`
+  * lambdas over the path parts, and inside them the singularize/pluralize
+  * first-match-wins rule chains — each rule an `rlike` + `regexp_replace`
+  * pair, ~2×|rules| regex evaluations per path segment, none of it inside
+  * whole-stage codegen. This kernel replays
+  * [[graft.ops.Naming.operationId]] (the driver mirror NamingSpec asserts
+  * equal to the Column chain over the whole endpoint vocabulary, both
+  * `reverse` flags) with every pattern PRECOMPILED — the same
+  * `java.util.regex` patterns, same first-match-wins order, same
+  * `replaceAll` semantics, so the outputs are identical by the mirror's
+  * own parity spec. Unknown method / empty trimmed path yields null
+  * exactly like the Column face's validity gate.
+  */
+case class OperationId(left: Expression, right: Expression, reverse: Boolean)
+    extends BinaryExpression with org.apache.spark.sql.GraftStringPairInput {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(m: Any, p: Any): Any =
+    OperationIdKernel.opId(m.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String], reverse)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (m, p) => {
+      // the kernel returns null for valid-but-rejected rows (unknown
+      // method / empty path), so isNull must track the result
+      s"""
+         |${ev.value} = graft.functions.OperationIdKernel.opId($m, $p, $reverse);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OperationId =
+    copy(left = newLeft, right = newRight)
+}
+
+object OperationIdKernel {
+  import graft.ops.Naming
+
+  private val trimSlashP = Pattern.compile("^/+|/+$")
+  private val trimUnderP = Pattern.compile("^_+|_+$")
+  private val validMethodP =
+    Pattern.compile("^(get|head|post|put|delete|connect|options|trace|patch)$")
+  private val versionP = Pattern.compile("^v[0-9]+$")
+  private val camelSplitP = Pattern.compile("[-_ ]+")
+  private val slashP = Pattern.compile("/")
+
+  // the same rule lists the Column chain and the mirror fold over, with
+  // each pattern compiled once (the mirror compiles per call)
+  private val singularRules: Array[(Pattern, String)] =
+    Naming.SingularRules.map { case (p, r) => (Pattern.compile(p), r) }.toArray
+  private val pluralRules: Array[(Pattern, String)] =
+    Naming.PluralRules.map { case (p, r) => (Pattern.compile(p), r) }.toArray
+
+  /** First-match-wins: the first rule whose pattern FINDS a match rewrites
+    * with replaceAll — [[graft.ops.Naming.applyRules]] with precompiled
+    * patterns.
+    */
+  private def applyRules(rules: Array[(Pattern, String)], word: String): String = {
+    var i = 0
+    while (i < rules.length) {
+      val m = rules(i)._1.matcher(word)
+      if (m.find()) return m.reset().replaceAll(rules(i)._2)
+      i += 1
+    }
+    word
+  }
+
+  private def lcfirst(s: String): String =
+    if (s.isEmpty) s else s.substring(0, 1).toLowerCase + s.substring(1)
+  private def ucfirst(s: String): String =
+    if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1)
+
+  private def camel(s: String): String =
+    lcfirst(camelSplitP.split(s, -1).map(ucfirst).mkString)
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval.
+    * Mirrors [[graft.ops.Naming.operationId]] statement for statement.
+    */
+  def opId(mU: UTF8String, pU: UTF8String, reverse: Boolean): UTF8String = {
+    val method = mU.toString
+    val path = pU.toString
+    val trimmed =
+      trimUnderP.matcher(trimSlashP.matcher(path).replaceAll("")).replaceAll("")
+    if (!validMethodP.matcher(method).matches() || trimmed.isEmpty) return null
+    val parts = slashP.split(trimmed, 0) // mirror uses String.split("/"): limit 0
+    val hasVersion = versionP.matcher(parts(0)).matches()
+    val body = if (hasVersion) parts.drop(1) else parts
+    val resources = body.filterNot(_.startsWith("{"))
+    val identifiers = body.count(_.startsWith("{"))
+    val verb = method match {
+      case "get"   => if (path.endsWith("}")) "get" else "list"
+      case "post"  => "create"
+      case "patch" => "update"
+      case m       => m
+    }
+    val processed = resources.zipWithIndex.map { case (x, i) =>
+      val cam = camel(x)
+      if (i < identifiers) applyRules(singularRules, cam)
+      else method match {
+        case "post" => applyRules(singularRules, cam)
+        case "get"  => cam
+        case _      => applyRules(pluralRules, cam)
+      }
+    }
+    val prefix = if (hasVersion) Seq(parts(0), verb) else Seq(verb)
+    val allParts: Seq[String] =
+      if (!reverse) prefix ++ processed.toSeq else processed.toSeq ++ prefix.reverse
+    UTF8String.fromString(lcfirst(allParts.map(ucfirst).mkString))
+  }
+
+  /** operationId(method, path) as a Column (string; null on null input or
+    * rejected rows) — the [[graft.ops.Naming.operationIdCol]] shape.
+    */
+  def opIdCol(method: Column, path: Column, reverse: Boolean = false): Column =
+    GraftExpressionBridge.column(OperationId(
+      GraftExpressionBridge.expression(method),
+      GraftExpressionBridge.expression(path), reverse))
+}

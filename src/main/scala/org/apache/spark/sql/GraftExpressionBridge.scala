@@ -29,3 +29,14 @@ trait GraftStringInput
   override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.StringType)
 }
+
+/** Two-string-argument variant of [[GraftStringInput]] (same
+  * `AbstractDataType`-visibility reason), for binary kernels like
+  * `graft.functions.OperationId`.
+  */
+trait GraftStringPairInput
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)
+}

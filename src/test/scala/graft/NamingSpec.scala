@@ -121,10 +121,13 @@ class NamingSpec extends SparkSpec {
     val rows = for (m <- methods; p <- paths) yield (m, p)
     for (reverse <- Seq(false, true)) {
       val colResults = rows.toDF("m", "p")
-        .select(Naming.operationIdCol(col("m"), col("p"), reverse).as("r"))
-        .collect().map(r => Option(r.getString(0)))
-      rows.zip(colResults).foreach { case ((m, p), want) =>
+        .select(Naming.operationIdCol(col("m"), col("p"), reverse).as("r"),
+          graft.functions.OperationIdKernel.opIdCol(col("m"), col("p"), reverse)
+            .as("k"))
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+      rows.zip(colResults).foreach { case ((m, p), (want, kernel)) =>
         assert(Naming.operationId(m, p, reverse) === want, s"$m $p reverse=$reverse")
+        assert(kernel === want, s"kernel $m $p reverse=$reverse")
       }
     }
   }
