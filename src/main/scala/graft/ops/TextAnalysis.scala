@@ -110,8 +110,8 @@ object TextAnalysis {
   /** Document fingerprint: the rolling hash of the whole text — kernel
     * face ([[graft.functions.PolyHashKernel]]: one linear codepoint pass
     * inside whole-stage codegen). [[polyHash]] is the SQL-replayable HOF
-    * face; OpsSpec asserts kernel == HOF on random unicode. Exact long
-    * arithmetic — the two faces are equal by construction.
+    * face; PropertySpec asserts kernel == HOF on random unicode. Exact
+    * long arithmetic — the two faces are equal by construction.
     */
   def fingerprint(c: Column): Column = graft.functions.PolyHashKernel.hashCol(c)
 
