@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BPE-ish pre-tokenizer count — the kernel face of
+  * [[graft.ops.TextAnalysis.bpeTokenCount]]:
+  * `regexp_count(c, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")`.
+  *
+  * The pattern's leftmost non-overlapping matches decompose exactly into:
+  * maximal ASCII alpha runs + maximal ASCII digit runs + one match per
+  * remaining codepoint that is not ASCII whitespace (`\s` without
+  * UNICODE_CHARACTER_CLASS is `[ \t\n\x0B\f\r]`, and the negated class
+  * matches a single CODEPOINT — surrogate pairs count once, exactly as
+  * Java regex does). The kernel is a byte state machine: alpha/digit
+  * bytes extend or open runs, ASCII whitespace closes them silently,
+  * any other ASCII byte or UTF-8 LEAD byte counts one (each non-ASCII
+  * codepoint has exactly one lead byte), continuation bytes are skipped.
+  * Exact integer output, same `IntegerType` as `regexp_count` — the
+  * downstream packing arithmetic sees an identical schema. PropertySpec
+  * asserts kernel == regexp_count on random unicode. Null propagates.
+  */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.GraftStringInput {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any =
+    BpeTokenCountKernel.count(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeTokenCountKernel.count($c)")
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(newChild)
+}
+
+object BpeTokenCountKernel {
+  private final val None = 0
+  private final val Alpha = 1
+  private final val Digit = 2
+
+  private def isAsciiWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** The kernel — called from codegen'd Java and from nullSafeEval. */
+  def count(s: UTF8String): Int = {
+    val n = s.numBytes
+    var c = 0
+    var state = None
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if ((b & 0xC0) == 0x80) {
+        // continuation byte of the codepoint its lead byte already counted
+      } else if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z')) {
+        if (state != Alpha) { c += 1; state = Alpha }
+      } else if (b >= '0' && b <= '9') {
+        if (state != Digit) { c += 1; state = Digit }
+      } else if (isAsciiWs(b)) {
+        state = None
+      } else {
+        // ASCII symbol or a non-ASCII lead byte: one codepoint, one match
+        c += 1
+        state = None
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** The count as a Column (int, like regexp_count; null on null text). */
+  def countCol(text: Column): Column =
+    GraftExpressionBridge.column(BpeTokenCount(GraftExpressionBridge.expression(text)))
+}

@@ -32,9 +32,16 @@ object TextAnalysis {
 
   def wsTokenCount(c: Column): Column = size(words(c))
 
-  /** BPE-ish pre-tokenizer count: alpha runs | digit runs | single symbols. */
+  /** BPE-ish pre-tokenizer count: alpha runs | digit runs | single symbols
+    * — kernel face ([[graft.functions.BpeTokenCountKernel]]: one byte
+    * pass; PropertySpec asserts kernel == regexp_count on random
+    * unicode). [[bpeTokenCountRegex]] is the regex face the SQL oracle
+    * replays.
+    */
   val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpePattern))
+  def bpeTokenCount(c: Column): Column =
+    graft.functions.BpeTokenCountKernel.countCol(c)
+  def bpeTokenCountRegex(c: Column): Column = regexp_count(c, lit(BpePattern))
 
   /** Language-ID heuristic: count language-marker word hits per language,
     * pick the max (ties resolved by fixed priority order), CJK content wins

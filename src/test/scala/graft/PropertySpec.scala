@@ -285,6 +285,17 @@ class PropertySpec extends SparkSpec {
       .collect()
     lgot2.foreach(r => assert(r.getString(1) === r.getString(2),
       s"langPredict @id=${r.getLong(0)}"))
+    // BpeTokenCount kernel == the regexp_count face (alpha runs, digit
+    // runs, per-codepoint symbols incl. multibyte and surrogate pairs)
+    val bgot = langDf.select(col("id"),
+        graft.ops.TextAnalysis.bpeTokenCount(col("t")).as("k"),
+        graft.ops.TextAnalysis.bpeTokenCountRegex(col("t")).as("h"))
+      .collect()
+    bgot.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"bpe nullability @id=${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getInt(1) === r.getInt(2), s"bpe @id=${r.getLong(0)}")
+    }
     // CaseConvAll kernel == the Column-face conversions, byte for byte
     locally {
       import graft.ops.CaseConv
